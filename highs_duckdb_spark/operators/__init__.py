@@ -1,0 +1,16 @@
+"""Operator suite: every query the engine declares, with its DuckDB oracle.
+
+Modules register queries into :data:`highs_duckdb_spark.operators.registry.QUERIES`
+at import time; ``__spark_entry__`` exposes them to the driver contract.
+"""
+
+from highs_duckdb_spark.operators.registry import QUERIES, QuerySpec, all_queries, all_oracles
+
+# Import for side effects: each module registers its queries.
+from highs_duckdb_spark.operators import relational  # noqa: E402,F401
+from highs_duckdb_spark.operators import text  # noqa: E402,F401
+from highs_duckdb_spark.operators import dedup  # noqa: E402,F401
+from highs_duckdb_spark.operators import similarity  # noqa: E402,F401
+from highs_duckdb_spark.operators import optimization  # noqa: E402,F401
+
+__all__ = ["QUERIES", "QuerySpec", "all_queries", "all_oracles"]

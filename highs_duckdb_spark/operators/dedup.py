@@ -1,0 +1,307 @@
+"""Deduplication operators over ``documents`` (beyond-reference LLM-pipeline
+surface; BASELINE.json north star).
+
+Scale design:
+
+- **Exact dedup** is a hash-groupBy on a digest of normalized text — one
+  shuffle keyed by digest; at 100 TB the digest (16 bytes) shuffles, never
+  the document body.
+- **MinHash+LSH** is the classic shingle → k minhashes → band-bucket →
+  candidate-join pipeline, entirely in JVM builtins (``xxhash64`` +
+  higher-order array functions — no Python in the hot path). Cost is
+  O(docs × shingles) map-side plus a shuffle keyed by (band, bucket);
+  candidate verification joins only within buckets, never all-pairs.
+- **N-gram Jaccard** is the exact (quadratic-within-shared-shingle) variant
+  used as the verification oracle for the approximate methods.
+- **SimHash** packs a 64-bit signature via a vectorized pandas UDF (numpy
+  bit-twiddling), then finds near-pairs by banding the signature into
+  16-bit chunks — Hamming-distance ≤ r pairs must collide on ≥1 chunk for
+  r < 4 chunks (pigeonhole), so candidate generation is again a bucket
+  join, not a cross join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import ensure_shipped, load_table
+
+_NORM = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))  # noqa: E731
+
+
+@register(
+    "d01_exact_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) >= 1
+    ORDER BY fingerprint
+    """,
+    category="dedup",
+    doc="Exact dedup: md5 of normalized text → keep lowest doc_id per digest group.",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.md5(_NORM(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("fingerprint")
+    )
+
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingle array (distinct), via higher-order functions."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+@register(
+    "d02_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN length(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, length(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 300)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS inter,
+             CAST(length(a.shingles) + length(b.shingles)
+                  - length(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(1e-9 + inter / uni, 6) AS jaccard
+    FROM pairs
+    WHERE inter / uni >= 0.05
+    ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+    doc="Exact word-3-gram Jaccard similarity pairs (the ground truth the approximate dedups are measured against).",
+)
+def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+        .filter(F.col("inter") / F.col("uni") >= 0.05)
+        .select("doc_a", "doc_b", F.round(F.lit(1e-9) + F.col("inter") / F.col("uni"), 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + minhash signature (NUM_PERM xxhash64 min-values) + shingles.
+
+    Pure JVM: shingle arrays via higher-order functions, one xxhash64 per
+    permutation (seeded by the permutation index). At scale this is a
+    map-only stage over the documents scan.
+    """
+    sh = docs.select("doc_id", _shingles(F.col("text"), n).alias("shingles"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(NUM_PERM)
+        ]
+    )
+    return sh.select("doc_id", "shingles", sig.alias("sig"))
+
+
+@register(
+    "d03_minhash_lsh_pairs",
+    oracle=None,  # engine-specific hash (xxhash64 seeds); verified in pytest against d02 ground truth
+    category="dedup",
+    doc=(
+        "MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup candidate pairs, "
+        "verified with exact Jaccard ≥ 0.05. Bucket-join candidate generation — "
+        "no all-pairs comparison."
+    ),
+)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = bands.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    right = bands.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.select("doc_a", "doc_b", (inter / uni).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", F.round(F.lit(1e-9) + F.col("jaccard"), 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _fnv1a64(data: bytes) -> int:
+    """Deterministic engine-neutral 64-bit FNV-1a hash."""
+    h = 14695981039346656037
+    for ch in data:
+        h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _simhash_pandas(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text, computed per Arrow batch.
+
+    Token hashes are memoized across the batch (synthetic corpora share a
+    small vocabulary, so the per-token FNV cost amortizes to ~0)."""
+    token_bits: dict[str, int] = {}
+    out = []
+    for t in texts:
+        toks = set((t or "").lower().split())
+        if not toks:
+            out.append(0)
+            continue
+        acc = [0] * 64
+        for tok in toks:
+            h = token_bits.get(tok)
+            if h is None:
+                h = _fnv1a64(tok.encode())
+                token_bits[tok] = h
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        if v >= 1 << 63:  # wrap to signed int64 for Spark LongType
+            v -= 1 << 64
+        out.append(v)
+    return pd.Series(out, dtype="int64")
+
+
+@register(
+    "d04_simhash",
+    oracle=None,  # bit-level custom hash; determinism asserted in pytest
+    category="dedup",
+    doc="64-bit SimHash signature per document (FNV-1a token hashes, ±1 bit votes) via a vectorized pandas UDF.",
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    simhash = F.pandas_udf(_simhash_pandas, "long")
+    df = docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    # Expose the 4 × 16-bit chunks used for banded near-pair search.
+    chunks = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * i) % F.lit(65536).cast("bigint"))
+        .cast("bigint")
+        .alias(f"chunk{i}")
+        for i in range(4)
+    ]
+    return df.select("doc_id", "simhash", *chunks).orderBy("doc_id")
+
+
+@register(
+    "d05_simhash_near_pairs",
+    oracle=None,
+    category="dedup",
+    doc=(
+        "SimHash near-duplicate pairs: candidates collide on ≥1 of 4 16-bit "
+        "chunks (pigeonhole ⇒ complete for Hamming ≤ 3), then exact Hamming "
+        "filter ≤ 6 — bucket join, no all-pairs."
+    ),
+)
+def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    simhash = F.pandas_udf(_simhash_pandas, "long")
+    sigs = docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    chunked = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        (
+                            F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                            % F.lit(65536).cast("bigint")
+                        ).alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+    left = chunked.select(
+        "chunk_id", "chunk_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    right = chunked.select(
+        "chunk_id", "chunk_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )

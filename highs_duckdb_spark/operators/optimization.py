@@ -1,0 +1,225 @@
+"""Optimization-layer query entries for the correctness gate.
+
+Solver outputs are deterministic (golden LP and the unique-optimum MIP are
+vertex-unique; the degenerate assignment LP is asserted on its objective
+value only — SURVEY.md §7 "hard parts" (d)), so the DuckDB oracles are
+literal VALUES relations of the expected rows, mirroring the goldens in
+the reference's committed test (reference: test/sql/highs.test:54-98).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.optim.bulk import solve_many
+from highs_duckdb_spark.optim.registry import (
+    ModelRegistry,
+    create_constraints,
+    create_variables,
+    set_coefficients,
+    solve,
+)
+from highs_duckdb_spark.optim.scenarios import (
+    ASSIGNMENT_COSTS,
+    solve_datacenter,
+    solve_network_flow,
+)
+from highs_duckdb_spark.session import load_table
+
+
+@register(
+    "opt01_lp_reference_golden",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('x', 'x_0', 0.0, 1.0, 'Optimal'),
+      ('y', 'y_1', 1.0, 1.0, 'Optimal')
+    ) AS t(variable_name, variable_index, solution_value, reduced_cost, status)
+    ORDER BY variable_index
+    """,
+    category="optimization",
+    doc=(
+        "The reference's committed golden LP (min x+y; x+2y≤7, 3x+y≤9, x≥0, "
+        "y≥1 → x=0, y=1, reduced costs 1.0/1.0; reference: test/sql/highs.test:31-98)."
+    ),
+)
+def opt01_lp_reference_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "q_model1"
+    ModelRegistry.instance().remove_model(name)
+    create_variables(spark, name, "x", 0.0, 1e30, 1.0, "continuous")
+    create_variables(spark, name, "y", 1.0, 1e30, 1.0, "continuous")
+    create_constraints(spark, name, "c1", -1e30, 7.0)
+    create_constraints(spark, name, "c2", -1e30, 9.0)
+    set_coefficients(spark, name, "c1", "x", 1.0)
+    set_coefficients(spark, name, "c1", "y", 2.0)
+    set_coefficients(spark, name, "c2", "x", 3.0)
+    set_coefficients(spark, name, "c2", "y", 1.0)
+    return solve(spark, name).orderBy("variable_index")
+
+
+@register(
+    "opt02_status_contract",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('dup_var',       'x',   'ERROR', 'ERROR: Variable ''x'' already exists in model ''q_model2'''),
+      ('missing_model', 'N/A', 'ERROR', 'ERROR: Model ''no_such_model'' not found'),
+      ('missing_var',   'c1',  'OK',    'ERROR: Variable ''ghost'' not found in model ''q_model2'''),
+      ('ok_var',        'x',   'x_0',   'SUCCESS')
+    ) AS t(check_name, subject, detail, status)
+    ORDER BY check_name
+    """,
+    category="optimization",
+    doc=(
+        "Errors-are-data contract: duplicate variable, missing model, missing "
+        "variable — each reported as a status row, never an exception "
+        "(reference: src/highs_extension.cpp:211-224, 391-429, 520-538)."
+    ),
+)
+def opt02_status_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "q_model2"
+    ModelRegistry.instance().remove_model(name)
+    ok = create_variables(spark, name, "x", 0.0, 10.0, 1.0, "continuous")
+    dup = create_variables(spark, name, "x", 0.0, 10.0, 1.0, "continuous")
+    create_constraints(spark, name, "c1", -1e30, 5.0)
+    missing_var = set_coefficients(spark, name, "c1", "ghost", 1.0)
+    missing_model = solve(spark, "no_such_model")
+    r_ok, r_dup = ok.collect()[0], dup.collect()[0]
+    r_mv, r_mm = missing_var.collect()[0], missing_model.collect()[0]
+    rows = [
+        ("dup_var", r_dup["variable_name"], r_dup["variable_index"], r_dup["status"]),
+        ("missing_model", r_mm["variable_name"], r_mm["variable_index"], r_mm["status"]),
+        ("missing_var", r_mv["constraint_name"], "OK", r_mv["status"]),
+        ("ok_var", r_ok["variable_name"], r_ok["variable_index"], r_ok["status"]),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, subject string, detail string, status string"
+    ).orderBy("check_name")
+
+
+@register(
+    "opt03_network_flow_total_cost",
+    oracle="SELECT 'Total cost = 250' AS result",
+    category="optimization",
+    doc=(
+        "Min-cost-flow assignment scenario (34 vars / 14 constraints): solve, "
+        "then the reference's post-solve CTE+CASE+SUM analysis producing "
+        "'Total cost = 250' (reference: network_flow_example.sql:167-215). The "
+        "LP has alternate optimal vertices so only the (unique) objective is "
+        "asserted."
+    ),
+)
+def opt03_network_flow_total_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    solution = solve_network_flow(spark, "q_assignment_model")
+    cost_expr = F.lit(0.0)
+    for var, cost in ASSIGNMENT_COSTS.items():
+        cost_expr = F.when(F.col("variable_name") == var, cost * F.col("solution_value")).otherwise(
+            cost_expr
+        )
+    cost_vars = solution.filter(
+        (F.col("solution_value") > 0)
+        & F.col("variable_name").like("x_%_%")
+        & ~F.col("variable_name").like("x_0_%")
+        & ~F.col("variable_name").like("x_%_13")
+        & ~F.col("variable_name").like("x_11_%")
+        & ~F.col("variable_name").like("x_12_%")
+    )
+    return cost_vars.select(cost_expr.alias("contrib")).agg(
+        F.concat(F.lit("Total cost = "), F.sum("contrib").cast("int").cast("string")).alias(
+            "result"
+        )
+    )
+
+
+@register(
+    "opt04_datacenter_mip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('x_DC1_D1', 1.0), ('x_DC1_D2', 1.0), ('x_DC1_D3', 0.0), ('x_DC1_D4', 0.0),
+      ('x_DC2_D1', 0.0), ('x_DC2_D2', 0.0), ('x_DC2_D3', 0.0), ('x_DC2_D4', 0.0),
+      ('x_DC3_D1', 0.0), ('x_DC3_D2', 0.0), ('x_DC3_D3', 1.0), ('x_DC3_D4', 1.0),
+      ('z_DC1', 1.0), ('z_DC2', 0.0), ('z_DC3', 1.0)
+    ) AS t(variable_name, solution_value)
+    ORDER BY variable_name
+    """,
+    category="optimization",
+    doc=(
+        "Data-center site-selection MIP (15 binary vars / 9 constraints; "
+        "reference: assignment_model_test.sql). Optimum is unique (verified by "
+        "exhaustive enumeration): build DC1+DC3, total cost 260."
+    ),
+)
+def opt04_datacenter_mip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    solution = solve_datacenter(spark, "q_datacenter_model")
+    return solution.select("variable_name", "solution_value").orderBy("variable_name")
+
+
+@register(
+    "opt05_solve_many_bulk",
+    oracle="""
+    WITH g AS (
+      SELECT 'nation_' || CAST(c_nationkey AS VARCHAR) AS model_name,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM customer GROUP BY c_nationkey
+    ),
+    v(variable_name, variable_index, is_y, reduced_cost) AS
+      (VALUES ('x', 'x_0', 0, 0.5), ('y', 'y_1', 1, 0.0))
+    SELECT model_name, variable_name, variable_index,
+           round(1e-9 + CASE WHEN is_y = 1 THEN cnt / 2 ELSE 0.0 END, 6) AS solution_value,
+           reduced_cost, 'Optimal' AS status
+    FROM g CROSS JOIN v
+    ORDER BY model_name, variable_index
+    """,
+    category="optimization",
+    doc=(
+        "Distributed bulk solve: one LP per nation (min x+y s.t. x+2y ≥ "
+        "customer_count; optimum y=count/2, x=0, duals 0.5/0.0 — analytically "
+        "checkable), models defined relationally and solved via "
+        "groupBy(model_name).applyInPandas. The 100-TB path: model build is a "
+        "DataFrame pipeline, solves fan out per group."
+    ),
+)
+def opt05_solve_many_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    g = cust.groupBy("c_nationkey").agg(F.count("*").cast("double").alias("cnt"))
+    g = g.select(
+        F.concat(F.lit("nation_"), F.col("c_nationkey").cast("string")).alias("model_name"),
+        "cnt",
+    )
+    variables = g.selectExpr(
+        "model_name",
+        "stack(2, 'x', 0, 'y', 1) AS (variable_name, ord)",
+    ).select(
+        "model_name",
+        "variable_name",
+        F.lit(0.0).alias("lower_bound"),
+        F.lit(1e30).alias("upper_bound"),
+        F.lit(1.0).alias("obj_coefficient"),
+        F.lit("continuous").alias("var_type"),
+        F.col("ord"),
+    )
+    constraints = g.select(
+        "model_name",
+        F.lit("c1").alias("constraint_name"),
+        F.col("cnt").alias("lower_bound"),
+        F.lit(1e30).alias("upper_bound"),
+        F.lit(0).alias("ord"),
+    )
+    coefficients = g.selectExpr(
+        "model_name",
+        "stack(2, 'x', 1.0, 'y', 2.0) AS (variable_name, coefficient)",
+    ).select(
+        "model_name",
+        F.lit("c1").alias("constraint_name"),
+        "variable_name",
+        "coefficient",
+    )
+    result = solve_many(variables, constraints, coefficients)
+    return result.select(
+        "model_name",
+        "variable_name",
+        "variable_index",
+        F.round(F.lit(1e-9) + F.col("solution_value"), 6).alias("solution_value"),
+        "reduced_cost",
+        "status",
+    ).orderBy("model_name", "variable_index")

@@ -1,0 +1,1200 @@
+"""Relational (OLAP) operator suite — Spark DataFrame first, DuckDB oracle.
+
+Covers the SQL surface the reference's scripts exercise (SURVEY.md §2.2:
+CTE, CASE, LIKE/ILIKE, split_part, ||, CAST, SUM, ORDER BY-expression, IN,
+VALUES) plus the standard OLAP categories the host engine provides but the
+reference never touches (joins of every flavor, grouped/distinct/rollup/
+cube aggregates, windows, set ops, top-k, date/string/array functions) —
+per BASELINE.json's north star these must all hold on Spark.
+
+Scale notes applied throughout:
+
+- Dimension tables (``region``/``nation`` — bounded at 5/25 rows at any
+  scale factor) join via explicit ``F.broadcast``: no shuffle of the fact
+  side, a broadcast-hash-join at any cluster size.
+- Fact-fact joins (``orders``⋈``lineitem``, ``customer``⋈``orders``) are
+  left to sort-merge/shuffle-hash on the join key with AQE free to convert
+  or split skew; keys are the natural TPC-H keys, uniformly distributed.
+- Filters appear before joins/aggregations so Catalyst pushes them into the
+  parquet scan (verify: ``PushedFilters`` in ``.explain("formatted")``).
+- Aggregations are expressed as single ``groupBy().agg()`` passes → Spark
+  plans partial (map-side) aggregation automatically.
+
+Cross-engine float determinism: money columns in the testdata are 2-decimal
+values, so sums/averages of money (and products with 2-decimal
+discount/tax factors) are computed in DECIMAL — exact and identical in
+both engines regardless of summation order — then cast to DOUBLE for the
+output. Plain doubles are only summed where values are integral
+(quantities) or where a final round() has ample error margin; every round() in query
+and oracle adds an identical +1e-9 epsilon so half-way doubles (which the
+two engines round differently) never occur.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Reference-exercised surface (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(1e-9 + CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                          * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
+           round(1e-9 + CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(1e-9 + CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: filter → grouped agg → sort. Flagship.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.lit(1e-9) + F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.lit(1e-9) + F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.lit(1e-9) + F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.lit(1e-9) + F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.lit(1e-9) + F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.lit(1e-9) + F.sum(price).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.lit(1e-9) + 
+                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / n, 4
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_case_like",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN 2
+                         WHEN p_type LIKE 'SMALL%' THEN 1 ELSE 0 END) AS BIGINT) AS weighted,
+           count(*) AS n
+    FROM part
+    WHERE p_name LIKE '%bolt%' OR p_name NOT LIKE '%a%'
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="Simple-CASE projection + LIKE / NOT LIKE predicates (network_flow_example.sql:175-209).",
+)
+def q02_case_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    weighted = (
+        F.when(F.col("p_type").like("ECONOMY%"), 2)
+        .when(F.col("p_type").like("SMALL%"), 1)
+        .otherwise(0)
+    )
+    return (
+        part.filter(F.col("p_name").like("%bolt%") | ~F.col("p_name").like("%a%"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(weighted).cast("bigint").alias("weighted"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q03_ilike",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer
+    WHERE c_name ILIKE '%customer#00000000%'
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="ILIKE case-insensitive match (test/sql/highs.test:16,21).",
+)
+def q03_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.filter(F.col("c_name").ilike("%customer#00000000%"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q04_split_concat_cast",
+    oracle="""
+    SELECT s_name,
+           CAST(CAST(split_part(s_name, '#', 2) AS INTEGER) AS BIGINT) AS supp_id,
+           s_name || '/' || CAST(s_nationkey AS VARCHAR) AS tagged
+    FROM supplier
+    WHERE CAST(split_part(s_name, '#', 2) AS INTEGER) % 2 = 0
+    ORDER BY supp_id
+    """,
+    doc="split_part + || concat + CAST + ORDER BY expression (network_flow_example.sql:214-264).",
+)
+def q04_split_concat_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, "supplier", sf_dir)
+    supp_id = F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).cast("int")
+    return (
+        sup.filter(supp_id % 2 == 0)
+        .select(
+            "s_name",
+            supp_id.cast("bigint").alias("supp_id"),
+            F.concat(F.col("s_name"), F.lit("/"), F.col("s_nationkey").cast("string")).alias(
+                "tagged"
+            ),
+        )
+        .orderBy("supp_id")
+    )
+
+
+@register(
+    "q05_values_cte",
+    oracle="""
+    WITH rates(seg, rate) AS (VALUES ('AUTOMOBILE', 0.10), ('MACHINERY', 0.20),
+                                     ('BUILDING', 0.15), ('FURNITURE', 0.05), ('HOUSEHOLD', 0.25)),
+    bal AS (
+      SELECT c_mktsegment,
+             round(1e-9 + CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT b.c_mktsegment, b.total_bal,
+           round(1e-9 + b.total_bal * r.rate, 4) AS weighted_bal
+    FROM bal b JOIN rates r ON b.c_mktsegment = r.seg
+    ORDER BY b.c_mktsegment
+    """,
+    doc="VALUES inline table + chained CTEs (example_usage.sql:19-22; network_flow_example.sql:168-181).",
+)
+def q05_values_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    rates = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", 0.10),
+            ("MACHINERY", 0.20),
+            ("BUILDING", 0.15),
+            ("FURNITURE", 0.05),
+            ("HOUSEHOLD", 0.25),
+        ],
+        "seg string, rate double",
+    )
+    bal = cust.groupBy("c_mktsegment").agg(
+        F.round(F.lit(1e-9) + F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2).alias(
+            "total_bal"
+        )
+    )
+    return (
+        bal.join(F.broadcast(rates), bal.c_mktsegment == rates.seg)
+        .select(
+            "c_mktsegment",
+            "total_bal",
+            F.round(F.lit(1e-9) + F.col("total_bal") * F.col("rate"), 4).alias("weighted_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q06_in_filter_agg",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           round(1e-9 + CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_01', 'NATION_07', 'NATION_13', 'NATION_19')
+      AND c_acctbal BETWEEN 0 AND 9000
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="IN-list + BETWEEN predicates with a broadcast dim join (network_flow_example.sql:257-258).",
+)
+def q06_in_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cust.filter(F.col("c_acctbal").between(0, 9000))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name").isin("NATION_01", "NATION_07", "NATION_13", "NATION_19"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.lit(1e-9) + 
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count("*"), 4
+            ).alias("avg_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q07_global_agg",
+    oracle="""
+    SELECT round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2) AS revenue_lost,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_discount > 0.05 AND l_quantity < 25
+    """,
+    doc="Global SUM with no GROUP BY (network_flow_example.sql:214-215); TPC-H Q6 shape.",
+)
+def q07_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return li.filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 25)).agg(
+        F.round(F.lit(1e-9) + F.sum(rev).cast("double"), 2).alias("revenue_lost"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (category unexercised by the reference; SURVEY.md §2.2 tail)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="Fact ⋈ filtered dim with explicit broadcast: no fact-side shuffle for the join.",
+)
+def q10_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.lit(1e-9) + F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q11_join_multiway",
+    oracle="""
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name ORDER BY r_name
+    """,
+    doc="4-way star join: shuffle join on the fact key, broadcast for nation/region.",
+)
+def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.lit(1e-9) + F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q12_semi_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Left-semi join (EXISTS): customers having at least one big order.",
+)
+def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 200000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q13_anti_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+)
+def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q14_outer_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS empty_orders
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45) li
+      ON o.o_orderkey = li.l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Left-outer join + null-probe counting (orders with no qualifying lineitem).",
+)
+def q14_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("empty_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Multiple COUNT(DISTINCT) in one aggregate (expand-based plan in Spark).",
+)
+def q20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q21_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           round(1e-9 + sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    doc="ROLLUP hierarchy totals with GROUPING() disambiguation.",
+)
+def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.round(F.lit(1e-9) + F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "q22_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority, g_status, g_priority
+    """,
+    doc="CUBE over two dimensions incl. cross-marginals.",
+)
+def q22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count("*").alias("n"),
+            F.round(F.lit(1e-9) + F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2).alias(
+                "total"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority", "g_status", "g_priority")
+    )
+
+
+@register(
+    "q23_having_stats",
+    oracle="""
+    SELECT l_suppkey,
+           count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(1e-9 + sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       - CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                         * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+                      / (count(*) - 1)), 4) AS sd_price,
+           round(1e-9 + min(l_extendedprice), 2) AS min_price,
+           round(1e-9 + max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 50
+    ORDER BY l_suppkey
+    """,
+    doc=(
+        "HAVING + statistical aggregates. Sample stddev is computed from "
+        "decimal-exact Σx and Σx² so both engines derive it from identical "
+        "doubles (native stddev_samp merge order is engine-specific)."
+    ),
+)
+def q23_having_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    n = F.count("*")
+    s1 = F.sum(price).cast("double")
+    s2 = F.sum(price * price).cast("double")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            n.alias("n"),
+            F.round(F.lit(1e-9) + s1 / n, 4).alias("avg_price"),
+            F.round(F.lit(1e-9) + F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 4).alias("sd_price"),
+            F.round(F.lit(1e-9) + F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.lit(1e-9) + F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .filter(F.col("n") > 50)
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "q24_grouping_sets",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+           count(*) AS n, round(1e-9 + sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY segment, nation
+    """,
+    doc="Explicit GROUPING SETS (segment-only, nation-only, grand total).",
+)
+def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+               count(*) AS n, round(1e-9 + sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY segment, nation
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q30_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+             CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="Top-3 orders per customer via ranking window (tie-broken by key).",
+)
+def q30_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q31_window_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           round(1e-9 + CAST(sum(CAST(value AS DECIMAL(12,2)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS rolling_sum,
+           round(1e-9 + CAST(sum(CAST(value AS DECIMAL(12,2)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+    FROM events
+    WHERE user_id < 50
+    ORDER BY user_id, event_id
+    """,
+    doc="Sliding ROWS frame (3-event rolling sum/avg per user).",
+)
+def q31_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    rolling = F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.lit(1e-9) + rolling, 4).alias("rolling_sum"),
+        F.round(F.lit(1e-9) + rolling / F.count("*").over(w), 4).alias("rolling_avg"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q32_window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           round(1e-9 + value - lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
+           round(1e-9 + lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 4) AS delta_next
+    FROM events
+    WHERE user_id < 30
+    ORDER BY user_id, event_id
+    """,
+    doc="LAG/LEAD offsets for per-user event deltas.",
+)
+def q32_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.lit(1e-9) + F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lit(1e-9) + F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q33_window_cume",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                      OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+    doc="Running cumulative totals + NTILE bucketing.",
+)
+def q33_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 100)
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tile = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.lit(1e-9) + 
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w_run).cast("double"), 2
+        ).alias("running_total"),
+        F.ntile(4).over(w_tile).cast("bigint").alias("quartile"),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Set operations, top-k, subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q40_set_ops",
+    oracle="""
+    SELECT CAST(nationkey AS BIGINT) AS nationkey, src FROM (
+      SELECT c_nationkey AS nationkey, 'both' AS src FROM customer
+      INTERSECT
+      SELECT s_nationkey, 'both' FROM supplier
+      UNION
+      SELECT n.n_nationkey, 'customer_only' FROM nation n
+      WHERE n.n_nationkey IN (SELECT c_nationkey FROM customer)
+        AND n.n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+    ) ORDER BY nationkey, src
+    """,
+    doc="INTERSECT + UNION + NOT IN set algebra over nation keys.",
+)
+def q40_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cust_nk = cust.select(F.col("c_nationkey").alias("nationkey"))
+    sup_nk = sup.select(F.col("s_nationkey").alias("nationkey"))
+    both = (
+        cust_nk.intersect(sup_nk).withColumn("src", F.lit("both"))
+    )
+    cust_only = (
+        nation.select(F.col("n_nationkey").alias("nationkey"))
+        .join(cust_nk.distinct(), "nationkey", "left_semi")
+        .join(sup_nk.distinct(), "nationkey", "left_anti")
+        .withColumn("src", F.lit("customer_only"))
+    )
+    return (
+        both.unionByName(cust_only)
+        .distinct()
+        .select(F.col("nationkey").cast("bigint").alias("nationkey"), "src")
+        .orderBy("nationkey", "src")
+    )
+
+
+@register(
+    "q41_except",
+    oracle="""
+    SELECT CAST(l_partkey AS BIGINT) AS partkey FROM (
+      SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+      EXCEPT
+      SELECT l_partkey FROM lineitem WHERE l_quantity <= 2
+    ) ORDER BY partkey
+    """,
+    doc="EXCEPT (set semantics): parts shipped in bulk but never in singles.",
+)
+def q41_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    bulk = li.filter(F.col("l_quantity") >= 49).select("l_partkey")
+    single = li.filter(F.col("l_quantity") <= 2).select("l_partkey")
+    return (
+        bulk.subtract(single)  # EXCEPT DISTINCT, matching SQL set semantics
+        .select(F.col("l_partkey").cast("bigint").alias("partkey"))
+        .orderBy("partkey")
+    )
+
+
+@register(
+    "q42_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(1e-9 + o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Top-k: global ORDER BY + LIMIT (Spark plans TakeOrderedAndProject — no full sort).",
+)
+def q42_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", F.round(F.lit(1e-9) + F.col("o_totalprice"), 2).alias("totalprice")
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q43_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, round(1e-9 + c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                         FROM customer c2
+                         WHERE c2.c_mktsegment = c.c_mktsegment) * 1.8
+    ORDER BY c.c_custkey
+    """,
+    doc="Correlated scalar subquery (decorrelated by both engines into a join against per-group avgs).",
+)
+def q43_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    seg_avg = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count("*")).alias(
+            "seg_avg"
+        )
+    )
+    return (
+        cust.join(F.broadcast(seg_avg), cust.c_mktsegment == seg_avg.seg)
+        .filter(F.col("c_acctbal") > F.col("seg_avg") * 1.8)
+        .select("c_custkey", F.round(F.lit(1e-9) + F.col("c_acctbal"), 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time, string, array/JSON functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q50_date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           count(*) AS n_orders,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY yr, qtr ORDER BY yr, qtr
+    """,
+    doc="Date-part extraction + range pruning (year/quarter grouping).",
+)
+def q50_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.lit(1e-9) + F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2).alias(
+                "total"
+            ),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+@register(
+    "q51_date_trunc",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+    doc="date_trunc bucketing of an event stream (batch analogue of a tumbling window).",
+)
+def q51_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.lit(1e-9) + F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "q52_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           lower(p_type) AS type_low,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake,
+           substr(p_name, 1, 5) AS name_head,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           reverse(p_brand) AS brand_rev
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+    doc="Core string function battery (upper/lower/length/replace/substr/lpad/reverse).",
+)
+def q52_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") < 200)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_low"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_brand").alias("brand_rev"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q53_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="JSON field extraction from a string column, then aggregation.",
+)
+def q53_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).cast("bigint").alias("k_total"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q54_array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 40), ' '))), ',') AS head_vocab
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    doc="Array ops: split → size / distinct / sort / join back to string.",
+)
+def q54_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    head_toks = F.split(F.substring(F.col("text"), 1, 40), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.array_join(F.array_sort(F.array_distinct(head_toks)), ",").alias("head_vocab"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q55_explode_unnest",
+    oracle="""
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    HAVING count(*) > 100
+    ORDER BY token
+    """,
+    doc="Lateral explode/unnest of token arrays → word frequency.",
+)
+def q55_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") > 100)
+        .orderBy("token")
+    )
+
+
+@register(
+    "q60_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc=(
+        "Exact distinct for the oracle; the engine also exposes "
+        "approx_count_distinct (HLL) — validated separately rows-only since "
+        "sketch estimates differ across engines."
+    ),
+)
+def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q61_approx_distinct_hll",
+    None,
+    doc="approx_count_distinct (HyperLogLog++) — rows-only check (estimates are engine-specific).",
+)
+def q61_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q62_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(1e-9 + quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(1e-9 + quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Exact linear-interpolation percentiles per group.",
+)
+def q62_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.lit(1e-9) + F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.lit(1e-9) + F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q63_conditional_agg_pivot",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY yr ORDER BY yr
+    """,
+    doc="Manual pivot via conditional aggregation (status columns per year).",
+)
+def q63_conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    def status_count(s: str):
+        return F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0)).cast("bigint")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            status_count("F").alias("n_f"),
+            status_count("O").alias("n_o"),
+            status_count("P").alias("n_p"),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q64_tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue, top-10.",
+)
+def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.lit(1e-9) + 
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q65_tpch_q5_local_volume",
+    oracle="""
+    SELECT n_name,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: 5-way join with a compound join condition (local supplier volume).",
+)
+def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.lit(1e-9) + 
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q66_null_handling",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT) AS n_not_open,
+           round(1e-9 + CAST(sum(coalesce(CASE WHEN o_totalprice > 100000
+                                        THEN CAST(o_totalprice AS DECIMAL(12,2)) END,
+                                   0)) AS DOUBLE), 2) AS big_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="NULL semantics: NULLIF/COALESCE/CASE-without-ELSE and null-skipping counts.",
+)
+def q66_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.nullif(F.col("o_orderstatus"), F.lit("O"))).alias("n_not_open"),
+            F.round(F.lit(1e-9) + 
+                F.sum(
+                    F.coalesce(
+                        F.when(
+                            F.col("o_totalprice") > 100000,
+                            F.col("o_totalprice").cast("decimal(12,2)"),
+                        ),
+                        F.lit(0).cast("decimal(12,2)"),
+                    )
+                ).cast("double"),
+                2,
+            ).alias("big_total"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_open"),
+        )
+        .orderBy("o_orderpriority")
+    )

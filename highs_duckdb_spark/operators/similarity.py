@@ -1,0 +1,221 @@
+"""Embedding similarity search over the ``embeddings`` table
+(``array<float>`` column) — beyond-reference LLM-pipeline surface.
+
+Scale design:
+
+- **Brute-force top-k** broadcasts the (small) query set and streams the
+  corpus once: cost O(corpus × queries × dim) map-side, a single top-k
+  aggregation per query — the exact baseline every ANN variant is measured
+  against. The dot product is a JVM higher-order fold (``zip_with`` +
+  ``aggregate``), not a Python UDF.
+- **LSH-bucketed ANN** uses deterministic random-hyperplane signatures:
+  sign bits of (vec · plane) for P planes → bucket key; neighbors are
+  searched only within colliding buckets (multi-probe over B bands). At
+  100 TB the bucket join replaces the all-pairs cross join; recall is
+  asserted against the brute-force baseline in pytest.
+- **Near-dup pairs** (cosine ≥ τ) brute-forces within small blocks; the
+  oracle cross-joins in DuckDB at sf0.01 scale.
+
+Float discipline: parquet stores float32; both engines cast to double
+BEFORE any arithmetic so the sequential fold produces bit-identical sums,
+and results are rounded to 6 decimals before ranking so tie-breaks are
+engine-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # query set = vec_id < 10
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+@register(
+    "s01_cosine_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, label, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    category="similarity",
+    doc="Exact brute-force cosine top-k: broadcast query set, one corpus scan, JVM fold dot products.",
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(F.lit(1e-9) + 
+                _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "label", "cosine")
+        .orderBy("query_id", "rk")
+    )
+
+
+N_PLANES = 16
+N_BANDS = 4
+PLANES_PER_BAND = N_PLANES // N_BANDS
+_DIM = 64
+
+
+def _hyperplanes(dim: int = _DIM, n: int = N_PLANES) -> list[list[float]]:
+    rng = np.random.RandomState(42)  # fixed seed → reproducible bucketing
+    return rng.randn(n, dim).tolist()
+
+
+def lsh_signature_col(vec_col, planes: list[list[float]]):
+    """Sign-bit array of (vec · plane) for each hyperplane — JVM-side."""
+    bits = []
+    for plane in planes:
+        plane_lit = F.array(*[F.lit(float(p)) for p in plane])
+        bits.append(F.when(_dot(vec_col, plane_lit) >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+@register(
+    "s02_ann_lsh_topk",
+    oracle=None,  # approximate; recall vs s01 asserted in pytest
+    category="similarity",
+    doc=(
+        "ANN top-k via random-hyperplane LSH: 16 sign bits → 4 bands of 4; "
+        "candidates = bucket collisions in ≥1 band; exact cosine re-rank of "
+        "candidates only."
+    ),
+)
+def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _hyperplanes()
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    sig = emb.select("vec_id", "label", "v", lsh_signature_col(F.col("v"), planes).alias("bits"))
+    banded = sig.select(
+        "vec_id",
+        "label",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.col("bits")[b * PLANES_PER_BAND + r].cast("string")
+                                for r in range(PLANES_PER_BAND)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "label", "v", "bb.band", "bb.bucket")
+    queries = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        "band", "bucket", F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = (
+        banded.join(queries, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), F.col("label"), F.col("v"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        F.round(F.lit(1e-9) + _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "label", "cosine")
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "s03_embedding_near_dup_pairs",
+    oracle="""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
+             round(1e-9 + list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label_a, label_b, cosine
+    FROM pairs WHERE cosine >= 0.8
+    ORDER BY vec_a, vec_b
+    """,
+    category="similarity",
+    doc="Embedding near-duplicate pairs (cosine ≥ 0.8), exact all-pairs with i<j halving.",
+)
+def s03_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+    )
+    cosine = F.round(F.lit(1e-9) + 
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label_a", "label_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.8)
+        .orderBy("vec_a", "vec_b")
+    )

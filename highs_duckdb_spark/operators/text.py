@@ -1,0 +1,222 @@
+"""Text-analysis operators over the ``documents`` table (beyond-reference,
+north-star LLM-pipeline surface; BASELINE.json).
+
+Everything here stays JVM-side (builtin ``pyspark.sql.functions`` only): at
+100 TB these run inside whole-stage codegen over the parquet scan with no
+Python in the hot path. Where a DuckDB oracle is declared, the formula is
+expressed identically in both dialects (both use RE2-compatible regexes and
+identical md5).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+# Tiny per-language stopword marker lists for the heuristic language-ID.
+# Deliberately small + deterministic so the oracle SQL can repeat them.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "de", "y"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+@register(
+    "t01_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           round(1e-9 + CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS avg_token_len
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    category="text",
+    doc="Char/token/punctuation counts + average token length per document.",
+)
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(tokens).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")).cast("bigint").alias(
+            "n_punct"
+        ),
+        F.round(F.lit(1e-9) + 
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.greatest(n_tokens, F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def _marker_hits_spark(lang: str):
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), markers))
+
+
+def _marker_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        "length(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')), "
+        f"[{markers}]))"
+    )
+
+
+@register(
+    "t02_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_marker_hits_sql('en')} AS hits_en,
+             {_marker_hits_sql('de')} AS hits_de,
+             {_marker_hits_sql('fr')} AS hits_fr,
+             {_marker_hits_sql('es')} AS hits_es,
+             {_marker_hits_sql('zh')} AS hits_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_zh THEN 'en'
+             WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de >= hits_zh THEN 'de'
+             WHEN hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+             WHEN hits_es >= hits_zh THEN 'es'
+             ELSE 'zh'
+           END AS predicted_lang,
+           CAST(hits_en + hits_de + hits_fr + hits_es + hits_zh AS BIGINT) AS marker_hits
+    FROM scored
+    ORDER BY doc_id
+    """,
+    category="text",
+    doc="Heuristic language ID: distinct-token overlap with per-language marker lists, argmax with deterministic tie-break.",
+)
+def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    hits = {lang: _marker_hits_spark(lang) for lang in ("en", "de", "fr", "es", "zh")}
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        hits["es"].alias("hits_es"),
+        hits["zh"].alias("hits_zh"),
+    )
+    h = {k: F.col(f"hits_{k}") for k in ("en", "de", "fr", "es", "zh")}
+    predicted = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]) & (h["en"] >= h["zh"]),
+            "en",
+        )
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]) & (h["de"] >= h["zh"]), "de")
+        .when((h["fr"] >= h["es"]) & (h["fr"] >= h["zh"]), "fr")
+        .when(h["es"] >= h["zh"], "es")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        (h["en"] + h["de"] + h["fr"] + h["es"] + h["zh"]).cast("bigint").alias("marker_hits"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t03_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(length(regexp_split_to_array(trim(text), '[^a-zA-Z0-9]+')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_len_estimate
+    FROM documents
+    ORDER BY doc_id
+    """,
+    category="text",
+    doc="Token counting: whitespace tokens, alnum-piece (BPE-ish) tokens, chars/4 LLM estimate.",
+)
+def t03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"[^a-zA-Z0-9]+")).cast("bigint").alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_len_estimate"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t04_quality_score",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(length(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE) AS n_uniq
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           round(1e-9 + least(n_chars / 500.0, 1.0), 4) AS length_score,
+           round(1e-9 + n_uniq / greatest(n_tokens, 1.0), 4) AS diversity_score,
+           round(1e-9 + 0.5 * least(n_chars / 500.0, 1.0)
+                 + 0.5 * (n_uniq / greatest(n_tokens, 1.0)), 4) AS quality
+    FROM feat
+    ORDER BY doc_id
+    """,
+    category="text",
+    doc="Composite quality score: normalized length + lexical diversity (distinct/total tokens).",
+)
+def t04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).cast(
+        "double"
+    )
+    length_score = F.least(n_chars / 500.0, F.lit(1.0))
+    diversity = n_uniq / F.greatest(n_tokens, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(F.lit(1e-9) + length_score, 4).alias("length_score"),
+        F.round(F.lit(1e-9) + diversity, 4).alias("diversity_score"),
+        F.round(F.lit(1e-9) + 0.5 * length_score + 0.5 * diversity, 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t05_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8) AS bucket
+    FROM documents
+    ORDER BY doc_id
+    """,
+    category="text",
+    doc="Document fingerprint: md5 over whitespace-normalized, case-folded text (identical digests in both engines).",
+)
+def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    fp = F.md5(normalized)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("bucket"),
+    ).orderBy("doc_id")

@@ -1,0 +1,382 @@
+"""Pure-numpy LP solver (two-phase revised simplex, bounded variables via
+standard-form rewriting) plus a branch-and-bound MILP layer.
+
+The execution container ships no LP library (no scipy / highspy), so the
+solver is implemented from the textbook algorithm. Model sizes in the
+reference's workloads are tiny (≤34 variables / 14 constraints,
+reference: network_flow_example.sql:12-165), so an O(iterations × m³)
+resolve-from-scratch revised simplex is robust and more than fast enough;
+numerical drift never accumulates because every iteration refactorizes.
+
+Semantics match the reference solver surface (reference:
+src/highs_extension.cpp:512-688):
+
+- Minimize-only objective (reference: src/highs_extension.cpp:43).
+- ``±1e30`` and anything beyond is an infinity sentinel for bounds
+  (reference: test/sql/highs.test:33-41; HiGHS treats |b| ≥ 1e30 as ∞).
+- Row bounds are ranges ``row_lb ≤ a·x ≤ row_ub`` (equality when lb == ub).
+- ``reduced_cost`` is the variable dual ``c_j − Σ_i a_ij y_i`` over the
+  structural rows only (HiGHS ``col_dual``); 0.0 for MILP solves, where
+  duals are unavailable.
+- Statuses: ``Optimal`` / ``Infeasible`` / ``Unbounded`` / ``Unknown``
+  (reference: src/highs_extension.cpp:653-667).
+
+Scale note: this module is deliberately driver/executor-local and
+dependency-free; at cluster scale many independent models are solved in
+parallel by shipping this module inside a grouped-map pandas UDF
+(:mod:`highs_duckdb_spark.optim.bulk`), so the simplex never needs to be
+distributed itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+INF_SENTINEL = 1e30  # |bound| >= this means infinite (reference: test/sql/highs.test:33)
+_TOL = 1e-9
+_INT_TOL = 1e-6
+
+
+@dataclass
+class LPResult:
+    status: str  # Optimal | Infeasible | Unbounded | Unknown
+    x: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    reduced_costs: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    objective: float = 0.0
+    row_duals: np.ndarray = field(default_factory=lambda: np.zeros(0))
+
+
+def _clean_bound(b: float, default: float) -> float:
+    if b is None or np.isnan(b):
+        return default
+    if b >= INF_SENTINEL:
+        return np.inf
+    if b <= -INF_SENTINEL:
+        return -np.inf
+    return float(b)
+
+
+class _StandardForm:
+    """Rewrite min c·x, row_lb ≤ Ax ≤ row_ub, col_lb ≤ x ≤ col_ub into
+    min c̃·x̃ s.t. Ã x̃ = b̃, x̃ ≥ 0 while remembering how to map the
+    solution and the structural-row duals back."""
+
+    def __init__(
+        self,
+        c: np.ndarray,
+        a_dense: np.ndarray,
+        row_lb: np.ndarray,
+        row_ub: np.ndarray,
+        col_lb: np.ndarray,
+        col_ub: np.ndarray,
+    ) -> None:
+        n_orig, m_orig = len(c), len(row_lb)
+        cols: list[np.ndarray] = []  # columns of Ã (structural rows only, for now)
+        cstd: list[float] = []
+        self.obj_shift = 0.0
+        # var maps: orig j -> (mode, std column index/indices, shift)
+        # mode: 'shift' x = lb + x'; 'flip' x = ub − x'; 'free' x = x⁺ − x⁻
+        self.var_map: list[tuple[str, tuple[int, ...], float]] = []
+        self.bound_rows: list[tuple[int, float]] = []  # (std col idx, residual ub)
+        rhs_adjust = np.zeros(m_orig)
+
+        for j in range(n_orig):
+            lb, ub = col_lb[j], col_ub[j]
+            aj = a_dense[:, j]
+            if lb > ub + _TOL:
+                self.infeasible_bounds = True
+            if np.isfinite(lb):
+                k = len(cols)
+                cols.append(aj.copy())
+                cstd.append(float(c[j]))
+                self.obj_shift += c[j] * lb
+                rhs_adjust += aj * lb
+                self.var_map.append(("shift", (k,), lb))
+                if np.isfinite(ub):
+                    self.bound_rows.append((k, ub - lb))
+            elif np.isfinite(ub):
+                k = len(cols)
+                cols.append(-aj)
+                cstd.append(float(-c[j]))
+                self.obj_shift += c[j] * ub
+                rhs_adjust += aj * ub
+                self.var_map.append(("flip", (k,), ub))
+            else:
+                k = len(cols)
+                cols.append(aj.copy())
+                cols.append(-aj)
+                cstd.append(float(c[j]))
+                cstd.append(float(-c[j]))
+                self.var_map.append(("free", (k, k + 1), 0.0))
+
+        self.infeasible_bounds = getattr(self, "infeasible_bounds", False)
+        n_std = len(cols)
+        a_cols = np.column_stack(cols) if cols else np.zeros((m_orig, 0))
+
+        # Structural rows → equality rows with slack/surplus.
+        # row_sign[i] lets us recover the structural dual after any row flip
+        # done to keep b ≥ 0 (dual of a negated row is the negated dual).
+        rows: list[np.ndarray] = []
+        rhs: list[float] = []
+        self.row_src: list[tuple[int, float]] = []  # (orig row, sign)
+        extra_cols: list[tuple[int, float]] = []  # (row idx, ±1 slack) added later
+
+        def add_row(coeffs: np.ndarray, b: float, src: int, slack: float) -> None:
+            sign = 1.0
+            if b < 0:
+                coeffs, b, slack, sign = -coeffs, -b, -slack, -1.0
+            idx = len(rows)
+            rows.append(coeffs)
+            rhs.append(b)
+            self.row_src.append((src, sign))
+            if slack != 0.0:
+                extra_cols.append((idx, slack))
+
+        for i in range(m_orig):
+            rl = row_lb[i] - rhs_adjust[i] if np.isfinite(row_lb[i]) else -np.inf
+            ru = row_ub[i] - rhs_adjust[i] if np.isfinite(row_ub[i]) else np.inf
+            ai = a_cols[i, :] if n_std else np.zeros(0)
+            if not np.isfinite(rl) and not np.isfinite(ru):
+                continue  # free row
+            if np.isfinite(rl) and np.isfinite(ru) and abs(row_lb[i] - row_ub[i]) <= _TOL:
+                add_row(ai.copy(), rl, i, 0.0)  # equality
+                continue
+            if np.isfinite(ru):
+                add_row(ai.copy(), ru, i, 1.0)  # a·x + s = ub
+            if np.isfinite(rl):
+                add_row(ai.copy(), rl, i, -1.0)  # a·x − s = lb
+        # Bound rows x'_k + s = ub' (no structural dual; src = −1)
+        for k, res_ub in self.bound_rows:
+            coeffs = np.zeros(n_std)
+            coeffs[k] = 1.0
+            add_row(coeffs, res_ub, -1, 1.0)
+
+        m = len(rows)
+        n_slack = len(extra_cols)
+        self.A = np.zeros((m, n_std + n_slack))
+        if m:
+            self.A[:, :n_std] = np.vstack(rows) if rows else np.zeros((0, n_std))
+        for t, (ridx, s) in enumerate(extra_cols):
+            self.A[ridx, n_std + t] = s
+        self.b = np.array(rhs)
+        self.c = np.concatenate([np.array(cstd), np.zeros(n_slack)])
+        self.n_std = n_std
+        self.n_orig = n_orig
+        self.m_orig = m_orig
+        self.col_lb = col_lb
+
+    def recover_x(self, xstd: np.ndarray) -> np.ndarray:
+        x = np.zeros(self.n_orig)
+        for j, (mode, idxs, shift) in enumerate(self.var_map):
+            if mode == "shift":
+                x[j] = shift + xstd[idxs[0]]
+            elif mode == "flip":
+                x[j] = shift - xstd[idxs[0]]
+            else:
+                x[j] = xstd[idxs[0]] - xstd[idxs[1]]
+        return x
+
+    def recover_row_duals(self, y_std: np.ndarray) -> np.ndarray:
+        y = np.zeros(self.m_orig)
+        for i, (src, sign) in enumerate(self.row_src):
+            if src >= 0:
+                y[src] += sign * y_std[i]
+        return y
+
+
+def _simplex_phase(
+    A: np.ndarray,
+    b: np.ndarray,
+    c: np.ndarray,
+    basis: list[int],
+    allowed: np.ndarray,
+    max_iter: int = 20000,
+) -> str:
+    """Revised simplex with Bland's rule; refactorizes every iteration.
+
+    Mutates ``basis`` in place. Returns 'Optimal'|'Unbounded'|'Unknown'.
+    ``allowed[j]`` False bars column j from entering (used to freeze
+    artificials in phase 2).
+    """
+    m, n = A.shape
+    for _ in range(max_iter):
+        B = A[:, basis]
+        try:
+            xB = np.linalg.solve(B, b)
+            y = np.linalg.solve(B.T, c[basis])
+        except np.linalg.LinAlgError:
+            return "Unknown"
+        rc = c - y @ A
+        entering = -1
+        for j in range(n):  # Bland: lowest index with negative reduced cost
+            if allowed[j] and j not in basis and rc[j] < -_TOL:
+                entering = j
+                break
+        if entering < 0:
+            return "Optimal"
+        d = np.linalg.solve(B, A[:, entering])
+        ratios = np.full(m, np.inf)
+        pos = d > _TOL
+        ratios[pos] = xB[pos] / d[pos]
+        if not pos.any():
+            return "Unbounded"
+        theta = ratios.min()
+        # Bland tie-break: leaving = smallest basis column index among ties
+        candidates = [i for i in range(m) if pos[i] and ratios[i] <= theta + _TOL]
+        leave_pos = min(candidates, key=lambda i: basis[i])
+        basis[leave_pos] = entering
+    return "Unknown"
+
+
+def solve_lp(
+    c,
+    a_dense,
+    row_lb,
+    row_ub,
+    col_lb,
+    col_ub,
+) -> LPResult:
+    """Solve min c·x s.t. row_lb ≤ Ax ≤ row_ub, col_lb ≤ x ≤ col_ub.
+
+    All bounds accept the ±1e30 infinity sentinel. Returns primal values,
+    structural-row duals, and per-variable reduced costs (HiGHS
+    ``col_dual`` convention: c_j − Σ a_ij y_i over structural rows).
+    """
+    c = np.asarray(c, dtype=float)
+    n = len(c)
+    a_dense = np.asarray(a_dense, dtype=float).reshape(len(row_lb), n) if n else np.zeros(
+        (len(row_lb), 0)
+    )
+    col_lb = np.array([_clean_bound(v, -np.inf) for v in col_lb])
+    col_ub = np.array([_clean_bound(v, np.inf) for v in col_ub])
+    row_lb = np.array([_clean_bound(v, -np.inf) for v in row_lb])
+    row_ub = np.array([_clean_bound(v, np.inf) for v in row_ub])
+
+    if n == 0:
+        return LPResult("Optimal", np.zeros(0), np.zeros(0), 0.0, np.zeros(len(row_lb)))
+    if np.any(col_lb > col_ub + _TOL) or np.any(
+        np.isfinite(row_lb) & np.isfinite(row_ub) & (row_lb > row_ub + _TOL)
+    ):
+        return LPResult("Infeasible")
+
+    sf = _StandardForm(c, a_dense, row_lb, row_ub, col_lb, col_ub)
+    A, b, cstd = sf.A, sf.b, sf.c
+    m, n_tot = A.shape
+
+    if m == 0:  # no rows at all: minimize each var independently at its bound
+        x = np.zeros(n)
+        for j in range(n):
+            if c[j] > _TOL:
+                if not np.isfinite(col_lb[j]):
+                    return LPResult("Unbounded")
+                x[j] = col_lb[j]
+            elif c[j] < -_TOL:
+                if not np.isfinite(col_ub[j]):
+                    return LPResult("Unbounded")
+                x[j] = col_ub[j]
+            elif np.isfinite(col_lb[j]):
+                x[j] = col_lb[j]
+            elif np.isfinite(col_ub[j]):
+                x[j] = col_ub[j]
+        return LPResult("Optimal", x, c.copy(), float(c @ x), np.zeros(len(row_lb)))
+
+    # Phase 1: artificial basis
+    A1 = np.hstack([A, np.eye(m)])
+    c1 = np.concatenate([np.zeros(n_tot), np.ones(m)])
+    basis = list(range(n_tot, n_tot + m))
+    allowed = np.ones(n_tot + m, dtype=bool)
+    status = _simplex_phase(A1, b, c1, basis, allowed)
+    if status == "Unknown":
+        return LPResult("Unknown")
+    B = A1[:, basis]
+    xB = np.linalg.solve(B, b)
+    if c1[basis] @ xB > 1e-7:
+        return LPResult("Infeasible")
+
+    # Phase 2: artificials frozen out of entering set
+    c2 = np.concatenate([cstd, np.zeros(m)])
+    allowed[n_tot:] = False
+    status = _simplex_phase(A1, b, c2, basis, allowed)
+    if status == "Unbounded":
+        return LPResult("Unbounded")
+    if status == "Unknown":
+        return LPResult("Unknown")
+
+    B = A1[:, basis]
+    xB = np.linalg.solve(B, b)
+    y_std = np.linalg.solve(B.T, c2[basis])
+    xstd = np.zeros(n_tot)
+    for pos_i, col in enumerate(basis):
+        if col < n_tot:
+            xstd[col] = xB[pos_i]
+    x = sf.recover_x(xstd)
+    # Clamp solver noise back inside the box
+    x = np.clip(x, np.where(np.isfinite(col_lb), col_lb, -np.inf), np.where(np.isfinite(col_ub), col_ub, np.inf))
+    y = sf.recover_row_duals(y_std)
+    reduced = c - a_dense.T @ y if a_dense.size else c.copy()
+    reduced[np.abs(reduced) < 1e-11] = 0.0
+    return LPResult("Optimal", x, reduced, float(c @ x), y)
+
+
+def solve_milp(
+    c,
+    a_dense,
+    row_lb,
+    row_ub,
+    col_lb,
+    col_ub,
+    is_integer,
+    max_nodes: int = 100000,
+) -> LPResult:
+    """Branch-and-bound MILP on top of :func:`solve_lp`.
+
+    ``is_integer`` is a boolean mask over variables. Reduced costs are 0.0
+    (duals are undefined for MIP — matches the reference surface where
+    HiGHS leaves ``col_dual`` empty for MIP solves, reference:
+    src/highs_extension.cpp:672-681 backfills 0.0).
+    """
+    c = np.asarray(c, dtype=float)
+    is_integer = np.asarray(is_integer, dtype=bool)
+    col_lb0 = np.array([_clean_bound(v, -np.inf) for v in col_lb])
+    col_ub0 = np.array([_clean_bound(v, np.inf) for v in col_ub])
+
+    root = solve_lp(c, a_dense, row_lb, row_ub, col_lb0, col_ub0)
+    if root.status in ("Infeasible", "Unbounded", "Unknown"):
+        return LPResult(root.status, reduced_costs=np.zeros(len(c)))
+    if not is_integer.any():
+        return root
+
+    best_obj = np.inf
+    best_x: np.ndarray | None = None
+    stack: list[tuple[np.ndarray, np.ndarray]] = [(col_lb0, col_ub0)]
+    nodes = 0
+    while stack and nodes < max_nodes:
+        lb, ub = stack.pop()
+        nodes += 1
+        res = solve_lp(c, a_dense, row_lb, row_ub, lb, ub)
+        if res.status != "Optimal" or res.objective >= best_obj - 1e-9:
+            continue
+        frac = np.abs(res.x - np.round(res.x))
+        frac = np.where(is_integer, frac, 0.0)
+        j = int(np.argmax(frac))
+        if frac[j] <= _INT_TOL:
+            xi = res.x.copy()
+            xi[is_integer] = np.round(xi[is_integer])
+            obj = float(c @ xi)
+            if obj < best_obj - 1e-12:
+                best_obj, best_x = obj, xi
+            continue
+        lo, hi = np.floor(res.x[j]), np.ceil(res.x[j])
+        ub_l = ub.copy()
+        ub_l[j] = lo
+        lb_r = lb.copy()
+        lb_r[j] = hi
+        # DFS, exploring the floor branch first
+        stack.append((lb_r, ub))
+        stack.append((lb, ub_l))
+
+    if best_x is None:
+        return LPResult("Infeasible", reduced_costs=np.zeros(len(c)))
+    return LPResult("Optimal", best_x, np.zeros(len(c)), best_obj, np.zeros(len(row_lb)))
