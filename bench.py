@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark the declared headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Usage:
+  python bench.py                 # the headline set
+  python bench.py --all           # every registered query
+  python bench.py --compare       # also time DuckDB on the oracle SQL (stderr)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "q01_pricing_summary",
+    "q07_global_agg",
+    "q10_join_broadcast",
+    "q11_join_multiway",
+    "q20_distinct_agg",
+    "q30_window_rank",
+    "q42_topk",
+    "q64_tpch_q3_shipping_priority",
+    "q65_tpch_q5_local_volume",
+    # LLM-pipeline
+    "t05_fingerprint",
+    "d01_exact_dedup",
+    "d03_minhash_lsh_pairs",
+    "s01_cosine_topk",
+    # optimization (bulk, distributed)
+    "opt05_solve_many_bulk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    run_all = "--all" in sys.argv
+    compare = "--compare" in sys.argv
+
+    from highs_duckdb_spark.operators import QUERIES
+    from highs_duckdb_spark.session import get_spark
+
+    spark = get_spark("highs_duckdb_spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = sorted(QUERIES) if run_all else [n for n in HEADLINE if n in QUERIES]
+
+    # Warm the JVM/session and the Python-worker pool so measured queries see
+    # steady-state (worker processes are shared and reused across queries).
+    QUERIES["q42_topk"].builder(spark, sf_dir).collect()
+    import pandas as pd  # noqa: F401
+
+    warm = spark.range(8).repartition(2)
+    warm.groupBy("id").applyInPandas(lambda pdf: pdf, "id long").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = QUERIES[name]
+        best = float("inf")
+        for _ in range(2):  # best-of-2: one-off scheduling/GC noise is large vs these runtimes
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    if compare:
+        import duckdb
+
+        from highs_duckdb_spark.session import TABLES
+
+        con = duckdb.connect()
+        con.execute(f"SET threads={cpus}")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        duck: dict[str, float] = {}
+        for name in names:
+            spec = QUERIES[name]
+            if spec.oracle is None:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck[name] = round(best, 3)
+        for name in names:
+            if name in duck:
+                ratio = timings[name] / duck[name] if duck[name] > 0 else float("inf")
+                print(
+                    f"{name:34s} spark={timings[name]:7.3f}s duckdb={duck[name]:7.3f}s "
+                    f"ratio={ratio:6.2f}x",
+                    file=sys.stderr,
+                )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time at sf (sum of per-query seconds)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

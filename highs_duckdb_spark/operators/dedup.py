@@ -121,21 +121,31 @@ BANDS = 8
 ROWS_PER_BAND = NUM_PERM // BANDS
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id + minhash signature (NUM_PERM xxhash64 min-values) + shingles.
+_MERSENNE_P = 2147483647  # 2^31 − 1
+_PERM_A = [2 * i + 1 for i in range(1, NUM_PERM + 1)]  # odd multipliers
+_PERM_B = [1000003 * i + 12345 for i in range(NUM_PERM)]
 
-    Pure JVM: shingle arrays via higher-order functions, one xxhash64 per
-    permutation (seeded by the permutation index). At scale this is a
-    map-only stage over the documents scan.
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + minhash signature (NUM_PERM min-values) + shingles.
+
+    Pure JVM and hash-once: each shingle is xxhash64'd a single time, then
+    the NUM_PERM permutations are affine maps (a·h + b) mod p over the base
+    hash — 32 integer ops per shingle instead of 32 full string hashes.
+    Operands stay < 2^62 so ANSI-mode overflow checking never trips.
+    At scale this is a map-only stage over the documents scan.
     """
     sh = docs.select("doc_id", _shingles(F.col("text"), n).alias("shingles"))
+    base = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    with_base = sh.select("doc_id", "shingles", base.alias("hbase"))
+    def perm(i: int):
+        # single-arg lambda: F.transform passes the array index to 2-arg lambdas
+        return lambda h: F.pmod(F.lit(_PERM_A[i]) * h + F.lit(_PERM_B[i]), F.lit(_MERSENNE_P))
+
     sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(NUM_PERM)
-        ]
+        *[F.array_min(F.transform(F.col("hbase"), perm(i))) for i in range(NUM_PERM)]
     )
-    return sh.select("doc_id", "shingles", sig.alias("sig"))
+    return with_base.select("doc_id", "shingles", sig.alias("sig"))
 
 
 @register(
