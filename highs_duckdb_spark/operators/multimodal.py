@@ -1,0 +1,219 @@
+"""Multimodal-column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched pandas UDFs.
+
+The container has no image/audio codecs, so the *decode* steps are stubbed
+behind ``HDS_FAKE_DECODE`` (a deterministic fake) / ``NotImplementedError``
+— but everything Spark-side is real and tested: binary column handling,
+UDF signatures and batch shapes, ``mapInPandas`` iterator plumbing, and the
+partitioning story (batch size capped so a partition of blobs never
+materializes at once).
+
+Synthetic blobs: since the testdata has no binary table, each document's
+text is packed into a fake container format::
+
+    bytes 0-3   magic  b"HDSB"
+    bytes 4-7   width  (big-endian uint32, deterministic from doc_id)
+    bytes 8-11  height (big-endian uint32)
+    bytes 12-   payload (utf-8 text)
+
+so metadata parsing is real byte-level work with a checkable answer.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import ensure_shipped, load_table
+
+MAGIC = b"HDSB"
+
+#: flip to raise NotImplementedError from the decode stubs (the behavior a
+#: real deployment would see without codecs installed)
+FAKE_DECODE = os.environ.get("HDS_FAKE_DECODE", "1") == "1"
+
+
+def synthesize_blobs(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_type, blob binary) with the fake header."""
+    width = (F.col("doc_id") % 640 + 16).cast("int")
+    height = (F.col("doc_id") % 480 + 16).cast("int")
+    header = F.concat(
+        F.lit(MAGIC),
+        _be_uint32(width),
+        _be_uint32(height),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    media = F.when(F.col("doc_id") % 3 == 0, "image").when(F.col("doc_id") % 3 == 1, "audio").otherwise("video")
+    return docs.select("doc_id", media.alias("media_type"), header.alias("blob"))
+
+
+def _be_uint32(col):
+    """Big-endian 4-byte encoding of an int column, JVM-side."""
+    return F.concat(
+        _byte(col, 24), _byte(col, 16), _byte(col, 8), _byte(col, 0)
+    )
+
+
+def _byte(col, shift):
+    b = F.shiftrightunsigned(col.cast("bigint"), shift) % F.lit(256).cast("bigint")
+    # unhex of 2 hex chars → single byte
+    return F.unhex(F.lpad(F.hex(b), 2, "0"))
+
+
+def _parse_header_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: byte-level metadata extraction per Arrow batch."""
+    for pdf in it:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "valid_magic": [],
+            "width": [],
+            "height": [],
+            "payload_bytes": [],
+        }
+        for blob in pdf["blob"]:
+            b = bytes(blob)
+            ok = b[:4] == MAGIC
+            out["valid_magic"].append(ok)
+            if ok:
+                w, h = struct.unpack(">II", b[4:12])
+            else:
+                w = h = 0
+            out["width"].append(w)
+            out["height"].append(h)
+            out["payload_bytes"].append(len(b) - 12 if ok else len(b))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "m01_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           true AS valid_magic,
+           CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 16 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    category="multimodal",
+    doc=(
+        "Binary metadata extraction: pack text into a fake container format "
+        "(magic + BE dims + payload) JVM-side, then parse the header back "
+        "byte-for-byte in a mapInPandas kernel. Oracle recomputes the "
+        "expected metadata from the source columns."
+    ),
+)
+def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    blobs = synthesize_blobs(docs)
+    schema = (
+        "doc_id long, media_type string, valid_magic boolean, width long, "
+        "height long, payload_bytes long"
+    )
+    return blobs.mapInPandas(_parse_header_batch, schema).orderBy("doc_id")
+
+
+def _decode_image_stub(blob: bytes) -> dict:
+    """Decode stub: a real build would call PIL/libjpeg here."""
+    if not FAKE_DECODE:
+        raise NotImplementedError("image codecs not available in this container")
+    w, h = struct.unpack(">II", blob[4:12])
+    # deterministic fake "pixels": payload checksum stands in for content
+    checksum = sum(blob[12:]) % 1_000_000
+    return {"width": w, "height": h, "checksum": checksum}
+
+
+def _resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    target = 64
+    for pdf in it:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            meta = _decode_image_stub(bytes(blob))
+            scale = target / max(meta["width"], meta["height"])
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "out_width": max(1, int(meta["width"] * scale)),
+                    "out_height": max(1, int(meta["height"] * scale)),
+                    "content_checksum": meta["checksum"],
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "m02_image_resize",
+    oracle=None,  # decode is stubbed; plumbing checked rows-only + in pytest
+    category="multimodal",
+    doc=(
+        "Image resize pipeline: decode (STUBBED — deterministic fake, flag "
+        "HDS_FAKE_DECODE) → aspect-preserving thumbnail dims → checksum; "
+        "real Arrow batch plumbing via mapInPandas."
+    ),
+)
+def m02_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    images = synthesize_blobs(docs).filter(F.col("media_type") == "image")
+    schema = "doc_id long, out_width long, out_height long, content_checksum long"
+    return images.mapInPandas(_resize_batch, schema).orderBy("doc_id")
+
+
+def _frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video frame sampling stub: emits frame byte-offsets, one row per frame
+    (explode-shaped output shows mapInPandas can change cardinality)."""
+    fps, n_frames = 4, 3
+    for pdf in it:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            if not FAKE_DECODE:
+                raise NotImplementedError("video codecs not available in this container")
+            size = len(bytes(blob)) - 12
+            for f in range(n_frames):
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": f,
+                        "ts_sec": f / fps,
+                        "byte_offset": 12 + (size * f) // n_frames,
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "m03_video_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, octet_length(encode(text)) AS size FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames(frame_idx) AS (VALUES (0), (1), (2))
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx AS DOUBLE) / 4 AS ts_sec,
+           CAST(12 + (size * frame_idx) // 3 AS BIGINT) AS byte_offset
+    FROM vids CROSS JOIN frames
+    ORDER BY doc_id, frame_idx
+    """,
+    category="multimodal",
+    doc=(
+        "Video frame sampling (decode STUBBED): 1-row-in → N-frames-out "
+        "through mapInPandas; offsets are deterministic so the oracle can "
+        "recompute them relationally."
+    ),
+)
+def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    vids = synthesize_blobs(docs).filter(F.col("media_type") == "video")
+    schema = "doc_id long, frame_idx long, ts_sec double, byte_offset long"
+    return vids.mapInPandas(_frame_sample_batch, schema).orderBy("doc_id", "frame_idx")

@@ -1,0 +1,162 @@
+"""Source/sink operator entries: each writes testdata out in a format /
+layout, reads it back, and aggregates — the oracle runs the same aggregate
+on the original table, so a hash match proves the round-trip is lossless."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_partitioned_parquet,
+)
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"hds_{tag}_")
+
+
+@register(
+    "q70_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="sources",
+    doc="CSV sink + source round-trip (explicit schema — no inference pass) preserves values exactly.",
+)
+def q70_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    path = _tmpdir("csv")
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, cust.schema)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.lit(1e-9) + F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q71_partitioned_prune",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+    FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    category="sources",
+    doc=(
+        "Hive-style partitioned parquet write (partitionBy year) + pruned "
+        "read: the yr=1997 filter eliminates sibling partitions at planning "
+        "time — at 100 TB this is the difference between scanning one "
+        "directory and the whole table."
+    ),
+)
+def q71_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    )
+    path = _tmpdir("part")
+    write_partitioned_parquet(orders, path, ["yr"])
+    back = spark.read.parquet(path)
+    return back.filter(F.col("yr") == 1997).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.lit(1e-9) + F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("total"),
+    )
+
+
+@register(
+    "q72_json_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    category="sources",
+    doc="JSON lines sink + source round-trip with explicit schema.",
+)
+def q72_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    path = _tmpdir("json")
+    docs.write.mode("overwrite").json(path)
+    back = read_json(spark, path, docs.schema)
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q73_orc_roundtrip",
+    oracle="""
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_bal
+    FROM supplier GROUP BY nationkey ORDER BY nationkey
+    """,
+    category="sources",
+    doc="ORC sink + source round-trip (the second columnar format Spark ships).",
+)
+def q73_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, "supplier", sf_dir)
+    path = _tmpdir("orc")
+    sup.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    return (
+        back.groupBy(F.col("s_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.lit(1e-9) + F.sum(F.col("s_acctbal").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "q74_ctas_catalog",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    category="sources",
+    doc=(
+        "CTAS + DROP TABLE parity (reference: example_usage.sql:19-22,88-93): "
+        "create a table from a query, read it back, drop it."
+    ),
+)
+def q74_ctas_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("q74_orders_src")
+    spark.sql("DROP TABLE IF EXISTS q74_big_orders")
+    warehouse_tmp = _tmpdir("warehouse_q74")  # fresh location: external-table DROP keeps files
+    spark.sql(
+        f"CREATE TABLE q74_big_orders USING parquet LOCATION '{warehouse_tmp}' "
+        "AS SELECT * FROM q74_orders_src WHERE o_totalprice > 150000"
+    )
+    out = (
+        spark.table("q74_big_orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)  # materialize before drop
+    spark.sql("DROP TABLE q74_big_orders")
+    return result

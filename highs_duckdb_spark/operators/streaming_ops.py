@@ -1,0 +1,102 @@
+"""Driver-facing entries for the streaming operators: each runs a REAL
+Structured Streaming query (file source → watermark → window/stateful op →
+memory sink, Trigger.AvailableNow) and returns the materialized result,
+hash-checked against a batch DuckDB oracle where expressible."""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_table,
+    sessionize_stream,
+    sliding_window_counts,
+    tumbling_window_agg,
+)
+
+
+@register(
+    "qs01_stream_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    category="streaming",
+    doc=(
+        "1-hour tumbling event-time windows with watermark, executed as a real "
+        "stream (AvailableNow) — results identical to the batch hourly rollup."
+    ),
+)
+def qs01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    stream = tumbling_window_agg(read_events_stream(spark, sf_dir))
+    run_stream_to_table(stream, table, output_mode="complete")
+    return spark.table(table).orderBy("window_start", "event_type")
+
+
+@register(
+    "qs02_stream_sliding",
+    oracle=None,  # overlapping windows have no direct single-pass SQL analogue; validated in pytest vs batch
+    category="streaming",
+    doc="2h windows sliding 1h (each event in 2 windows), streamed with watermark.",
+)
+def qs02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    stream = sliding_window_counts(read_events_stream(spark, sf_dir))
+    run_stream_to_table(stream, table, output_mode="complete")
+    return spark.table(table).orderBy("window_start")
+
+
+@register(
+    "qs03_stream_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events,
+             max(session_id) OVER (PARTITION BY user_id) AS last_session
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sessions
+    -- emitted sessions = gap-closed ones, plus tail sessions whose event-time
+    -- timeout (last event + 30min) fired before the final watermark
+    -- (global max ts − 1h) — exactly what the stateful operator emits
+    WHERE session_id < last_session
+       OR session_end + INTERVAL 30 MINUTE
+          <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    ORDER BY user_id, session_start
+    """,
+    category="streaming",
+    doc=(
+        "Gap-based sessionization (30-min) via applyInPandasWithState — a "
+        "custom stateful streaming operator; closed sessions match the batch "
+        "lag/cumsum sessionization exactly."
+    ),
+)
+def qs03_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    stream = sessionize_stream(read_events_stream(spark, sf_dir))
+    run_stream_to_table(stream, table, output_mode="append")
+    return spark.table(table).orderBy("user_id", "session_start")

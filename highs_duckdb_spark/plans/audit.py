@@ -1,0 +1,80 @@
+"""Extract structured facts from ``df.explain("formatted")`` output.
+
+These are the per-operator checks SURVEY.md §4 calls for: a projection that
+reads extra columns, a filter that didn't reach the parquet scan, or a
+small-dim join that shuffles instead of broadcasting are all plan bugs at
+scale — caught here as assertions, not by eyeballing explain output.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(s.strip() for s in entry.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each parquet scan (pruning check)."""
+    plan = formatted_plan(df)
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def has_broadcast_hash_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_shuffle_exchange(df: DataFrame) -> bool:
+    return "Exchange hashpartitioning" in formatted_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """True when a sort+limit compiled to TakeOrderedAndProject (no global sort)."""
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def wholestage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
+    """Number of WholeStageCodegen regions (fused operator pipelines).
+
+    Under AQE the codegen annotations (`*(n)` markers) only appear on the
+    finalized plan, so by default the DataFrame is executed first.
+    """
+    if execute:
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return len(set(re.findall(r"\*\((\d+)\)", buf.getvalue())))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(s.strip() for s in entry.split(","))
+    return out

@@ -1,0 +1,180 @@
+"""Streaming window aggregations + stateful sessionization over events.
+
+Scale notes: the file source is the stand-in for Kafka — swapping
+``readStream.format("parquet")`` for ``format("kafka")`` changes nothing
+downstream. Watermarks bound state (late data beyond the watermark is
+dropped); window aggregations shuffle once on (window, keys); the
+sessionizer keeps one state row per user, timing out via the watermark.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from highs_duckdb_spark.session import ensure_shipped
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (one parquet = one micro-batch
+    under AvailableNow; a directory of files would stream incrementally)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the file source requires a directory: stream the sf dir, filtered to
+    # the events file (a real deployment would point at a landing directory)
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_window_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type with a 1-hour watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.lit(1e-9) + F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(events: DataFrame) -> DataFrame:
+    """2-hour windows sliding every hour — each event lands in 2 windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+SESSION_GAP_MINUTES = 30
+
+_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Stateful kernel: accumulate per-user sessions split on 30-min gaps.
+
+    Emits every CLOSED session; the open tail session is emitted when the
+    state times out past the watermark (or never, on an unbounded stream —
+    standard sessionization semantics).
+    """
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_list: list[int] = []
+    for pdf in pdfs:
+        ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+    ts_list.sort()
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = ts_list[0]
+        n = 0
+    closed = []
+    for t in ts_list:
+        if t - last_us > gap_us and n > 0:
+            closed.append((start_us, last_us, n))
+            start_us, n = t, 0
+        last_us = max(last_us, t)
+        n += 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Gap-based sessions via applyInPandasWithState (custom stateful op)."""
+    ensure_shipped(events.sparkSession)
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stream_to_table(stream_df: DataFrame, table: str, output_mode: str) -> None:
+    """Execute a stream with AvailableNow into a memory sink table.
+
+    Window aggregations use ``complete`` so windows still ahead of the final
+    watermark are emitted (append would hold them back forever on a finite
+    source); the stateful sessionizer only supports ``append``.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/hds_ckpt_{table}_{uuid.uuid4().hex}")
+        .start()
+    )
+    q.awaitTermination()
