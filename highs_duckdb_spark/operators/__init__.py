@@ -8,6 +8,7 @@ from highs_duckdb_spark.operators.registry import QUERIES, QuerySpec, all_querie
 
 # Import for side effects: each module registers its queries.
 from highs_duckdb_spark.operators import relational  # noqa: E402,F401
+from highs_duckdb_spark.operators import relational2  # noqa: E402,F401
 from highs_duckdb_spark.operators import text  # noqa: E402,F401
 from highs_duckdb_spark.operators import dedup  # noqa: E402,F401
 from highs_duckdb_spark.operators import similarity  # noqa: E402,F401

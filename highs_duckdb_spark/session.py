@@ -98,6 +98,13 @@ def ensure_shipped(spark: SparkSession) -> None:
     sc._highs_duckdb_spark_shipped = True
 
 
+#: reader-DataFrame cache: file listing + footer schema read cost ~100ms per
+#: spark.read.parquet call; reusing the immutable reader DataFrame avoids
+#: paying it once per query. Keyed by applicationId so entries from stopped
+#: sessions can never be served to a new one.
+_READER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one synthetic table (TESTDATA.md) as a DataFrame.
 
@@ -108,6 +115,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _READER_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); an externally-supplied
         # SparkSession (e.g. the driver's) won't have the legacy conf, so set
@@ -124,6 +135,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer div: ns ≈ 1.7e18 overflows double's exact range, so no float math
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _READER_CACHE[key] = df
     return df
 
 
