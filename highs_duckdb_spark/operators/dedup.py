@@ -315,3 +315,54 @@ def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "d06_dedup_corpus",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN length(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, length(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 300)
+    ),
+    dominated AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (length(a.shingles) + length(b.shingles)
+               - length(list_intersect(a.shingles, b.shingles)) ) >= 0.05
+    )
+    SELECT s.doc_id, CAST(s.doc_id IN (SELECT doc_id FROM dominated) AS BOOLEAN) AS is_dropped
+    FROM sh s ORDER BY s.doc_id
+    """,
+    category="dedup",
+    doc=(
+        "End-to-end near-dedup policy: drop any document whose Jaccard vs a "
+        "LOWER-id document is ≥ threshold (greedy keep-first — deterministic, "
+        "unlike cluster-rep choices). Output marks the keep/drop decision "
+        "per doc."
+    ),
+)
+def d06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    dominated = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(inter / uni >= 0.05)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        sh.select("doc_id")
+        .join(dominated, "doc_id", "left")
+        .select("doc_id", F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"))
+        .orderBy("doc_id")
+    )

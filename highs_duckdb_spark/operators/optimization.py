@@ -223,3 +223,50 @@ def opt05_solve_many_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reduced_cost",
         "status",
     ).orderBy("model_name", "variable_index")
+
+
+@register(
+    "opt06_example_usage_relational",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('x', 'x_0', 0.0, 1.0, 'Optimal'),
+      ('y', 'y_1', 1.0, 1.0, 'Optimal')
+    ) AS t(variable_name, variable_index, solution_value, reduced_cost, status)
+    ORDER BY variable_index
+    """,
+    category="optimization",
+    doc=(
+        "Full example_usage.sql flow (reference: example_usage.sql:19-54): "
+        "model defined as three relational tables (the reference CTAS's "
+        "VALUES relations), assembled and solved through the bulk path — "
+        "reproducing the committed golden."
+    ),
+)
+def opt06_example_usage_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.optim.bulk import solve_from_tables
+
+    variables = spark.createDataFrame(
+        [
+            ("model1", "x", 0.0, 1e30, 1.0, "continuous", 0),
+            ("model1", "y", 1.0, 1e30, 1.0, "continuous", 1),
+        ],
+        "model_name string, variable_name string, lower_bound double, "
+        "upper_bound double, obj_coefficient double, var_type string, ord long",
+    )
+    constraints = spark.createDataFrame(
+        [("model1", "c1", -1e30, 7.0, 0), ("model1", "c2", -1e30, 9.0, 1)],
+        "model_name string, constraint_name string, lower_bound double, "
+        "upper_bound double, ord long",
+    )
+    coefficients = spark.createDataFrame(
+        [
+            ("model1", "c1", "x", 1.0),
+            ("model1", "c1", "y", 2.0),
+            ("model1", "c2", "x", 3.0),
+            ("model1", "c2", "y", 1.0),
+        ],
+        "model_name string, constraint_name string, variable_name string, coefficient double",
+    )
+    return solve_from_tables(spark, variables, constraints, coefficients, "model1").orderBy(
+        "variable_index"
+    )

@@ -1,0 +1,163 @@
+"""Vector analytics over the ``embeddings`` table: normalization, per-label
+centroids, nearest-centroid classification.
+
+Scale shape: centroid computation is posexplode → groupBy(label, dim) —
+one shuffle keyed by (label, dim), partial aggregation map-side, never a
+whole-vector reduce on a single node. Classification broadcasts the (tiny)
+centroid matrix and scores corpus-side in a single pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "v01_normalize",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50)
+    SELECT vec_id,
+           round(1e-9 + sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+           round(1e-9 + list_dot_product([x / sqrt(list_dot_product(v, v)) FOR x IN v],
+                                         [x / sqrt(list_dot_product(v, v)) FOR x IN v]), 6) AS unit_norm_sq
+    FROM emb ORDER BY vec_id
+    """,
+    category="similarity",
+    doc="L2 normalization via higher-order array ops; proves unit norm after scaling.",
+)
+def v01_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 50)
+    v = _as_double(F.col("embedding"))
+    norm = F.sqrt(_dot(v, v))
+    unit = F.transform(v, lambda x: x / norm)
+    return emb.select(
+        "vec_id",
+        F.round(F.lit(1e-9) + norm, 6).alias("l2_norm"),
+        F.round(F.lit(1e-9) + _dot(unit, unit), 6).alias("unit_norm_sq"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "v02_label_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label, u.dim, u.val FROM embeddings,
+        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                        unnest(embedding::DOUBLE[]) AS val) u
+    ),
+    cent AS (
+      SELECT label, dim, CAST(sum(val) AS DOUBLE) / count(*) AS c
+      FROM flat GROUP BY label, dim
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           round(1e-9 + sum(c * c), 6) AS centroid_norm_sq
+    FROM cent GROUP BY label ORDER BY label
+    """,
+    category="similarity",
+    doc=(
+        "Per-label centroids via posexplode → groupBy(label, dim): the "
+        "shuffle key is (label, dim), so centroid math distributes across "
+        "the cluster instead of reducing whole vectors to one task."
+    ),
+)
+def v02_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    flat = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "val")
+    cent = flat.groupBy("label", "dim").agg(
+        (F.sum("val").cast("double") / F.count("*")).alias("c")
+    )
+    return (
+        cent.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.round(F.lit(1e-9) + F.sum(F.col("c") * F.col("c")), 6).alias("centroid_norm_sq"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "v03_nearest_centroid",
+    oracle="""
+    WITH flat AS (
+      SELECT label, u.dim, u.val FROM embeddings,
+        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                        unnest(embedding::DOUBLE[]) AS val) u
+    ),
+    cent AS (
+      SELECT label AS c_label, dim, CAST(sum(val) AS DOUBLE) / count(*) AS c
+      FROM flat GROUP BY label, dim
+    ),
+    qflat AS (
+      SELECT vec_id, label, u.dim, u.val FROM embeddings,
+        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                        unnest(embedding::DOUBLE[]) AS val) u
+      WHERE vec_id < 100
+    ),
+    scored AS (
+      SELECT q.vec_id, q.label, c.c_label,
+             round(1e-9 + sum(q.val * c.c), 6) AS dot
+      FROM qflat q JOIN cent c ON q.dim = c.dim
+      GROUP BY q.vec_id, q.label, c.c_label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c_label) AS rk
+      FROM scored
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+           CAST(c_label AS BIGINT) AS predicted_label
+    FROM ranked WHERE rk = 1 ORDER BY vec_id
+    """,
+    category="similarity",
+    doc=(
+        "Nearest-centroid classification: centroids from the full corpus, "
+        "query vectors scored against every centroid by dot product, argmax "
+        "per vector (deterministic tie-break)."
+    ),
+)
+def v03_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    flat = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("dim0", "val")
+    ).select(F.col("label").alias("c_label"), (F.col("dim0") + 1).alias("dim"), "val")
+    cent = flat.groupBy("c_label", "dim").agg(
+        (F.sum("val").cast("double") / F.count("*")).alias("c")
+    )
+    qflat = (
+        emb.filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id", "label", F.posexplode(_as_double(F.col("embedding"))).alias("dim0", "val")
+        )
+        .select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
+    )
+    scored = (
+        qflat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.round(F.lit(1e-9) + F.sum(F.col("val") * F.col("c")), 6).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("c_label"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("c_label").cast("bigint").alias("predicted_label"),
+        )
+        .orderBy("vec_id")
+    )
