@@ -424,3 +424,54 @@ def q89_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("term").alias("top_term"), "tfidf")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q90_approx_percentile",
+    oracle=None,  # sketch-based estimates are engine-specific; bounds asserted in pytest
+    category="relational",
+    doc="approx_percentile (quantile sketch) per group — the at-scale companion to q62's exact percentiles.",
+)
+def q90_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(1000)).alias("p90_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q91_tablesample",
+    oracle=None,  # sampling is engine-specific by nature; statistical bounds in pytest
+    category="relational",
+    doc="Bernoulli TABLESAMPLE with a fixed seed (deterministic within Spark).",
+)
+def q91_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q92_stratified_sample",
+    oracle=None,
+    category="relational",
+    doc="Stratified sampling (sampleBy): per-stratum fractions with a fixed seed.",
+)
+def q92_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    fractions = {"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.1, "4-NOT SPECIFIED": 0.1, "5-LOW": 0.05}
+    return (
+        orders.sampleBy("o_orderpriority", fractions, seed=7)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("o_orderpriority")
+    )
