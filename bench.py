@@ -44,7 +44,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # directory not named sf<N>; cosmetic field only
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     run_all = "--all" in sys.argv
     compare = "--compare" in sys.argv

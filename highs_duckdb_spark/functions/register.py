@@ -14,24 +14,15 @@ no registration.
 
 from __future__ import annotations
 
-import ssl
-
 from pyspark.sql import SparkSession
 
-from highs_duckdb_spark.optim.registry import SOLVER_VERSION
+from highs_duckdb_spark.optim.registry import highs_openssl_version, highs_version
+from highs_duckdb_spark.session import ensure_shipped
 
 
 def register_all(spark: SparkSession) -> None:
-    spark.udf.register(
-        "highs_version",
-        lambda name: f"Hello {name}, HiGHS version: {SOLVER_VERSION}",
-        "string",
-    )
-    spark.udf.register(
-        "highs_openssl_version",
-        lambda name: (
-            f"Hello {name}, the HiGHS extension is running with "
-            f"OpenSSL version: {ssl.OPENSSL_VERSION}"
-        ),
-        "string",
-    )
+    # the UDFs are module-level functions → pickled by reference → executors
+    # must be able to import this package
+    ensure_shipped(spark)
+    spark.udf.register("highs_version", highs_version, "string")
+    spark.udf.register("highs_openssl_version", highs_openssl_version, "string")

@@ -409,13 +409,19 @@ def q89_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = (
         exploded.distinct().groupBy("term").agg(F.count("*").cast("double").alias("df"))
     )
-    n_docs = docs.count()
-    scored = tf.join(dfreq, "term").select(
-        "doc_id",
-        "term",
-        F.round(F.lit(1e-9) + F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    # lazy corpus size (1-row aggregate crossJoined in), like the oracle's CTE —
+    # keeps the builder free of eager jobs
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.lit(1e-9) + F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -82,15 +82,42 @@ def _pack(variables_df: DataFrame, constraints_df: DataFrame, coefficients_df: D
     return v.unionByName(c).unionByName(k)
 
 
+def _error_row(model_name: str, message: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "model_name": model_name,
+                "variable_name": "N/A",
+                "variable_index": "ERROR",
+                "solution_value": 0.0,
+                "reduced_cost": 0.0,
+                "status": f"ERROR: {message}",
+            }
+        ]
+    )
+
+
 def _solve_one_model(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: rows of ONE model → solution rows (runs on executors)."""
     model_name = pdf["model_name"].iloc[0]
     info = HighsModelInfo()
     vrows = pdf[pdf["kind"] == _KIND_VAR]
+    if vrows.empty:
+        # constraints/coefficients referencing a model with no variables
+        # (errors-are-data: never raise out of the kernel — an empty result
+        # frame would also fail Spark's schema check)
+        return _error_row(model_name, "model has no variables")
     vrows = vrows.sort_values(
         ["ord", "name"] if vrows["ord"].notna().all() else ["name"], kind="mergesort"
     )
     for _, r in vrows.iterrows():
+        if r["name"] in info.variable_indices:
+            # registry-path parity: duplicate names are an ERROR row, not a
+            # silently malformed LP (reference: src/highs_extension.cpp:177-182)
+            return _error_row(
+                model_name,
+                f"Variable '{r['name']}' already exists in model '{model_name}'",
+            )
         idx = info.next_var_index
         info.next_var_index += 1
         info.variable_indices[r["name"]] = idx
@@ -104,6 +131,11 @@ def _solve_one_model(pdf: pd.DataFrame) -> pd.DataFrame:
         ["ord", "name"] if crows["ord"].notna().all() else ["name"], kind="mergesort"
     )
     for _, r in crows.iterrows():
+        if r["name"] in info.constraint_indices:
+            return _error_row(
+                model_name,
+                f"Constraint '{r['name']}' already exists in model '{model_name}'",
+            )
         idx = info.next_constraint_index
         info.next_constraint_index += 1
         info.constraint_indices[r["name"]] = idx
@@ -115,21 +147,11 @@ def _solve_one_model(pdf: pd.DataFrame) -> pd.DataFrame:
         ci = info.constraint_indices.get(r["name"])
         vi = info.variable_indices.get(r["name2"])
         if ci is None or vi is None:
-            return pd.DataFrame(
-                [
-                    {
-                        "model_name": model_name,
-                        "variable_name": "N/A",
-                        "variable_index": "ERROR",
-                        "solution_value": 0.0,
-                        "reduced_cost": 0.0,
-                        "status": (
-                            f"ERROR: unknown constraint '{r['name']}'"
-                            if ci is None
-                            else f"ERROR: unknown variable '{r['name2']}'"
-                        ),
-                    }
-                ]
+            return _error_row(
+                model_name,
+                f"unknown constraint '{r['name']}'"
+                if ci is None
+                else f"unknown variable '{r['name2']}'",
             )
         info.constraint_coefficients[ci].append((vi, float(r["coefficient"])))
     try:

@@ -91,13 +91,21 @@ class ModelRegistry:
                 cls._instance = cls()
             return cls._instance
 
+    @property
+    def mutation_lock(self) -> threading.Lock:
+        """Held by the API functions across check-and-mutate sequences —
+        the analogue of the reference holding its registry mutex for the
+        whole table-function body (reference: src/highs_extension.cpp:58)."""
+        return self._lock
+
     def get_or_create_model(self, name: str) -> HighsModelInfo:
-        with self._lock:
-            return self._models.setdefault(name, HighsModelInfo())
+        # callers must hold mutation_lock (re-entrancy not required: the dict
+        # op itself is atomic under the GIL; the lock protects the larger
+        # check-and-mutate sequences in the API functions)
+        return self._models.setdefault(name, HighsModelInfo())
 
     def get_model(self, name: str) -> HighsModelInfo | None:
-        with self._lock:
-            return self._models.get(name)
+        return self._models.get(name)
 
     def remove_model(self, name: str) -> bool:
         # Exists for API parity; the reference never exposes it as SQL
@@ -110,27 +118,14 @@ class ModelRegistry:
             self._models.clear()
 
 
-def highs_version(spark: SparkSession, name: str) -> str:
+def highs_version(name: str) -> str:
     """Scalar: greeting + solver version (reference: src/highs_extension.cpp:117-126)."""
     return f"Hello {name}, HiGHS version: {SOLVER_VERSION}"
 
 
-def highs_openssl_version(spark: SparkSession, name: str) -> str:
+def highs_openssl_version(name: str) -> str:
     """Scalar: greeting + OpenSSL version (reference: src/highs_extension.cpp:128-139)."""
     return f"Hello {name}, the HiGHS extension is running with OpenSSL version: {ssl.OPENSSL_VERSION}"
-
-
-def register_scalar_functions(spark: SparkSession) -> None:
-    """Expose the two scalar functions to Spark SQL, mirroring the
-    reference's function registration (reference: src/highs_extension.cpp:727-735).
-
-    These are deliberately plain Python UDFs: they run once per row on tiny
-    inputs (version banners), never in a hot path.
-    """
-    spark.udf.register("highs_version", lambda s: highs_version(spark, s), "string")
-    spark.udf.register(
-        "highs_openssl_version", lambda s: highs_openssl_version(spark, s), "string"
-    )
 
 
 def create_variables(
@@ -144,20 +139,22 @@ def create_variables(
 ) -> DataFrame:
     """Add a variable; returns the 1-row status DataFrame
     (reference: src/highs_extension.cpp:157-263)."""
-    model = ModelRegistry.instance().get_or_create_model(model_name)
-    if variable_name in model.variable_indices:
-        msg = f"Variable '{variable_name}' already exists in model '{model_name}'"
-        row = (variable_name, "ERROR", f"ERROR: {msg}")
-    else:
-        var_index = model.next_var_index
-        model.next_var_index += 1
-        model.variable_indices[variable_name] = var_index
-        model.variable_names.append(variable_name)
-        model.obj_coefficients.append(float(obj_coefficient))
-        model.var_lower_bounds.append(float(lower_bound))
-        model.var_upper_bounds.append(float(upper_bound))
-        model.variable_types.append(var_type)
-        row = (variable_name, f"{variable_name}_{var_index}", "SUCCESS")
+    registry = ModelRegistry.instance()
+    with registry.mutation_lock:
+        model = registry.get_or_create_model(model_name)
+        if variable_name in model.variable_indices:
+            msg = f"Variable '{variable_name}' already exists in model '{model_name}'"
+            row = (variable_name, "ERROR", f"ERROR: {msg}")
+        else:
+            var_index = model.next_var_index
+            model.next_var_index += 1
+            model.variable_indices[variable_name] = var_index
+            model.variable_names.append(variable_name)
+            model.obj_coefficients.append(float(obj_coefficient))
+            model.var_lower_bounds.append(float(lower_bound))
+            model.var_upper_bounds.append(float(upper_bound))
+            model.variable_types.append(var_type)
+            row = (variable_name, f"{variable_name}_{var_index}", "SUCCESS")
     return spark.createDataFrame([row], VARIABLE_RESULT_SCHEMA)
 
 
@@ -170,19 +167,21 @@ def create_constraints(
 ) -> DataFrame:
     """Add a range constraint lb ≤ a·x ≤ ub
     (reference: src/highs_extension.cpp:266-373)."""
-    model = ModelRegistry.instance().get_or_create_model(model_name)
-    if constraint_name in model.constraint_indices:
-        msg = f"Constraint '{constraint_name}' already exists in model '{model_name}'"
-        row = (constraint_name, "ERROR", f"ERROR: {msg}")
-    else:
-        idx = model.next_constraint_index
-        model.next_constraint_index += 1
-        model.constraint_indices[constraint_name] = idx
-        model.constraint_names.append(constraint_name)
-        model.constraint_lower_bounds.append(float(lower_bound))
-        model.constraint_upper_bounds.append(float(upper_bound))
-        model.constraint_coefficients.setdefault(idx, [])
-        row = (constraint_name, f"{constraint_name}_{idx}", "SUCCESS")
+    registry = ModelRegistry.instance()
+    with registry.mutation_lock:
+        model = registry.get_or_create_model(model_name)
+        if constraint_name in model.constraint_indices:
+            msg = f"Constraint '{constraint_name}' already exists in model '{model_name}'"
+            row = (constraint_name, "ERROR", f"ERROR: {msg}")
+        else:
+            idx = model.next_constraint_index
+            model.next_constraint_index += 1
+            model.constraint_indices[constraint_name] = idx
+            model.constraint_names.append(constraint_name)
+            model.constraint_lower_bounds.append(float(lower_bound))
+            model.constraint_upper_bounds.append(float(upper_bound))
+            model.constraint_coefficients.setdefault(idx, [])
+            row = (constraint_name, f"{constraint_name}_{idx}", "SUCCESS")
     return spark.createDataFrame([row], CONSTRAINT_RESULT_SCHEMA)
 
 
@@ -195,24 +194,26 @@ def set_coefficients(
 ) -> DataFrame:
     """Append a (constraint, variable) coefficient — appends without dedup,
     like the reference (reference: src/highs_extension.cpp:376-507)."""
-    model = ModelRegistry.instance().get_model(model_name)
-    if model is None:
-        status = f"ERROR: Model '{model_name}' not found"
-        row = (constraint_name, variable_name, float(coefficient), status)
-        return spark.createDataFrame([row], COEFFICIENT_RESULT_SCHEMA)
-    if variable_name not in model.variable_indices:
-        msg = f"Variable '{variable_name}' not found in model '{model_name}'"
-        row = (constraint_name, variable_name, float(coefficient), f"ERROR: {msg}")
-    elif constraint_name not in model.constraint_indices:
-        msg = f"Constraint '{constraint_name}' not found in model '{model_name}'"
-        row = (constraint_name, variable_name, float(coefficient), f"ERROR: {msg}")
-    else:
-        var_idx = model.variable_indices[variable_name]
-        con_idx = model.constraint_indices[constraint_name]
-        model.constraint_coefficients.setdefault(con_idx, []).append(
-            (var_idx, float(coefficient))
-        )
-        row = (constraint_name, variable_name, float(coefficient), "SUCCESS")
+    registry = ModelRegistry.instance()
+    with registry.mutation_lock:
+        model = registry.get_model(model_name)
+        if model is None:
+            status = f"ERROR: Model '{model_name}' not found"
+            row = (constraint_name, variable_name, float(coefficient), status)
+            return spark.createDataFrame([row], COEFFICIENT_RESULT_SCHEMA)
+        if variable_name not in model.variable_indices:
+            msg = f"Variable '{variable_name}' not found in model '{model_name}'"
+            row = (constraint_name, variable_name, float(coefficient), f"ERROR: {msg}")
+        elif constraint_name not in model.constraint_indices:
+            msg = f"Constraint '{constraint_name}' not found in model '{model_name}'"
+            row = (constraint_name, variable_name, float(coefficient), f"ERROR: {msg}")
+        else:
+            var_idx = model.variable_indices[variable_name]
+            con_idx = model.constraint_indices[constraint_name]
+            model.constraint_coefficients.setdefault(con_idx, []).append(
+                (var_idx, float(coefficient))
+            )
+            row = (constraint_name, variable_name, float(coefficient), "SUCCESS")
     return spark.createDataFrame([row], COEFFICIENT_RESULT_SCHEMA)
 
 
@@ -265,12 +266,14 @@ def solve(spark: SparkSession, model_name: str) -> DataFrame:
     Re-solves on every call — solver state is per-invocation, matching the
     reference's per-scan global state.
     """
-    model = ModelRegistry.instance().get_model(model_name)
-    if model is None:
-        row = ("N/A", "ERROR", 0.0, 0.0, f"ERROR: Model '{model_name}' not found")
-        return spark.createDataFrame([row], SOLVE_RESULT_SCHEMA)
-    try:
-        rows = solve_model_info(model)
-    except Exception as e:  # error-as-data contract
-        rows = [("N/A", "ERROR", 0.0, 0.0, f"ERROR: {e}")]
+    registry = ModelRegistry.instance()
+    with registry.mutation_lock:  # stable snapshot of the model while solving
+        model = registry.get_model(model_name)
+        if model is None:
+            row = ("N/A", "ERROR", 0.0, 0.0, f"ERROR: Model '{model_name}' not found")
+            return spark.createDataFrame([row], SOLVE_RESULT_SCHEMA)
+        try:
+            rows = solve_model_info(model)
+        except Exception as e:  # error-as-data contract
+            rows = [("N/A", "ERROR", 0.0, 0.0, f"ERROR: {e}")]
     return spark.createDataFrame(rows, SOLVE_RESULT_SCHEMA)

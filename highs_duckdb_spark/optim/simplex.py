@@ -85,8 +85,7 @@ class _StandardForm:
         for j in range(n_orig):
             lb, ub = col_lb[j], col_ub[j]
             aj = a_dense[:, j]
-            if lb > ub + _TOL:
-                self.infeasible_bounds = True
+            # lb > ub is rejected by solve_lp before construction
             if np.isfinite(lb):
                 k = len(cols)
                 cols.append(aj.copy())
@@ -111,7 +110,6 @@ class _StandardForm:
                 cstd.append(float(-c[j]))
                 self.var_map.append(("free", (k, k + 1), 0.0))
 
-        self.infeasible_bounds = getattr(self, "infeasible_bounds", False)
         n_std = len(cols)
         a_cols = np.column_stack(cols) if cols else np.zeros((m_orig, 0))
 

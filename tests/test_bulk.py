@@ -94,3 +94,68 @@ def test_solve_many_name_sorted_without_ord(spark):
     rows = solve_many(v, c, k).collect()
     idx = {r["variable_name"]: r["variable_index"] for r in rows}
     assert idx == {"avar": "avar_0", "zvar": "zvar_1"}
+
+
+def test_solve_many_milp_and_statuses(spark):
+    """Bulk path handles integer vars, infeasible and unbounded models."""
+    v = spark.createDataFrame(
+        [
+            # knapsack: max 5a+4b st 2a+3b<=4, binary → a=1,b=0 obj -5
+            ("knap", "a", 0.0, 1.0, -5.0, "binary", 0),
+            ("knap", "b", 0.0, 1.0, -4.0, "binary", 1),
+            # infeasible: x<=1 and x>=2
+            ("bad", "x", 2.0, 1.0, 1.0, "continuous", 0),
+            # unbounded: min -x, x>=0, no binding rows
+            ("unb", "x", 0.0, 1e30, -1.0, "continuous", 0),
+        ],
+        "model_name string, variable_name string, lower_bound double, upper_bound double, "
+        "obj_coefficient double, var_type string, ord long",
+    )
+    c = spark.createDataFrame(
+        [("knap", "cap", -1e30, 4.0, 0), ("bad", "noop", -1e30, 1e30, 0), ("unb", "noop", -1e30, 1e30, 0)],
+        "model_name string, constraint_name string, lower_bound double, upper_bound double, ord long",
+    )
+    k = spark.createDataFrame(
+        [("knap", "cap", "a", 2.0), ("knap", "cap", "b", 3.0)],
+        "model_name string, constraint_name string, variable_name string, coefficient double",
+    )
+    rows = solve_many(v, c, k).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["model_name"], {})[r["variable_name"]] = r
+    assert by["knap"]["a"]["solution_value"] == pytest.approx(1.0)
+    assert by["knap"]["b"]["solution_value"] == pytest.approx(0.0)
+    assert by["knap"]["a"]["status"] == "Optimal"
+    assert by["bad"]["x"]["status"] == "Infeasible"
+    assert by["unb"]["x"]["status"] == "Unbounded"
+
+
+def test_solve_many_no_variables_error_row(spark):
+    """A model present only in constraints yields an error-status row, not a crash."""
+    v = spark.createDataFrame([], "model_name string, variable_name string, lower_bound double, "
+                                  "upper_bound double, obj_coefficient double, var_type string")
+    c = spark.createDataFrame(
+        [("ghost", "c1", -1e30, 1.0)],
+        "model_name string, constraint_name string, lower_bound double, upper_bound double",
+    )
+    k = spark.createDataFrame([], COEF_SCHEMA)
+    rows = solve_many(v, c, k).collect()
+    assert len(rows) == 1
+    assert rows[0]["variable_index"] == "ERROR"
+    assert "no variables" in rows[0]["status"]
+
+
+def test_solve_many_duplicate_variable_error_row(spark):
+    v = spark.createDataFrame(
+        [("m", "x", 0.0, 1.0, 1.0, "continuous"), ("m", "x", 0.0, 2.0, 1.0, "continuous")],
+        "model_name string, variable_name string, lower_bound double, upper_bound double, "
+        "obj_coefficient double, var_type string",
+    )
+    c = spark.createDataFrame(
+        [("m", "c1", -1e30, 1.0)],
+        "model_name string, constraint_name string, lower_bound double, upper_bound double",
+    )
+    k = spark.createDataFrame([("m", "c1", "x", 1.0)], COEF_SCHEMA)
+    rows = solve_many(v, c, k).collect()
+    assert len(rows) == 1
+    assert "already exists" in rows[0]["status"]

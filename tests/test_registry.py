@@ -124,5 +124,5 @@ def test_duplicate_coefficients_sum(spark):
 
 
 def test_version_strings(spark):
-    assert highs_version(spark, "World").startswith("Hello World, HiGHS version:")
-    assert "OpenSSL" in highs_openssl_version(spark, "X")
+    assert highs_version("World").startswith("Hello World, HiGHS version:")
+    assert "OpenSSL" in highs_openssl_version("X")
