@@ -1,0 +1,124 @@
+"""Iterative graph clustering for dedup: connected components over the
+near-duplicate pair graph, so each group of transitively-similar documents
+gets one canonical representative (min doc_id in the component).
+
+Algorithm: label propagation to a fixed point — every node starts labeled
+with its own id; each round, a node adopts the minimum label in its
+neighborhood; converged when no label changes. Each round is one join +
+one aggregation (shuffles keyed by node), the standard large-graph CC
+pattern when you don't have GraphX/GraphFrames on the classpath. Round
+count is O(graph diameter); near-dup graphs are shallow (components are
+cliques-ish), so it converges in 2-3 rounds here.
+
+The DuckDB oracle computes the same fixed point with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.operators.dedup import _shingles
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+_THRESH = 0.05
+_DOC_LIMIT = 300
+
+
+def _similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _DOC_LIMIT)
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        a.join(b, F.col("src") < F.col("dst"))
+        .filter(inter / uni >= _THRESH)
+        .select("src", "dst")
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(node) + (src,dst) undirected edges → (node, component) with
+    component = min node id in the component. Label propagation; each round
+    materializes via localCheckpoint to keep the plan from growing
+    unboundedly (lineage truncation, the standard iterative-algorithm
+    hygiene on Spark)."""
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    for _ in range(max_rounds):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "d07_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN length(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, length(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < {_DOC_LIMIT})
+    ),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (length(a.shingles) + length(b.shingles)
+               - length(list_intersect(a.shingles, b.shingles))) >= {_THRESH}
+    ),
+    walk(node, component) AS (
+      SELECT doc_id, doc_id FROM sh
+      UNION
+      SELECT e.src, w.component
+      FROM walk w JOIN edges e ON e.dst = w.node
+      WHERE w.component < e.src
+    )
+    SELECT node AS doc_id, CAST(min(component) AS BIGINT) AS component
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+    category="dedup",
+    doc=(
+        "Connected components over the near-dup graph (iterative label "
+        "propagation with lineage checkpointing) — transitive dedup "
+        "clusters with min-id representatives; oracle via recursive CTE."
+    ),
+)
+def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _DOC_LIMIT)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = _similar_pairs(spark, sf_dir)
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("bigint").alias("component")
+    ).orderBy("doc_id")

@@ -100,3 +100,51 @@ def qs03_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sessionize_stream(read_events_stream(spark, sf_dir))
     run_stream_to_table(stream, table, output_mode="append")
     return spark.table(table).orderBy("user_id", "session_start")
+
+
+@register(
+    "qs04_stream_static_join",
+    oracle="""
+    WITH rates(event_type, weight) AS (VALUES ('view', 1.0), ('click', 2.0),
+                                              ('purchase', 10.0), ('signup', 5.0), ('error', 0.0))
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           round(1e-9 + CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(weight AS DECIMAL(4,2))) AS DOUBLE), 4) AS weighted_value,
+           count(*) AS n
+    FROM events JOIN rates USING (event_type)
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    category="streaming",
+    doc=(
+        "Stream-static join: the event stream enriched against a broadcast "
+        "dimension before windowed aggregation — the kafka-topic ⋈ dim-table "
+        "pattern; static side re-read per micro-batch."
+    ),
+)
+def qs04_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.streaming.windows import read_events_stream, run_stream_to_table
+
+    rates = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    events = read_events_stream(spark, sf_dir)
+    enriched = events.join(F.broadcast(rates), "event_type")
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(
+                F.lit(1e-9)
+                + F.sum(
+                    F.col("value").cast("decimal(12,2)") * F.col("weight").cast("decimal(4,2)")
+                ).cast("double"),
+                4,
+            ).alias("weighted_value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), "weighted_value", "n")
+    )
+    table = f"stream_static_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(agg, table, output_mode="complete")
+    return spark.table(table).orderBy("window_start")

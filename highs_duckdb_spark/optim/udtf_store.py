@@ -1,0 +1,69 @@
+"""File-backed model store for the SQL table functions.
+
+UDTFs evaluate in Python worker processes, and Spark's worker pool gives no
+affinity guarantee — consecutive SQL statements may land on different
+workers. The reference's registry is process-global (one DuckDB process);
+the equivalent scope for a Spark app on one machine is machine-global
+state, implemented here as pickled per-model files guarded by an exclusive
+file lock (load → mutate → store is atomic under the lock).
+
+On a multi-node cluster this directory would live on shared storage or the
+table functions would be routed through the driver; the programmatic API
+(:mod:`highs_duckdb_spark.optim.registry`) and the distributed bulk path
+don't need any of this.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import fcntl
+import os
+import pickle
+import tempfile
+
+from highs_duckdb_spark.optim.registry import HighsModelInfo
+
+STORE_DIR = os.path.join(tempfile.gettempdir(), "highs_duckdb_spark_registry")
+
+
+def _paths(model_name: str) -> tuple[str, str]:
+    os.makedirs(STORE_DIR, exist_ok=True)
+    safe = model_name.replace("/", "_")
+    return (
+        os.path.join(STORE_DIR, f"{safe}.pkl"),
+        os.path.join(STORE_DIR, f"{safe}.lock"),
+    )
+
+
+@contextlib.contextmanager
+def locked_model(model_name: str, create: bool):
+    """Yield (model | None); mutations are persisted on clean exit."""
+    path, lock_path = _paths(model_name)
+    with open(lock_path, "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            model: HighsModelInfo | None = None
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    model = pickle.load(f)
+            elif create:
+                model = HighsModelInfo()
+            yield model
+            if model is not None:
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(model, f)
+                os.replace(tmp, path)
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
+
+
+def remove_model(model_name: str) -> None:
+    path, lock_path = _paths(model_name)
+    with open(lock_path, "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(path):
+                os.remove(path)
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
