@@ -74,9 +74,9 @@ def _norm(a):
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))  # norm once per vector, not per pair
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
@@ -85,8 +85,10 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "label",
-            F.round(F.lit(1e-9) + 
-                _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6
+            F.round(
+                F.lit(1e-9)
+                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                6,
             ).alias("cosine"),
         )
     )
@@ -110,13 +112,27 @@ def _hyperplanes(dim: int = _DIM, n: int = N_PLANES) -> list[list[float]]:
     return rng.randn(n, dim).tolist()
 
 
+def _lsh_bits_pandas_factory(planes: list[list[float]]):
+    """Vectorized signature kernel: one (batch × dim) @ (dim × planes)
+    matrix multiply per Arrow batch → bit-string per vector. Embedding the
+    plane matrix as 1024 Catalyst literals made plan analysis the dominant
+    cost; a pandas UDF keeps the plan tiny and the math BLAS-batched."""
+    import pandas as pd
+
+    planes_t = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes_t >= 0).astype(np.uint8)
+        return pd.Series(["".join(map(str, row)) for row in bits])
+
+    kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}  # real types, not strings
+    return F.pandas_udf(kernel, "string")
+
+
 def lsh_signature_col(vec_col, planes: list[list[float]]):
-    """Sign-bit array of (vec · plane) for each hyperplane — JVM-side."""
-    bits = []
-    for plane in planes:
-        plane_lit = F.array(*[F.lit(float(p)) for p in plane])
-        bits.append(F.when(_dot(vec_col, plane_lit) >= 0, 1).otherwise(0))
-    return F.array(*bits)
+    """Sign-bit string of (vec · plane) for each hyperplane."""
+    return _lsh_bits_pandas_factory(planes)(vec_col)
 
 
 @register(
@@ -134,45 +150,60 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
-    sig = emb.select("vec_id", "label", "v", lsh_signature_col(F.col("v"), planes).alias("bits"))
+    sig = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        _norm(F.col("v")).alias("nv"),  # norm once per vector, not per candidate pair
+        lsh_signature_col(F.col("v"), planes).alias("bits"),
+    )
     banded = sig.select(
         "vec_id",
         "label",
         "v",
+        "nv",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.col("bits")[b * PLANES_PER_BAND + r].cast("string")
-                                for r in range(PLANES_PER_BAND)
-                            ],
+                        F.substring(
+                            F.col("bits"), b * PLANES_PER_BAND + 1, PLANES_PER_BAND
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "label", "v", "bb.band", "bb.bucket")
+    ).select("vec_id", "label", "v", "nv", "bb.band", "bb.bucket")
     queries = banded.filter(F.col("vec_id") < N_QUERIES).select(
-        "band", "bucket", F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        "band",
+        "bucket",
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     cands = (
         banded.join(queries, ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), F.col("label"), F.col("v"))
+        .select(
+            "query_id",
+            "qv",
+            "nq",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label"),
+            F.col("v"),
+            F.col("nv"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
         "label",
-        F.round(F.lit(1e-9) + _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias(
-            "cosine"
-        ),
+        F.round(
+            F.lit(1e-9) + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -201,17 +232,25 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding near-duplicate pairs (cosine ≥ 0.8), exact all-pairs with i<j halving.",
 )
 def s03_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", _norm(F.col("v")))  # norm once per vector, not per pair
     )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"), F.col("v").alias("va")
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
-    cosine = F.round(F.lit(1e-9) + 
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    cosine = F.round(
+        F.lit(1e-9) + _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
