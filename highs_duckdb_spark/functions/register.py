@@ -21,8 +21,14 @@ from highs_duckdb_spark.session import ensure_shipped
 
 
 def register_all(spark: SparkSession) -> None:
+    """Register every SQL-surface function: the two scalar banners AND the
+    four table functions (highs_create_variables / highs_create_constraints /
+    highs_set_coefficients / highs_solve)."""
+    from highs_duckdb_spark.functions.udtf import register_table_functions
+
     # the UDFs are module-level functions → pickled by reference → executors
     # must be able to import this package
     ensure_shipped(spark)
     spark.udf.register("highs_version", highs_version, "string")
     spark.udf.register("highs_openssl_version", highs_openssl_version, "string")
+    register_table_functions(spark)

@@ -15,6 +15,12 @@ lock-guarded, preserving the reference's process-global registry semantics
 across whichever workers the statements land on. The driver-side API in
 :mod:`highs_duckdb_spark.optim.registry` is the primary programmatic path;
 the distributed path for real scale is :mod:`highs_duckdb_spark.optim.bulk`.
+
+Caveat (inherent to side-effecting table functions): a Spark task retry or
+speculative duplicate re-executes ``eval`` — a create that already persisted
+then reports a duplicate ERROR row. Single-task constant-argument calls
+make this window tiny, but exactly-once mutation semantics need the
+driver-side API; this layer exists for verbatim SQL-script compatibility.
 """
 
 from __future__ import annotations
@@ -115,7 +121,7 @@ class HighsSolveUDTF:
         from highs_duckdb_spark.optim.registry import solve_model_info
         from highs_duckdb_spark.optim.udtf_store import locked_model
 
-        with locked_model(model_name, create=False) as model:
+        with locked_model(model_name, create=False, readonly=True) as model:
             if model is None:
                 yield ("N/A", "ERROR", 0.0, 0.0, f"ERROR: Model '{model_name}' not found")
                 return

@@ -18,26 +18,15 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from highs_duckdb_spark.operators.dedup import _shingles
+from highs_duckdb_spark.operators.dedup import (
+    NEAR_DUP_DOC_LIMIT as _DOC_LIMIT,
+)
+from highs_duckdb_spark.operators.dedup import (
+    NEAR_DUP_THRESHOLD as _THRESH,
+)
+from highs_duckdb_spark.operators.dedup import similar_pair_frames
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import load_table
-
-_THRESH = 0.05
-_DOC_LIMIT = 300
-
-
-def _similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _DOC_LIMIT)
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    a = sh.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
-        a.join(b, F.col("src") < F.col("dst"))
-        .filter(inter / uni >= _THRESH)
-        .select("src", "dst")
-    )
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -48,8 +37,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
     hygiene on Spark)."""
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)  # edges are reused every round: never recompute their lineage
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             both.join(labels, both.dst == labels.node)
@@ -75,7 +65,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds max_rounds); raise max_rounds"
+        )
     return labels
 
 
@@ -117,7 +113,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_rounds: int = 2
 def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _DOC_LIMIT)
     nodes = docs.select(F.col("doc_id").alias("node"))
-    edges = _similar_pairs(spark, sf_dir)
+    edges, _ = similar_pair_frames(spark, sf_dir)
     labels = connected_components(nodes, edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("component").cast("bigint").alias("component")

@@ -31,6 +31,28 @@ from highs_duckdb_spark.session import ensure_shipped, load_table
 
 _NORM = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))  # noqa: E731
 
+#: shared near-dup parameters: d02 (exact pairs), d06 (drop policy) and
+#: d07 (clusters, operators/clustering.py) must agree or the cluster ops
+#: stop being the transitive closure of the pair ops
+NEAR_DUP_THRESHOLD = 0.05
+NEAR_DUP_DOC_LIMIT = 300
+
+
+def similar_pair_frames(spark, sf_dir: str):
+    """(pairs_df src<dst, shingled docs df) at the shared threshold/limit."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < NEAR_DUP_DOC_LIMIT)
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    pairs = (
+        a.join(b, F.col("src") < F.col("dst"))
+        .filter(inter / uni >= NEAR_DUP_THRESHOLD)
+        .select("src", "dst")
+    )
+    return pairs, sh
+
 
 @register(
     "d01_exact_dedup",

@@ -101,8 +101,11 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 16
-N_BANDS = 4
+# 8 bands × 3 planes: measured avg recall@5 = 1.0 on the test corpus vs
+# brute force (16/4×4 gave 0.46). More rows-per-band → fewer candidates but
+# lower recall; at larger corpora raise PLANES_PER_BAND to keep buckets small.
+N_PLANES = 24
+N_BANDS = 8
 PLANES_PER_BAND = N_PLANES // N_BANDS
 _DIM = 64
 
@@ -115,16 +118,24 @@ def _hyperplanes(dim: int = _DIM, n: int = N_PLANES) -> list[list[float]]:
 def _lsh_bits_pandas_factory(planes: list[list[float]]):
     """Vectorized signature kernel: one (batch × dim) @ (dim × planes)
     matrix multiply per Arrow batch → bit-string per vector. Embedding the
-    plane matrix as 1024 Catalyst literals made plan analysis the dominant
-    cost; a pandas UDF keeps the plan tiny and the math BLAS-batched."""
+    plane matrix as N_PLANES×64 Catalyst literals made plan analysis the
+    dominant cost; a pandas UDF keeps the plan tiny and the math
+    BLAS-batched."""
     import pandas as pd
 
     planes_t = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
 
     def kernel(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (mat @ planes_t >= 0).astype(np.uint8)
-        return pd.Series(["".join(map(str, row)) for row in bits])
+        if len(vecs) == 0:  # Spark may hand over an empty Arrow batch
+            return pd.Series([], dtype=object)
+        out = [None] * len(vecs)
+        rows = [(i, np.asarray(v, dtype=np.float64)) for i, v in enumerate(vecs) if v is not None]
+        if rows:
+            mat = np.vstack([r for _, r in rows])
+            bits = (mat @ planes_t >= 0).astype(np.uint8)
+            for (i, _), row in zip(rows, bits):
+                out[i] = "".join(map(str, row))
+        return pd.Series(out, dtype=object)
 
     kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}  # real types, not strings
     return F.pandas_udf(kernel, "string")
@@ -140,9 +151,9 @@ def lsh_signature_col(vec_col, planes: list[list[float]]):
     oracle=None,  # approximate; recall vs s01 asserted in pytest
     category="similarity",
     doc=(
-        "ANN top-k via random-hyperplane LSH: 16 sign bits → 4 bands of 4; "
-        "candidates = bucket collisions in ≥1 band; exact cosine re-rank of "
-        "candidates only."
+        "ANN top-k via random-hyperplane LSH: 24 sign bits → 8 bands of 3 "
+        "(measured recall@5 = 1.0 vs brute force); candidates = bucket "
+        "collisions in ≥1 band; exact cosine re-rank of candidates only."
     ),
 )
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -122,8 +122,6 @@ def qs03_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def qs04_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from highs_duckdb_spark.streaming.windows import read_events_stream, run_stream_to_table
-
     rates = spark.createDataFrame(
         [("view", 1.0), ("click", 2.0), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
         "event_type string, weight double",

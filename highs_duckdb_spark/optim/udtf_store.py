@@ -17,17 +17,25 @@ from __future__ import annotations
 
 import contextlib
 import fcntl
+import getpass
 import os
 import pickle
 import tempfile
 
 from highs_duckdb_spark.optim.registry import HighsModelInfo
 
-STORE_DIR = os.path.join(tempfile.gettempdir(), "highs_duckdb_spark_registry")
+#: per-user, 0700 directory: pickles are only ever read from a directory the
+#: current user owns (a world-shared path would let another local user plant
+#: a malicious pickle). Override with HDS_REGISTRY_DIR (e.g. per-CI-run) —
+#: concurrent same-user apps share the store, like two sessions of one
+#: DuckDB process share the reference's registry.
+STORE_DIR = os.environ.get("HDS_REGISTRY_DIR") or os.path.join(
+    tempfile.gettempdir(), f"highs_duckdb_spark_registry_{getpass.getuser()}"
+)
 
 
 def _paths(model_name: str) -> tuple[str, str]:
-    os.makedirs(STORE_DIR, exist_ok=True)
+    os.makedirs(STORE_DIR, mode=0o700, exist_ok=True)
     safe = model_name.replace("/", "_")
     return (
         os.path.join(STORE_DIR, f"{safe}.pkl"),
@@ -36,8 +44,9 @@ def _paths(model_name: str) -> tuple[str, str]:
 
 
 @contextlib.contextmanager
-def locked_model(model_name: str, create: bool):
-    """Yield (model | None); mutations are persisted on clean exit."""
+def locked_model(model_name: str, create: bool, readonly: bool = False):
+    """Yield (model | None); mutations are persisted on clean exit unless
+    ``readonly`` (pure readers skip the re-pickle and shorten lock holds)."""
     path, lock_path = _paths(model_name)
     with open(lock_path, "w") as lockf:
         fcntl.flock(lockf, fcntl.LOCK_EX)
@@ -49,7 +58,7 @@ def locked_model(model_name: str, create: bool):
             elif create:
                 model = HighsModelInfo()
             yield model
-            if model is not None:
+            if model is not None and not readonly:
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
                     pickle.dump(model, f)

@@ -65,9 +65,9 @@ def test_minhash_lsh_recall_vs_exact(spark):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
-    """LSH ANN top-5 must recover ≥40% of the exact top-5 on average (16
-    planes / 4 bands on 64-dim clustered embeddings; recall asserted
-    loosely — it's approximate by design, the exact path is s01)."""
+    """LSH ANN top-5 must recover ≥80% of the exact top-5 on average
+    (24 planes / 8 bands × 3 measured at recall 1.0 on this corpus; the
+    assertion leaves headroom since it's approximate by design)."""
     exact = s01_cosine_topk(spark, SF).collect()
     approx = s02_ann_lsh_topk(spark, SF).collect()
     exact_sets: dict[int, set[int]] = {}
@@ -79,4 +79,4 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     recalls = [
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
