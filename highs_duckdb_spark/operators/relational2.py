@@ -481,3 +481,57 @@ def q92_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("o_orderpriority")
     )
+
+
+N_SALTS = 8
+
+
+@register(
+    "q93_salted_skew_join",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN l_suppkey < 5 THEN 0 ELSE l_suppkey END AS skew_key,
+             l_extendedprice
+      FROM lineitem
+    ),
+    dim AS (SELECT s_suppkey, s_name FROM supplier)
+    SELECT s_name, count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+    FROM skewed JOIN dim ON skew_key = s_suppkey
+    GROUP BY s_name ORDER BY s_name
+    """,
+    category="relational",
+    doc=(
+        "Salted join for skewed keys: the hot key's rows spread across "
+        "N_SALTS sub-partitions (salt = deterministic hash of a unique "
+        "column), the dim side replicated once per salt — the manual "
+        "mitigation AQE's skew-join automates, shown explicitly. Result "
+        "identical to the plain join."
+    ),
+)
+def q93_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    # synthesize a hot key: fold suppkeys 0-4 into key 0 (~5% of all rows)
+    skewed = li.select(
+        F.when(F.col("l_suppkey") < 5, 0).otherwise(F.col("l_suppkey")).alias("skew_key"),
+        "l_extendedprice",
+        (F.pmod(F.col("l_orderkey"), F.lit(N_SALTS))).alias("salt"),  # deterministic salt
+    )
+    salts = spark.range(N_SALTS).select(F.col("id").alias("salt"))
+    dim_replicated = sup.crossJoin(F.broadcast(salts))
+    return (
+        skewed.join(
+            dim_replicated,
+            (skewed.skew_key == dim_replicated.s_suppkey) & (skewed.salt == dim_replicated.salt),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.lit(1e-9) + F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("total"),
+        )
+        .orderBy("s_name")
+    )

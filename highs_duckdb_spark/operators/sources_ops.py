@@ -160,3 +160,60 @@ def q74_ctas_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)  # materialize before drop
     spark.sql("DROP TABLE q74_big_orders")
     return result
+
+
+@register(
+    "q76_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity > 40
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    category="sources",
+    doc=(
+        "Bucketed co-located join: both fact tables written bucketBy(8, "
+        "orderkey) so the join needs NO shuffle exchange (asserted in "
+        "test_plans) — at 100 TB pre-bucketing the two largest tables on "
+        "their join key removes the dominant shuffle entirely."
+    ),
+)
+def q76_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    loc = _tmpdir("buckets")
+    for tbl in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        orders.write.mode("overwrite")
+        .option("path", os.path.join(loc, "orders"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .option("path", os.path.join(loc, "lineitem"))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    out = (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .filter(F.col("l_quantity") > 40)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.lit(1e-9) + F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)  # materialize before drop
+    for tbl in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return result

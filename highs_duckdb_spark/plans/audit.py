@@ -48,7 +48,10 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
 
 
 def has_shuffle_exchange(df: DataFrame) -> bool:
-    return "Exchange hashpartitioning" in formatted_plan(df)
+    # formatted mode prints the operator ("(n) Exchange") and its Arguments
+    # ("hashpartitioning(...)") on separate lines
+    plan = formatted_plan(df)
+    return bool(re.search(r"\(\d+\) Exchange", plan)) and "hashpartitioning" in plan
 
 
 def has_take_ordered(df: DataFrame) -> bool:

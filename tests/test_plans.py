@@ -94,3 +94,38 @@ def test_partition_pruning_on_partitioned_layout(spark):
     # partition-level, so non-matching directories are never opened
     agg = back.agg(F.count("*").alias("n"))
     assert agg.collect()[0]["n"] > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Joining two tables bucketed on the join key must not shuffle either
+    side — the whole point of bucketing at scale."""
+    import os
+    from highs_duckdb_spark.plans.audit import has_shuffle_exchange
+
+    orders = load_table(spark, "orders", SF)
+    li = load_table(spark, "lineitem", SF)
+    loc = _tmpdir("buckettest")
+    for tbl in ("bt_orders", "bt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    orders.write.mode("overwrite").option("path", os.path.join(loc, "o")).bucketBy(
+        4, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("bt_orders")
+    li.write.mode("overwrite").option("path", os.path.join(loc, "l")).bucketBy(
+        4, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("bt_lineitem")
+    try:
+        bo, bl = spark.table("bt_orders"), spark.table("bt_lineitem")
+        joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+        assert not has_shuffle_exchange(joined)
+        # sanity: unbucketed equivalent DOES shuffle
+        plain = (
+            orders.hint("merge")
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .select("o_orderkey", "l_quantity")
+        )
+        assert has_shuffle_exchange(plain)
+    finally:
+        for tbl in ("bt_orders", "bt_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
