@@ -220,3 +220,46 @@ def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("bucket"),
     ).orderBy("doc_id")
+
+
+@register(
+    "t06_dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+             CAST(length(text) AS BIGINT) AS sz
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                   ORDER BY sz DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT doc_id, fingerprint, sz AS doc_size, CAST(rk = 1 AS BOOLEAN) AS is_kept
+    FROM ranked ORDER BY doc_id
+    """,
+    category="dedup",
+    doc=(
+        "Keep-best dedup policy: within each exact-duplicate group keep the "
+        "highest-quality copy (longest, ties → lowest id) via a ranking "
+        "window over the fingerprint partition — the standard production "
+        "variant of keep-first."
+    ),
+)
+def t06_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    scored = docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length("text").cast("bigint").alias("doc_size"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("doc_size"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "fingerprint", "doc_size", (F.col("rk") == 1).alias("is_kept"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,181 @@
+"""Additional classic TPC-H query shapes (Q2/Q16/Q18/Q22 analogues adapted
+to the synthetic schema) — the decision-support patterns a DuckDB user
+would expect to port unchanged: scalar subqueries against joined groups,
+negated-set aggregation, HAVING-driven semi joins, and anti-join +
+aggregate-threshold filters."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+
+@register(
+    "q94_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT partkey, min(unit_cost) AS best_cost FROM supply GROUP BY partkey
+    )
+    SELECT s.partkey, CAST(min(s.suppkey) AS BIGINT) AS best_suppkey,
+           round(1e-9 + min(s.unit_cost), 4) AS unit_cost
+    FROM supply s JOIN best b ON s.partkey = b.partkey AND s.unit_cost = b.best_cost
+    WHERE s.partkey < 300
+    GROUP BY s.partkey
+    ORDER BY s.partkey
+    """,
+    category="relational",
+    doc=(
+        "TPC-H Q2 shape: cheapest supplier per part — per-group minimum "
+        "joined back against the detail (scalar-subquery decorrelation), "
+        "ties broken by min suppkey."
+    ),
+)
+def q94_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    best = supply.groupBy("partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        supply.join(best, ["partkey"])
+        .filter((F.col("unit_cost") == F.col("best_cost")) & (F.col("partkey") < 300))
+        .groupBy("partkey")
+        .agg(
+            F.min("suppkey").cast("bigint").alias("best_suppkey"),
+            F.round(F.lit(1e-9) + F.min("unit_cost"), 4).alias("unit_cost"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@register(
+    "q95_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'ECONOMY%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    category="relational",
+    doc=(
+        "TPC-H Q16 shape: distinct supplier counts per (brand, type) with "
+        "negated predicates and a NOT IN anti-subquery over a blocklist."
+    ),
+)
+def q95_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1") & ~F.col("p_type").like("ECONOMY%")
+    )
+    blocklist = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(blocklist), li.l_suppkey == blocklist.bad_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+    )
+
+
+@register(
+    "q96_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           round(1e-9 + CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+    category="relational",
+    doc=(
+        "TPC-H Q18 shape: customers with very large orders — HAVING-filtered "
+        "semi join feeding a re-aggregation over the 3-way join."
+    ),
+)
+def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(
+        F.col("q") > 250
+    ).select("l_orderkey")
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li.withColumnRenamed("l_orderkey", "lo"), F.col("o_orderkey") == F.col("lo"))
+        .join(big, F.col("o_orderkey") == big.l_orderkey, "left_semi")
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.lit(1e-9) + F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("total_qty")
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+@register(
+    "q97_dormant_balances",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT substr(c_name, 10, 2) AS cust_group,
+           count(*) AS numcust,
+           round(1e-9 + CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY cust_group
+    ORDER BY cust_group
+    """,
+    category="relational",
+    doc=(
+        "TPC-H Q22 shape: above-average balances with no orders — scalar "
+        "aggregate subquery + anti join + substring grouping."
+    ),
+)
+def q97_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count("*")).alias(
+            "a"
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cust_group"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.lit(1e-9) + F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("cust_group")
+    )
