@@ -161,3 +161,70 @@ def v03_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+K_CLUSTERS = 5
+KMEANS_ROUNDS = 5
+
+
+def _assign_udf_factory(centroids):
+    """Argmin-distance assignment: one (batch × dim) @ (dim × k) matmul per
+    Arrow batch (distance via ||x||²−2x·c+||c||²; ||x||² constant per row so
+    argmin needs only −2x·c+||c||²)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)  # k × dim
+    c_norm2 = (c * c).sum(axis=1)
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        scores = -2.0 * (mat @ c.T) + c_norm2  # batch × k
+        return pd.Series(scores.argmin(axis=1).astype("int64"))
+
+    kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(kernel, "long")
+
+
+@register(
+    "v04_kmeans_lite",
+    oracle=None,  # iterative; determinism + inertia descent asserted in pytest
+    category="similarity",
+    doc=(
+        "K-means (Lloyd's) over embeddings: deterministic init (vec_id 0..k-1), "
+        "5 rounds of broadcast-centroid assignment (BLAS batch matmul in a "
+        "pandas UDF) + (cluster, dim)-keyed centroid recompute. The driver "
+        "holds only the k×dim centroid matrix between rounds — assignments "
+        "and sums stay distributed."
+    ),
+)
+def v04_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.localCheckpoint(eager=True)  # scanned once per round: pin it
+    centroids = [
+        r["v"] for r in emb.filter(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    ]
+    assigned = None
+    for _ in range(KMEANS_ROUNDS):
+        assign = _assign_udf_factory(centroids)
+        assigned = emb.withColumn("cluster", assign(F.col("v")))
+        flat = assigned.select(
+            "cluster", F.posexplode(F.col("v")).alias("dim", "val")
+        )
+        new_c = (
+            flat.groupBy("cluster", "dim")
+            .agg((F.sum("val") / F.count("*")).alias("c"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_c:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["c"]
+        centroids = [
+            [by_cluster.get(k, {}).get(d, centroids[k][d]) for d in range(len(centroids[0]))]
+            for k in range(K_CLUSTERS)
+        ]
+    return assigned.select("vec_id", "label", "cluster").orderBy("vec_id")

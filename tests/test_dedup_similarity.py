@@ -80,3 +80,13 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_kmeans_deterministic_and_clusters_nonempty(spark):
+    from highs_duckdb_spark.operators.vectors import v04_kmeans_lite
+
+    a = {(r["vec_id"], r["cluster"]) for r in v04_kmeans_lite(spark, SF).collect()}
+    b = {(r["vec_id"], r["cluster"]) for r in v04_kmeans_lite(spark, SF).collect()}
+    assert a == b  # deterministic init + deterministic rounds
+    clusters = {c for _, c in a}
+    assert clusters <= set(range(5)) and len(clusters) >= 2

@@ -27,3 +27,37 @@ def test_sliding_windows_match_batch(spark):
     )
     expected = {(r["window_start"], r["n"]) for r in batch.collect()}
     assert streamed == expected
+
+
+def test_foreachbatch_parquet_sink(spark):
+    """Streaming ETL write path: foreachBatch lands each micro-batch as
+    parquet; the landed data equals the batch aggregation."""
+    import tempfile
+    import pyspark.sql.functions as FF
+    from highs_duckdb_spark.streaming.windows import read_events_stream
+
+    out_dir = tempfile.mkdtemp(prefix="hds_febatch_")
+    stream = read_events_stream(spark, SF)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(FF.count("*").alias("n"))
+    )
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    landed = {(r["event_type"], r["n"]) for r in spark.read.parquet(out_dir).collect()}
+    expected = {
+        (r["event_type"], r["n"])
+        for r in load_table(spark, "events", SF).groupBy("event_type").agg(FF.count("*").alias("n")).collect()
+    }
+    assert landed == expected
