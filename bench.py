@@ -32,6 +32,7 @@ HEADLINE = [
     "q42_topk",
     "q64_tpch_q3_shipping_priority",
     "q65_tpch_q5_local_volume",
+    "q80_asof_join",
     # LLM-pipeline
     "t05_fingerprint",
     "d01_exact_dedup",
