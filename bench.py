@@ -63,7 +63,13 @@ def main() -> None:
 
     # Warm the JVM/session and the Python-worker pool so measured queries see
     # steady-state (worker processes are shared and reused across queries).
-    QUERIES["q42_topk"].builder(spark, sf_dir).collect()
+    # Warm-up must NOT be a measured headline query (it would get an extra
+    # run and bias its best-of-2 timing vs peers): scan the two big tables
+    # through a trivial shuffle instead.
+    from highs_duckdb_spark.session import load_table
+
+    for t in ("lineitem", "orders"):
+        load_table(spark, t, sf_dir).groupBy().count().collect()
     import pandas as pd  # noqa: F401
 
     warm = spark.range(8).repartition(2)

@@ -295,7 +295,8 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "SimHash near-duplicate pairs: candidates collide on ≥1 of 4 16-bit "
         "chunks (pigeonhole ⇒ complete for Hamming ≤ 3), then exact Hamming "
-        "filter ≤ 6 — bucket join, no all-pairs."
+        "filter ≤ 3 — bucket join, no all-pairs; the output is exactly the "
+        "full Hamming ≤ 3 pair set (wider radii would need narrower bands)."
     ),
 )
 def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +335,10 @@ def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .distinct()
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
-        .filter(F.col("hamming") <= 6)
+        # 4×16-bit banding is pigeonhole-complete only for Hamming ≤ 3; a
+        # wider filter would emit a silently-partial pair set (pairs with
+        # 4-6 differing bits spread across all four chunks never collide).
+        .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -176,13 +176,6 @@ class _StandardForm:
                 x[j] = xstd[idxs[0]] - xstd[idxs[1]]
         return x
 
-    def recover_row_duals(self, y_std: np.ndarray) -> np.ndarray:
-        y = np.zeros(self.m_orig)
-        for i, (src, sign) in enumerate(self.row_src):
-            if src >= 0:
-                y[src] += sign * y_std[i]
-        return y
-
 
 def _simplex_phase(
     A: np.ndarray,
@@ -293,26 +286,64 @@ def solve_lp(
     if c1[basis] @ xB > 1e-7:
         return LPResult("Infeasible")
 
-    # Phase 2: artificials frozen out of entering set
-    c2 = np.concatenate([cstd, np.zeros(m)])
-    allowed[n_tot:] = False
-    status = _simplex_phase(A1, b, c2, basis, allowed)
+    # Drive artificials still basic (at zero) out of the basis. A row whose
+    # basic artificial admits no structural pivot is linearly dependent on
+    # the others (common in flow-conservation systems, where the rows sum to
+    # zero) and is dropped — otherwise a later phase-2 pivot could push the
+    # artificial positive and "Optimal" would be reported for an x with
+    # Ax ≠ b.
+    drop_rows: set[int] = set()
+    art_positions = [p for p in range(m) if basis[p] >= n_tot]
+    if art_positions:
+        try:
+            Binv = np.linalg.inv(A1[:, basis])
+        except np.linalg.LinAlgError:
+            return LPResult("Unknown")
+        for p in art_positions:
+            tab_row = Binv[p, :] @ A1[:, :n_tot]
+            entering = -1
+            for j in range(n_tot):
+                if j not in basis and abs(tab_row[j]) > 1e-7:
+                    entering = j
+                    break
+            if entering >= 0:
+                basis[p] = entering  # degenerate pivot: enters at value 0
+                try:
+                    Binv = np.linalg.inv(A1[:, basis])
+                except np.linalg.LinAlgError:
+                    return LPResult("Unknown")
+            else:
+                drop_rows.add(basis[p] - n_tot)
+
+    keep = [i for i in range(m) if i not in drop_rows]
+    A2, b2 = A[keep, :], b[keep]
+    row_src_kept = [sf.row_src[i] for i in keep]
+    basis = [col for col in basis if col < n_tot]
+
+    # Phase 2 on the structural-only system (no artificial columns remain)
+    status = _simplex_phase(A2, b2, cstd, basis, np.ones(n_tot, dtype=bool))
     if status == "Unbounded":
         return LPResult("Unbounded")
     if status == "Unknown":
         return LPResult("Unknown")
 
-    B = A1[:, basis]
-    xB = np.linalg.solve(B, b)
-    y_std = np.linalg.solve(B.T, c2[basis])
+    B = A2[:, basis]
+    xB = np.linalg.solve(B, b2)
+    y_kept = np.linalg.solve(B.T, cstd[basis])
     xstd = np.zeros(n_tot)
     for pos_i, col in enumerate(basis):
-        if col < n_tot:
-            xstd[col] = xB[pos_i]
+        xstd[col] = xB[pos_i]
+    # Safety net: verify primal feasibility on the FULL system (including any
+    # dropped rows) before claiming optimality.
+    if m and float(np.max(np.abs(A @ xstd - b))) > 1e-6:
+        return LPResult("Unknown")
     x = sf.recover_x(xstd)
     # Clamp solver noise back inside the box
     x = np.clip(x, np.where(np.isfinite(col_lb), col_lb, -np.inf), np.where(np.isfinite(col_ub), col_ub, np.inf))
-    y = sf.recover_row_duals(y_std)
+    y = np.zeros(len(row_lb))
+    for (src, sign), yv in zip(row_src_kept, y_kept):
+        if src >= 0:
+            y[src] += sign * yv
     reduced = c - a_dense.T @ y if a_dense.size else c.copy()
     reduced[np.abs(reduced) < 1e-11] = 0.0
     return LPResult("Optimal", x, reduced, float(c @ x), y)
@@ -375,6 +406,13 @@ def solve_milp(
         stack.append((lb_r, ub))
         stack.append((lb, ub_l))
 
+    truncated = bool(stack)  # node budget exhausted with subproblems unexplored
     if best_x is None:
-        return LPResult("Infeasible", reduced_costs=np.zeros(len(c)))
+        # Without an incumbent a truncated search proves nothing — only a
+        # completed search may claim Infeasible.
+        return LPResult("Unknown" if truncated else "Infeasible", reduced_costs=np.zeros(len(c)))
+    if truncated:
+        # Incumbent is feasible but unproven optimal: report Unknown with the
+        # best-effort solution attached rather than overclaiming Optimal.
+        return LPResult("Unknown", best_x, np.zeros(len(c)), best_obj, np.zeros(len(row_lb)))
     return LPResult("Optimal", best_x, np.zeros(len(c)), best_obj, np.zeros(len(row_lb)))

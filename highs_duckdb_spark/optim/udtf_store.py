@@ -34,8 +34,31 @@ STORE_DIR = os.environ.get("HDS_REGISTRY_DIR") or os.path.join(
 )
 
 
-def _paths(model_name: str) -> tuple[str, str]:
+def _ensure_store_dir() -> None:
+    """Create STORE_DIR and verify it is safe to unpickle from.
+
+    ``makedirs(mode=0o700, exist_ok=True)`` does NOT re-check an existing
+    path, so a pre-planted world-writable dir or symlink (another local user
+    squatting the predictable tempdir name) would let them feed us a
+    malicious pickle. Verify: non-symlink directory, owned by us, mode 0700.
+    """
     os.makedirs(STORE_DIR, mode=0o700, exist_ok=True)
+    st = os.lstat(STORE_DIR)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(f"registry store {STORE_DIR!r} is not a directory (symlink attack?)")
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"registry store {STORE_DIR!r} is owned by uid {st.st_uid}, not us ({os.getuid()}); "
+            "refusing to unpickle from it — set HDS_REGISTRY_DIR to a private path"
+        )
+    if _stat.S_IMODE(st.st_mode) & 0o077:
+        os.chmod(STORE_DIR, 0o700)  # tighten a group/other-accessible dir we own
+
+
+def _paths(model_name: str) -> tuple[str, str]:
+    _ensure_store_dir()
     safe = model_name.replace("/", "_")
     return (
         os.path.join(STORE_DIR, f"{safe}.pkl"),

@@ -152,3 +152,58 @@ def test_milp_matches_bruteforce(n, rnd):
                 best = v
     assert r.status == "Optimal"
     assert r.objective == pytest.approx(best, abs=1e-6)
+
+
+def test_redundant_equality_rows_feasible_solution():
+    """Rank-deficient equality system (rows sum to zero, like flow
+    conservation): artificials must not linger in the basis and corrupt x.
+
+    min x01+x02 over a 3-node flow system with a redundant third row:
+      node A: x01 + x02 = 2 (supply)
+      node B: -x01 = -1, node C: -x02 = -1 (demands; rows sum to -row A).
+    """
+    a = [[1, 1], [-1, 0], [0, -1]]
+    r = solve_lp([1, 1], a, [2, -1, -1], [2, -1, -1], [0, 0], [INF, INF])
+    assert r.status == "Optimal"
+    assert np.asarray(a) @ r.x == pytest.approx([2, -1, -1], abs=1e-6)
+    assert r.objective == pytest.approx(2.0)
+
+
+def test_many_redundant_rows_random_flows():
+    """Random balanced transportation problems: conservation rows are always
+    rank-deficient by one; every Optimal answer must satisfy Ax=b."""
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n_src, n_dst = 2, 3
+        supply = rng.integers(1, 5, n_src).astype(float)
+        demand = np.zeros(n_dst)
+        # balance demands to match total supply
+        total = supply.sum()
+        cut = sorted(rng.choice(int(total) + 1, n_dst - 1, replace=True))
+        demand = np.diff([0, *cut, int(total)]).astype(float)
+        n = n_src * n_dst
+        c = rng.uniform(1, 10, n)
+        a = np.zeros((n_src + n_dst, n))
+        for i in range(n_src):
+            for j in range(n_dst):
+                a[i, i * n_dst + j] = 1.0
+                a[n_src + j, i * n_dst + j] = 1.0
+        b = np.concatenate([supply, demand])
+        r = solve_lp(c, a, b, b, [0] * n, [INF] * n)
+        assert r.status == "Optimal", (supply, demand)
+        assert a @ r.x == pytest.approx(b, abs=1e-6)
+
+
+def test_milp_truncated_search_reports_unknown():
+    """A node cap too small to finish must not overclaim Optimal/Infeasible."""
+    n = 12
+    rng = np.random.default_rng(3)
+    c = -rng.uniform(1, 5, n)  # maximize-ish: forces real branching
+    a = rng.uniform(0.5, 2.0, (1, n))
+    r = solve_milp(c, a, [-INF], [float(a.sum()) / 2], [0] * n, [1] * n, [True] * n, max_nodes=3)
+    assert r.status == "Unknown"
+    # completed search on the same model is conclusive
+    r2 = solve_milp(c, a, [-INF], [float(a.sum()) / 2], [0] * n, [1] * n, [True] * n)
+    assert r2.status == "Optimal"
+    if len(r.x):  # truncated incumbent, if any, must be feasible & no better
+        assert r.objective >= r2.objective - 1e-9

@@ -65,3 +65,35 @@ def test_udtf_composes_with_sql(sql, spark):
         """
     ).collect()
     assert out[0]["total"] == pytest.approx(10.0)  # both at upper bound 5
+
+
+def test_store_dir_symlink_rejected(tmp_path, monkeypatch):
+    """A squatted symlink at the store path must be refused, not followed."""
+    import os
+
+    from highs_duckdb_spark.optim import udtf_store
+
+    target = tmp_path / "elsewhere"
+    target.mkdir()
+    link = tmp_path / "store_link"
+    os.symlink(target, link)
+    monkeypatch.setattr(udtf_store, "STORE_DIR", str(link))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not a directory"):
+        udtf_store._paths("m")
+
+
+def test_store_dir_loose_mode_tightened(tmp_path, monkeypatch):
+    """A group/other-accessible store dir we own is chmodded back to 0700."""
+    import os
+    import stat
+
+    from highs_duckdb_spark.optim import udtf_store
+
+    d = tmp_path / "store"
+    d.mkdir()
+    os.chmod(d, 0o777)
+    monkeypatch.setattr(udtf_store, "STORE_DIR", str(d))
+    udtf_store._paths("m")
+    assert stat.S_IMODE(os.lstat(d).st_mode) == 0o700
