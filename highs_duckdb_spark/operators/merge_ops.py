@@ -1,0 +1,94 @@
+"""Delta-style MERGE (upsert) as a batch operator.
+
+Spark without a table format that supports ``MERGE INTO`` still expresses
+the operation exactly the way Delta/Iceberg compile it: a full outer join
+of target and source on the merge key, then per-row CASE resolution
+(matched → update, source-only → insert, target-only → keep). At 100 TB
+the join is the whole cost: broadcast when the update batch is small
+(the common CDC case, done here), shuffle-on-key otherwise — and a real
+lakehouse deployment would add file-level pruning on top, which changes
+nothing about this plan shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+
+@register(
+    "q77_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT CASE WHEN o_custkey % 20 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS u_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      GROUP BY u_custkey
+    )
+    SELECT
+      CAST(coalesce(c_custkey, u_custkey) AS BIGINT) AS custkey,
+      coalesce(c_name, 'NEW_' || CAST(u_custkey AS VARCHAR)) AS name,
+      round(1e-9 + CAST(
+        CASE
+          WHEN u_custkey IS NULL THEN CAST(c_acctbal AS DECIMAL(12,2))
+          WHEN c_custkey IS NULL THEN spend * CAST(0.01 AS DECIMAL(4,2))
+          ELSE CAST(c_acctbal AS DECIMAL(12,2)) + spend * CAST(0.01 AS DECIMAL(4,2))
+        END AS DOUBLE), 2) AS acctbal,
+      CASE WHEN u_custkey IS NULL THEN 'keep'
+           WHEN c_custkey IS NULL THEN 'insert'
+           ELSE 'update' END AS op
+    FROM customer FULL OUTER JOIN updates ON c_custkey = u_custkey
+    ORDER BY custkey
+    """,
+    category="sources",
+    doc=(
+        "MERGE upsert (Delta-semantics): CDC batch of per-customer spend "
+        "(keys ending in 0 remapped to simulate inserts) full-outer-joined "
+        "onto the customer dimension — matched rows get acctbal credited, "
+        "unmatched source rows become inserts, unmatched target rows pass "
+        "through; exact-decimal money math both engines."
+    ),
+)
+def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    updates = (
+        orders.groupBy(
+            F.when(
+                F.col("o_custkey") % 20 == 0, F.col("o_custkey") + 1000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("u_custkey")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("spend"))
+    )
+    credited = F.col("spend") * F.lit(0.01).cast("decimal(4,2)")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    merged = cust.join(
+        F.broadcast(updates), cust.c_custkey == updates.u_custkey, "full_outer"
+    )
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("u_custkey")).cast("bigint").alias("custkey"),
+        F.coalesce(
+            F.col("c_name"), F.concat(F.lit("NEW_"), F.col("u_custkey").cast("string"))
+        ).alias("name"),
+        F.round(
+            F.lit(1e-9)
+            + F.when(F.col("u_custkey").isNull(), bal)
+            .when(F.col("c_custkey").isNull(), credited)
+            .otherwise(bal + credited)
+            .cast("double"),
+            2,
+        ).alias("acctbal"),
+        F.when(F.col("u_custkey").isNull(), "keep")
+        .when(F.col("c_custkey").isNull(), "insert")
+        .otherwise("update")
+        .alias("op"),
+    ).orderBy("custkey")

@@ -269,3 +269,113 @@ def s03_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.8)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the classic coarse-quantizer scale path.
+# Train k cell centroids on a bounded sample (driver-side Lloyd's — the
+# centroid matrix is k×dim, tiny), assign every corpus vector to its nearest
+# cell once, and probe only the NPROBE nearest cells per query. At 100 TB
+# the cell assignment is a single mapInPandas-style pass and the per-query
+# search touches ~NPROBE/K of the corpus via a co-partitioned cell join —
+# no all-pairs cross join, no bucket-explosion rows like banded LSH.
+IVF_K = 8
+IVF_ROUNDS = 4
+IVF_NPROBE = 3
+IVF_TRAIN_SAMPLE = 2048
+
+
+def _train_ivf_centroids(emb: DataFrame) -> "np.ndarray":
+    """Driver-side Lloyd's on a deterministic bounded sample (vec_id order).
+
+    At scale the sample is still driver-sized (k × dim math); only the
+    one-pass assignment below touches the full corpus.
+    """
+    sample = np.array(
+        [r["v"] for r in emb.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).collect()],
+        dtype=np.float64,
+    )
+    cents = sample[:IVF_K].copy()
+    for _ in range(IVF_ROUNDS):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(IVF_K):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def _probe_udf_factory(centroids: "np.ndarray", nprobe: int):
+    """Per-query nearest-NPROBE cell ids, batch matmul per Arrow batch."""
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        scores = -2.0 * (mat @ c.T) + c_norm2  # batch × k, ranked by L2
+        order = np.argsort(scores, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int64").tolist() for row in order])
+
+    kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(kernel, "array<long>")
+
+
+@register(
+    "s04_ann_ivf_topk",
+    oracle=None,  # approximate; recall vs s01 asserted in pytest
+    category="similarity",
+    doc=(
+        "ANN top-k via IVF coarse quantizer: k=8 cells trained driver-side "
+        "on a bounded sample, one-pass cell assignment, queries probe the 3 "
+        "nearest cells, exact cosine re-rank of probed candidates only."
+    ),
+)
+def s04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.operators.vectors import _assign_udf_factory
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    cents = _train_ivf_centroids(emb)
+    assign = _assign_udf_factory(cents.tolist())
+    corpus = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        _norm(F.col("v")).alias("nv"),
+        assign(F.col("v")).alias("cell"),
+    )
+    probe = _probe_udf_factory(cents, IVF_NPROBE)
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("nq"),
+            F.explode(probe(F.col("v"))).alias("cell"),
+        )
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round(
+            F.lit(1e-9) + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "label", "cosine")
+        .orderBy("query_id", "rk")
+    )

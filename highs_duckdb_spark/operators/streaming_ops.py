@@ -146,3 +146,26 @@ def qs04_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"stream_static_{uuid.uuid4().hex[:8]}"
     run_stream_to_table(agg, table, output_mode="complete")
     return spark.table(table).orderBy("window_start")
+
+
+@register(
+    "qs05_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+    category="streaming",
+    doc=(
+        "Streaming exact dedup via dropDuplicates on (user_id, event_type) "
+        "with watermark-bounded state — emits each key once regardless of "
+        "how many micro-batches re-deliver it; result equals batch DISTINCT."
+    ),
+)
+def qs05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.streaming.windows import dedup_stream
+
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = dedup_stream(read_events_stream(spark, sf_dir))
+    run_stream_to_table(stream, table, output_mode="append")
+    return spark.table(table).orderBy("user_id", "event_type")

@@ -1,0 +1,624 @@
+"""TPC-H shapes round 2: Q4/Q7/Q8/Q9/Q10/Q12/Q13/Q14/Q15/Q17/Q19/Q21
+analogues adapted to the synthetic schema (no partsupp / commitdate /
+shipmode columns, so each query keeps the *shape* — the join graph,
+subquery pattern, and aggregation structure — over the columns that
+exist).
+
+These are the remaining decision-support patterns a user of the reference
+engine would port: EXISTS/NOT-EXISTS decorrelation, disjunctive predicate
+pushdown, conditional-aggregate ratios, two-level aggregation histograms,
+scalar-max subqueries, and correlated-average filters.
+
+Scale notes: every dimension join is broadcast; the fact table (lineitem)
+is never shuffled except on aggregation keys; correlated subqueries are
+decorrelated into single-pass window/groupBy plans rather than per-row
+re-scans, so each query is one or two shuffles of the fact table at most.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+# exact-decimal revenue term shared by most TPC-H shapes (see module doc in
+# relational.py: money sums are DECIMAL-exact so both engines agree bitwise)
+
+
+def _disc_price():
+    # built lazily: F.lit() needs an active SparkContext, absent at import
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@register(
+    "q100_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape: order counts per priority where EXISTS a late "
+        "lineitem — correlated EXISTS decorrelated to a left-semi join."
+    ),
+)
+def q100_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q101_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           round(1e-9 + CAST(sum(volume) AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             {_DISC_PRICE_SQL} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc=(
+        "TPC-H Q7 shape: bilateral trade volume by year — the nation "
+        "dimension joined twice under different roles, disjunctive "
+        "nation-pair filter, year extraction grouping."
+    ),
+)
+def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(F.lit(1e-9) + F.sum(_disc_price()).cast("double"), 2).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q102_market_share",
+    oracle=f"""
+    SELECT l_year,
+           round(1e-9 + CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                                      ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                      / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
+             n1.n_name AS supp_nation,
+             CAST({_DISC_PRICE_SQL} AS DECIMAL(14,4)) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region    ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ) all_volume
+    GROUP BY l_year
+    ORDER BY l_year
+    """,
+    doc=(
+        "TPC-H Q8 shape: one nation's market share inside a region per year "
+        "— conditional-aggregate ratio over a 6-way join, exact-decimal "
+        "numerator/denominator so both engines agree bitwise."
+    ),
+)
+def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    volume = _disc_price().cast("decimal(14,4)")
+    zero = F.lit(0).cast("decimal(14,4)")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == F.col("r_regionkey"))
+        .withColumn("volume", volume)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.round(
+                F.lit(1e-9)
+                + F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("l_year")
+    )
+
+
+@register(
+    "q103_product_profit",
+    oracle=f"""
+    SELECT nation, o_year,
+           round(1e-9 + CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_DISC_PRICE_SQL}
+             - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(4,2))
+               * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_type = 'PROMO'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc=(
+        "TPC-H Q9 shape: per-nation yearly profit (revenue minus a 10%%-of-"
+        "retail cost proxy — the synthetic schema has no partsupp) over a "
+        "5-way join filtered by part type."
+    ),
+)
+def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    sup = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    amount = _disc_price() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.10).cast("decimal(4,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.lit(1e-9) + F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "q104_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           round(1e-9 + CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10 shape: top-20 customers by returned-item revenue in a "
+        "half-year window — 4-way join, broadcast dims, decimal-exact "
+        "revenue so DESC ordering ties break identically, custkey tiebreak."
+    ),
+)
+def q104_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.lit(1e-9) + F.sum(_disc_price()).cast("double"), 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q105_shipping_delay_buckets",
+    oracle="""
+    SELECT delay_bucket,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                  WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+                  ELSE 'slow' END AS delay_bucket
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) t
+    GROUP BY delay_bucket
+    ORDER BY delay_bucket
+    """,
+    doc=(
+        "TPC-H Q12 shape: priority counts per shipping-delay bucket (the "
+        "synthetic schema has no shipmode, so the bucket is the "
+        "orderdate→shipdate delay) — conditional-sum pivot over a fact join."
+    ),
+)
+def q105_shipping_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            bucket.alias("delay_bucket"),
+            F.when(high, 1).otherwise(0).alias("is_high"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@register(
+    "q106_customer_order_histogram",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc=(
+        "TPC-H Q13 shape: customer-order-count histogram — left outer join "
+        "with an ON-clause filter (kept pre-join so zero-order customers "
+        "survive), then a second-level aggregation over the first."
+    ),
+)
+def q106_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus != "P"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q107_promo_revenue",
+    oracle=f"""
+    SELECT round(1e-9 + 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST({_DISC_PRICE_SQL} AS DECIMAL(14,4))
+                     ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST({_DISC_PRICE_SQL} AS DECIMAL(14,4))) AS DOUBLE),
+                 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    doc=(
+        "TPC-H Q14 shape: promo revenue percentage in a month — "
+        "conditional-aggregate ratio, broadcast part join, exact-decimal "
+        "numerator and denominator."
+    ),
+)
+def q107_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir)
+    vol = _disc_price().cast("decimal(14,4)")
+    zero = F.lit(0).cast("decimal(14,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(1e-9)
+                + F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q108_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST({_DISC_PRICE_SQL} AS DECIMAL(14,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(1e-9 + CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc=(
+        "TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue — "
+        "scalar-max subquery against a derived view; the equality compare "
+        "runs on the exact DECIMAL revenue (never on a rounded double)."
+    ),
+)
+def q108_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    sup = load_table(spark, "supplier", sf_dir)
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price().cast("decimal(14,4)")).alias("total_revenue_dec")
+    )
+    max_rev = revenue.agg(F.max("total_revenue_dec").alias("max_rev"))
+    return (
+        sup.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue_dec") == F.col("max_rev"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.lit(1e-9) + F.col("total_revenue_dec").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q109_small_quantity_revenue",
+    oracle="""
+    SELECT round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                                      / count(*))
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc=(
+        "TPC-H Q17 shape: revenue from unusually-small-quantity orders — "
+        "correlated per-part average decorrelated into a groupBy + join "
+        "(one pass over the fact table, no per-row re-scan)."
+    ),
+)
+def q109_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("ap_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q110_disjunctive_filter",
+    oracle=f"""
+    SELECT round(1e-9 + CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc=(
+        "TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity "
+        "clauses — tests that an OR-of-ANDs predicate still prunes at the "
+        "scan (partial pushdown of the common join key + per-branch "
+        "filters)."
+    ),
+)
+def q110_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(clause)
+        .agg(
+            F.round(F.lit(1e-9) + F.sum(_disc_price()).cast("double"), 2).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q111_last_to_ship_suppliers",
+    oracle="""
+    WITH marked AS (
+      SELECT l_orderkey, l_suppkey,
+             max(l_shipdate) OVER (PARTITION BY l_orderkey) AS order_last,
+             max(l_shipdate) OVER (PARTITION BY l_orderkey, l_suppkey) AS supp_last,
+             count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp
+      FROM lineitem
+    ),
+    blamed AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM marked
+      WHERE n_supp > 1 AND supp_last = order_last
+        AND 1 = (SELECT count(DISTINCT m2.l_suppkey) FROM marked m2
+                 WHERE m2.l_orderkey = marked.l_orderkey
+                   AND m2.supp_last = m2.order_last)
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q21 shape: suppliers who were the sole last-to-ship on "
+        "multi-supplier orders (no commit/receipt dates in the synthetic "
+        "schema, so lateness = strictly latest shipdate) — "
+        "EXISTS/NOT-EXISTS decorrelated into per-order window aggregates."
+    ),
+)
+def q111_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # one shuffle on l_orderkey: per-(order, supplier) last shipdate, then
+    # per-order aggregates derived from that compact intermediate
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last",
+        F.max("supp_last").over(w).alias("order_last"),
+        F.count("*").over(w).alias("n_supp"),
+    ).withColumn(
+        "n_at_last",
+        F.sum(F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)).over(w),
+    )
+    blamed = marked.filter(
+        (F.col("n_supp") > 1)
+        & (F.col("supp_last") == F.col("order_last"))
+        & (F.col("n_at_last") == 1)
+    ).select("l_orderkey", "l_suppkey")
+    sup = load_table(spark, "supplier", sf_dir)
+    return (
+        blamed.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )

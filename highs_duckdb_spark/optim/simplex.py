@@ -370,6 +370,20 @@ def solve_milp(
     is_integer = np.asarray(is_integer, dtype=bool)
     col_lb0 = np.array([_clean_bound(v, -np.inf) for v in col_lb])
     col_ub0 = np.array([_clean_bound(v, np.inf) for v in col_ub])
+    a_arr = np.asarray(a_dense, dtype=float).reshape(len(row_lb), len(c)) if len(c) else (
+        np.zeros((len(row_lb), 0))
+    )
+    row_lb0 = np.array([_clean_bound(v, -np.inf) for v in row_lb])
+    row_ub0 = np.array([_clean_bound(v, np.inf) for v in row_ub])
+
+    def _rows_feasible(x: np.ndarray) -> bool:
+        if not len(row_lb0):
+            return True
+        ax = a_arr @ x
+        tol = 1e-9
+        lo_ok = ~np.isfinite(row_lb0) | (ax >= row_lb0 - tol)
+        hi_ok = ~np.isfinite(row_ub0) | (ax <= row_ub0 + tol)
+        return bool(np.all(lo_ok & hi_ok))
 
     root = solve_lp(c, a_dense, row_lb, row_ub, col_lb0, col_ub0)
     if root.status in ("Infeasible", "Unbounded", "Unknown"):
@@ -393,10 +407,19 @@ def solve_milp(
         if frac[j] <= _INT_TOL:
             xi = res.x.copy()
             xi[is_integer] = np.round(xi[is_integer])
-            obj = float(c @ xi)
-            if obj < best_obj - 1e-12:
-                best_obj, best_x = obj, xi
-            continue
+            # Rounding moves each var by ≤ _INT_TOL, which can push a
+            # binding row infeasible (e.g. a tiny-coefficient knapsack at
+            # capacity): accept only a genuinely feasible integer point,
+            # otherwise fall through and branch on j — frac[j] > 0 whenever
+            # rounding changed anything, so floor < ceil and the branch
+            # bounds strictly tighten.
+            if _rows_feasible(xi):
+                obj = float(c @ xi)
+                if obj < best_obj - 1e-12:
+                    best_obj, best_x = obj, xi
+                continue
+            if frac[j] == 0.0:
+                continue  # nothing to branch on; LP noise only — discard node
         lo, hi = np.floor(res.x[j]), np.ceil(res.x[j])
         ub_l = ub.copy()
         ub_l[j] = lo

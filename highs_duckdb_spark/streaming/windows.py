@@ -178,3 +178,19 @@ def run_stream_to_table(stream_df: DataFrame, table: str, output_mode: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first occurrence per (user_id, event_type).
+
+    ``dropDuplicates`` keeps per-key state; the watermark bounds that state
+    (keys older than the watermark are evicted — the standard unbounded-
+    stream dedup pattern; use dropDuplicatesWithinWatermark for the
+    time-scoped variant). Emits the deduped KEYS so the result is
+    arrival-order independent and batch-comparable.
+    """
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )

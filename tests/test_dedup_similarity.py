@@ -90,3 +90,25 @@ def test_kmeans_deterministic_and_clusters_nonempty(spark):
     assert a == b  # deterministic init + deterministic rounds
     clusters = {c for _, c in a}
     assert clusters <= set(range(5)) and len(clusters) >= 2
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN top-5 (8 cells, probe 3) must recover >=80% of the exact
+    top-5 on average; determinism: two runs give identical rows."""
+    from highs_duckdb_spark.operators.similarity import s04_ann_ivf_topk
+
+    exact = s01_cosine_topk(spark, SF).collect()
+    approx = s04_ann_ivf_topk(spark, SF).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    again = s04_ann_ivf_topk(spark, SF).collect()
+    assert [tuple(r) for r in approx] == [tuple(r) for r in again]

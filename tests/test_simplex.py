@@ -207,3 +207,15 @@ def test_milp_truncated_search_reports_unknown():
     assert r2.status == "Optimal"
     if len(r.x):  # truncated incumbent, if any, must be feasible & no better
         assert r.objective >= r2.objective - 1e-9
+
+
+def test_milp_rounded_candidate_must_stay_feasible():
+    """Regression (hypothesis-found): LP vertex x=[1-6e-8, 1] rounds to
+    [1,1], which violates the knapsack row by 6e-8 — the rounded point must
+    be rejected and branched instead of accepted as the incumbent."""
+    c = [-1.0, -1.0]
+    a = [[1.0, 5.960464477539063e-08]]
+    r = solve_milp(c, a, [-INF], [1.0], [0, 0], [1, 1], [True, True])
+    assert r.status == "Optimal"
+    assert r.objective == pytest.approx(-1.0, abs=1e-9)
+    assert np.asarray(a) @ r.x <= 1.0 + 1e-9
