@@ -118,3 +118,102 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("component").cast("bigint").alias("component")
     ).orderBy("doc_id")
+
+
+def _pagerank_oracle_sql(iters: int = 5, n: int = 25, d: float = 0.85) -> str:
+    """Chained-CTE power iteration (recursive-CTE-free, so the aggregate in
+    the loop body is plain SQL). Each iteration rounds to 9 decimals with a
+    +1e-12 nudge — double divergence between engines is ~1e-15/step, so the
+    snap keeps Spark and DuckDB bit-identical (same convention as the money
+    rounding, finer grid)."""
+    base = f"""
+    WITH edges AS (
+      SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey <> c_nationkey
+    ),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    pr0 AS (SELECT node, 1.0 / {n} AS r FROM nodes)"""
+    for i in range(1, iters + 1):
+        base += f""",
+    pr{i} AS (
+      SELECT nodes.node,
+             round(1e-12 + {1 - d} / {n} + {d} * coalesce(m.mass, 0.0), 9) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r / o.deg) AS mass
+        FROM pr{i - 1} p JOIN edges e ON p.node = e.src JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+      ) m ON nodes.node = m.node
+    )"""
+    base += f"""
+    SELECT n_name, pr{iters}.r AS rank
+    FROM pr{iters} JOIN nation ON node = n_nationkey
+    ORDER BY rank DESC, n_name
+    """
+    return base
+
+
+@register(
+    "g01_pagerank",
+    oracle=_pagerank_oracle_sql(),
+    category="graph",
+    doc=(
+        "PageRank (d=0.85, 5 power iterations) over the nation-level trade "
+        "graph (supplier nation → customer nation edges from the fact "
+        "join). Each iteration is one join + one aggregation shuffled on "
+        "node id; ranks snap to a 1e-9 grid per iteration so the float "
+        "pipeline stays engine-deterministic. The 100-TB shape: edges are "
+        "the reduced fact table, iterations reuse a checkpointed edge list "
+        "— identical to the connected-components loop."
+    ),
+)
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, iters = 0.85, 5
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every iteration: never recompute
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    with_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    n_nodes = 25
+    ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("r"))
+    for _ in range(iters):
+        mass = (
+            with_deg.join(ranks, with_deg.src == ranks.node)
+            .select("dst", (F.col("r") / F.col("deg")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = (
+            nodes.join(mass, nodes.node == mass.dst, "left_outer")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1e-12)
+                    + F.lit((1 - d) / n_nodes)
+                    + F.lit(d) * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage each round
+        )
+    return (
+        ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
+        .select("n_name", F.col("r").alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("n_name"))
+    )
