@@ -4,10 +4,11 @@ Spark without a table format that supports ``MERGE INTO`` still expresses
 the operation exactly the way Delta/Iceberg compile it: a full outer join
 of target and source on the merge key, then per-row CASE resolution
 (matched → update, source-only → insert, target-only → keep). At 100 TB
-the join is the whole cost: broadcast when the update batch is small
-(the common CDC case, done here), shuffle-on-key otherwise — and a real
-lakehouse deployment would add file-level pruning on top, which changes
-nothing about this plan shape.
+the join is the whole cost: a full-outer join can never broadcast (both
+sides must observe all rows), so it is one co-partitioned shuffle on the
+merge key — a real lakehouse deployment adds file-level pruning via an
+inner pre-join of source keys against file stats, which narrows the
+target scan but keeps this plan shape.
 """
 
 from __future__ import annotations
@@ -71,9 +72,8 @@ def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     credited = F.col("spend") * F.lit(0.01).cast("decimal(4,2)")
     bal = F.col("c_acctbal").cast("decimal(12,2)")
-    merged = cust.join(
-        F.broadcast(updates), cust.c_custkey == updates.u_custkey, "full_outer"
-    )
+    # no broadcast hint: full-outer requires both sides shuffled on the key
+    merged = cust.join(updates, cust.c_custkey == updates.u_custkey, "full_outer")
     return merged.select(
         F.coalesce(F.col("c_custkey"), F.col("u_custkey")).cast("bigint").alias("custkey"),
         F.coalesce(

@@ -593,10 +593,14 @@ def q111_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    # one shuffle on l_orderkey: per-(order, supplier) last shipdate, then
-    # per-order aggregates derived from that compact intermediate
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("supp_last")
+    # ONE shuffle on l_orderkey: hash-partitioning on l_orderkey satisfies
+    # the (l_orderkey, l_suppkey) groupBy's clustering requirement (subset
+    # rule) AND the window partitioning below, so the fact table moves once
+    # (plan-audited in test_plans.py).
+    per_supp = (
+        li.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
     )
     w = Window.partitionBy("l_orderkey")
     marked = per_supp.select(

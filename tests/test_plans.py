@@ -129,3 +129,51 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         for tbl in ("bt_orders", "bt_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_q104_filters_pushed_and_dims_broadcast(spark):
+    """Q10 shape: the returnflag filter must reach the lineitem scan, the
+    orderdate window the orders scan, and nation must broadcast."""
+    from highs_duckdb_spark.operators.tpch_extra2 import q104_returned_items
+
+    df = q104_returned_items(spark, SF)
+    pushed = [f for scan in [pushed_filters(df)] for f in scan]
+    assert any("l_returnflag" in f for f in pushed), pushed
+    assert any("o_orderdate" in f for f in pushed), pushed
+    assert has_broadcast_hash_join(df)
+
+
+def test_q100_semi_join_stays_semi(spark):
+    """The EXISTS decorrelation must produce a semi join (no row blowup),
+    with the date filter pushed to the orders scan."""
+    from highs_duckdb_spark.operators.tpch_extra2 import q100_order_priority_check
+
+    df = q100_order_priority_check(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q111_single_fact_shuffle(spark):
+    """The last-to-ship decorrelation must shuffle the fact table ONCE on
+    l_orderkey (groupBy + both windows reuse the same partitioning) and
+    broadcast the supplier dim."""
+    from highs_duckdb_spark.operators.tpch_extra2 import q111_last_to_ship_suppliers
+
+    df = q111_last_to_ship_suppliers(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fact_exchanges = plan.count("Exchange hashpartitioning(l_orderkey")
+    assert fact_exchanges == 1, f"expected 1 fact shuffle, plan:\n{plan[:3000]}"
+    assert has_broadcast_hash_join(df)
+
+
+def test_q77_merge_single_copartitioned_shuffle(spark):
+    """MERGE compiles to ONE full-outer join co-partitioned on the merge
+    key (full-outer can never broadcast — both sides must see all rows);
+    each side is shuffled exactly once."""
+    from highs_duckdb_spark.operators.merge_ops import q77_merge_upsert
+
+    df = q77_merge_upsert(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    assert plan.count("Exchange hashpartitioning(c_custkey") == 1, plan[:3000]
