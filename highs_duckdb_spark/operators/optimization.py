@@ -185,7 +185,10 @@ def opt05_solve_many_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = g.select(
         F.concat(F.lit("nation_"), F.col("c_nationkey").cast("string")).alias("model_name"),
         "cnt",
-    )
+    ).localCheckpoint(eager=True)
+    # pinned: variables/constraints/coefficients all branch from g; without
+    # it the customer scan+agg subplan is duplicated per branch in the union
+    # (neutral at bench scale, real at 100 TB where g is worth materializing)
     variables = g.selectExpr(
         "model_name",
         "stack(2, 'x', 0, 'y', 1) AS (variable_name, ord)",

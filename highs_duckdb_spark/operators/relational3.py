@@ -1,0 +1,181 @@
+"""Round-2 breadth operators: window-function extras, schema-on-read JSON,
+string-distance blocking, and batch sessionization.
+
+Each entry is the Spark-idiomatic form of a pattern the reference's host
+engine (DuckDB) serves its users out of the box; scale notes inline.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+
+@register(
+    "q34_window_extras",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(1e-9 + percent_rank() OVER w, 6) AS pct_rank,
+           CAST(nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc=(
+        "Window extras: ntile quartiles, percent_rank, and full-frame "
+        "nth_value per market segment — one shuffle on the partition key, "
+        "unique-key tiebreak so both engines rank identically."
+    ),
+)
+def q34_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.lit(1e-9) + F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.nth_value("c_custkey", 2).over(w_full).cast("bigint").alias("second_richest"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "q56_json_schema_struct",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_max,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc=(
+        "Schema-on-read JSON: from_json parses props into a typed struct "
+        "ONCE at the scan (vs per-access json_extract string walks), then "
+        "ordinary typed aggregation — at 100 TB, parse-once matters."
+    ),
+)
+def q56_json_schema_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    parsed = events.select(
+        "event_type", F.from_json(F.col("props"), "k INT").getField("k").alias("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.max("k").cast("bigint").alias("k_max"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "t07_levenshtein_near_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY name_a, name_b
+    """,
+    category="text",
+    doc=(
+        "Edit-distance near-duplicate names: distinct-name self-join with a "
+        "length-difference blocking predicate before the quadratic "
+        "levenshtein — at scale, blocking keys (length bucket, first token) "
+        "become the join key so the cross product never materializes."
+    ),
+)
+def t07_levenshtein_near_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, "part", sf_dir).select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            ),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
+    "q59_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc=(
+        "Batch gap-sessionization (30-min) via lag + running-sum window — "
+        "the classic two-window + aggregate plan, one shuffle on user_id "
+        "reused by both windows and the groupBy. The streaming twin is "
+        "qs03 (applyInPandasWithState); closed sessions agree."
+    ),
+)
+def q59_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 30 * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
