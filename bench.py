@@ -69,6 +69,10 @@ def main() -> None:
     # is worth far more than one scheduling round there.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    # a few hundred MB across ≤4 post-shuffle partitions: task-scheduling
+    # overhead beats parallelism at this size (8 → 4 measured slightly
+    # better through run-to-run noise); thousands on a real cluster
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     # Optional runtime SQLConf overrides for experiments, e.g.
     #   SPARK_GRAFT_EXTRA_SQLCONF="spark.sql.adaptive.enabled=false;k=v"

@@ -179,3 +179,120 @@ def q59_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "q35_median_percentiles",
+    oracle="""
+    SELECT c_nationkey,
+           round(1e-9 + median(c_acctbal), 4) AS median_bal,
+           round(1e-9 + quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(1e-9 + quantile_cont(c_acctbal, 0.9), 4) AS p90,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc=(
+        "Exact median + interpolated quantiles per group: both engines use "
+        "linear interpolation (percentile_cont semantics), so values agree "
+        "bitwise on the 2-decimal money grid."
+    ),
+)
+def q35_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.round(F.lit(1e-9) + F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+            F.round(F.lit(1e-9) + F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+            F.round(F.lit(1e-9) + F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q57_map_functions",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+             count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(clicks AS BIGINT) AS clicks,
+           CAST(purchases AS BIGINT) AS purchases,
+           CAST(n_types AS BIGINT) AS n_types
+    FROM counts
+    WHERE user_id < 50
+    ORDER BY user_id
+    """,
+    doc=(
+        "Map-typed analytics: per-user event_type→count map built with "
+        "map_from_entries(collect_list(...)), probed with element_at and "
+        "sized with map_keys — the Spark plan carries a real MapType column "
+        "(the oracle states the same answer with conditional counts)."
+    ),
+)
+def q57_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    per_type = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    with_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+        ).alias("type_counts")
+    )
+    return with_map.select(
+        "user_id",
+        F.coalesce(F.element_at(F.col("type_counts"), F.lit("click")), F.lit(0))
+        .cast("bigint")
+        .alias("clicks"),
+        F.coalesce(F.element_at(F.col("type_counts"), F.lit("purchase")), F.lit(0))
+        .cast("bigint")
+        .alias("purchases"),
+        F.size(F.map_keys(F.col("type_counts"))).cast("bigint").alias("n_types"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q38_error_safe_casts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS BIGINT)) AS BIGINT) AS priority_sum,
+           count(TRY_CAST(split_part(o_orderpriority, '-', 2) AS INTEGER)) AS numeric_suffixes,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / nullif(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0), 4) AS price_per_f
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Error-safe expressions under ANSI mode: try_cast for strings that "
+        "may not parse, try_divide (÷0 → NULL, not an exception) — the "
+        "ANSI-strict engine still runs dirty-data pipelines declaratively."
+    ),
+)
+def q38_error_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    prio_num = F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).try_cast("int")
+    suffix_num = F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(2)).try_cast("int")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(prio_num.cast("bigint")).cast("bigint").alias("priority_sum"),
+            F.count(suffix_num).alias("numeric_suffixes"),
+            F.round(
+                F.lit(1e-9)
+                + F.try_divide(
+                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+                    F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)),
+                ),
+                4,
+            ).alias("price_per_f"),
+        )
+        .orderBy("o_orderpriority")
+    )

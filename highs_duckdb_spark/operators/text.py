@@ -263,3 +263,86 @@ def t06_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint", "doc_size", (F.col("rk") == 1).alias("is_kept"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t08_corpus_filter_pipeline",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(length(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE) AS n_uniq
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_chars,
+             0.5 * least(n_chars / 500.0, 1.0)
+             + 0.5 * (n_uniq / greatest(n_tokens, 1.0)) AS quality,
+             min(doc_id) OVER (PARTITION BY fp) AS keeper
+      FROM feat
+    )
+    SELECT doc_id,
+           CASE
+             WHEN doc_id <> keeper THEN 'duplicate'
+             WHEN n_chars < 80 THEN 'too_short'
+             WHEN n_chars > 2000 THEN 'too_long'
+             WHEN quality < 0.5 THEN 'low_quality'
+             ELSE 'kept'
+           END AS verdict,
+           CAST(doc_id = keeper AND n_chars >= 80 AND n_chars <= 2000
+                AND quality >= 0.5 AS BOOLEAN) AS is_kept
+    FROM scored
+    ORDER BY doc_id
+    """,
+    category="text",
+    doc=(
+        "End-to-end corpus filter: exact-dup keeper (md5 window) + length "
+        "bounds + composite quality gate, with a first-failure verdict per "
+        "document — the composed training-data admission pipeline. One "
+        "shuffle (fingerprint window); every score is codegen expressions."
+    ),
+)
+def t08_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feat = docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(toks).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+        .cast("double")
+        .alias("n_uniq"),
+    )
+    quality = (
+        0.5 * F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+        + 0.5 * (F.col("n_uniq") / F.greatest(F.col("n_tokens"), F.lit(1.0)))
+    )
+    scored = feat.select(
+        "doc_id",
+        "n_chars",
+        quality.alias("quality"),
+        F.min("doc_id").over(Window.partitionBy("fp")).alias("keeper"),
+    )
+    verdict = (
+        F.when(F.col("doc_id") != F.col("keeper"), "duplicate")
+        .when(F.col("n_chars") < 80, "too_short")
+        .when(F.col("n_chars") > 2000, "too_long")
+        .when(F.col("quality") < 0.5, "low_quality")
+        .otherwise("kept")
+    )
+    is_kept = (
+        (F.col("doc_id") == F.col("keeper"))
+        & (F.col("n_chars") >= 80)
+        & (F.col("n_chars") <= 2000)
+        & (F.col("quality") >= 0.5)
+    )
+    return (
+        scored.select("doc_id", verdict.alias("verdict"), is_kept.alias("is_kept"))
+        .orderBy("doc_id")
+    )
