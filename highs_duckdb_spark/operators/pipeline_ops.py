@@ -1,0 +1,169 @@
+"""Training-data sharding/packing operators — the steps between "filtered
+corpus" and "what the trainer reads": context-window packing, deterministic
+split assignment, and temperature-based language mixing.
+
+All three are pure DataFrame plans (no Python in the hot path) with
+declared deterministic semantics so a DuckDB oracle can replay them:
+
+- packing uses running-token-count arithmetic (cumsum-based pack ids), the
+  distributable form of greedy packing — at 100 TB the cumsum is one
+  window over a per-shard ordering rather than a global sequential scan;
+- splits hash doc ids (md5), never random() — reproducible across engines,
+  runs, and cluster sizes, and stable under corpus growth;
+- language weights are closed-form arithmetic over per-language counts.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+PACK_CAPACITY = 512  # tokens per training sequence (window)
+
+
+@register(
+    "p01_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                        / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM packed
+    GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """,
+    category="pipeline",
+    doc=(
+        f"Context-window packing ({PACK_CAPACITY} tokens): docs stream in "
+        "doc_id order per language shard; pack_id = floor(preceding-token "
+        "cumsum / capacity) — the order-deterministic, windowable form of "
+        "greedy packing (one shuffle on the shard key; the cumsum never "
+        "needs a global sequential pass)."
+    ),
+)
+def p01_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    toks = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / PACK_CAPACITY
+        )
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+@register(
+    "p02_train_val_split",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM bucketed
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    category="pipeline",
+    doc=(
+        "Deterministic 90/5/5 split: md5(doc_id) first-24-bits mod 100 — "
+        "reproducible across engines/runs/cluster sizes and stable as the "
+        "corpus grows (a doc never changes split), unlike random()."
+    ),
+)
+def p02_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy("lang", split.alias("split"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").cast("bigint").alias("min_doc"))
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "p03_language_temperature_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ),
+    powered AS (
+      SELECT lang, n, pow(n, 0.7) AS p FROM counts
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           round(1e-9 + n / (SELECT sum(n) FROM powered), 6) AS natural_share,
+           round(1e-9 + p / (SELECT sum(p) FROM powered), 6) AS sampled_share,
+           round(1e-9 + (p / (SELECT sum(p) FROM powered)) / (n / (SELECT sum(n) FROM powered)), 6) AS upsample_factor
+    FROM powered
+    ORDER BY lang
+    """,
+    category="pipeline",
+    doc=(
+        "Temperature-based language mixing (alpha=0.7): per-language corpus "
+        "shares flattened by count^alpha — the multilingual-sampling recipe; "
+        "a two-row broadcast of the global sums, all arithmetic closed-form."
+    ),
+)
+def p03_language_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    powered = counts.select("lang", "n", F.pow("n", F.lit(0.7)).alias("p"))
+    totals = powered.agg(
+        F.sum("n").alias("tot_n"), F.sum("p").alias("tot_p")
+    )
+    joined = powered.crossJoin(F.broadcast(totals))
+    nat = F.col("n") / F.col("tot_n")
+    samp = F.col("p") / F.col("tot_p")
+    return joined.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.lit(1e-9) + nat, 6).alias("natural_share"),
+        F.round(F.lit(1e-9) + samp, 6).alias("sampled_share"),
+        F.round(F.lit(1e-9) + samp / nat, 6).alias("upsample_factor"),
+    ).orderBy("lang")
