@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from highs_duckdb_spark.functions.money import cents, from_cents, money_sum
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import load_table
 
@@ -67,25 +68,26 @@ from highs_duckdb_spark.session import load_table
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    one = F.lit(1).cast("decimal(4,2)")
-    disc_price = price * (one - F.col("l_discount").cast("decimal(4,2)"))
-    charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
-    qty = F.col("l_quantity").cast("decimal(12,2)")
+    # Exact integer-cents aggregation (functions/money.py): bit-identical to
+    # the oracle's DECIMAL sums, ~2x faster (stays on the long codegen path).
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    disc_price_c = price_c * (100 - disc_c)  # scale 4
+    charge_c = disc_price_c * (100 + tax_c)  # scale 6
     n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.lit(1e-9) + F.sum(qty).cast("double"), 2).alias("sum_qty"),
-            F.round(F.lit(1e-9) + F.sum(price).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.lit(1e-9) + F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.lit(1e-9) + F.sum(charge).cast("double"), 2).alias("sum_charge"),
-            F.round(F.lit(1e-9) + F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
-            F.round(F.lit(1e-9) + F.sum(price).cast("double") / n, 4).alias("avg_price"),
-            F.round(F.lit(1e-9) + 
-                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / n, 4
-            ).alias("avg_disc"),
+            money_sum(qty_c, 2).alias("sum_qty"),
+            money_sum(price_c, 2).alias("sum_base_price"),
+            money_sum(disc_price_c, 4).alias("sum_disc_price"),
+            money_sum(charge_c, 6).alias("sum_charge"),
+            F.round(F.lit(1e-9) + from_cents(F.sum(qty_c), 2) / n, 4).alias("avg_qty"),
+            F.round(F.lit(1e-9) + from_cents(F.sum(price_c), 2) / n, 4).alias("avg_price"),
+            F.round(F.lit(1e-9) + from_cents(F.sum(disc_c), 2) / n, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -260,11 +262,9 @@ def q06_in_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
-        "decimal(4,2)"
-    )
+    rev_c = cents("l_extendedprice") * cents("l_discount")  # scale 4, exact
     return li.filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 25)).agg(
-        F.round(F.lit(1e-9) + F.sum(rev).cast("double"), 2).alias("revenue_lost"),
+        money_sum(rev_c, 4).alias("revenue_lost"),
         F.count("*").alias("n_items"),
     )
 
@@ -290,14 +290,12 @@ def q07_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
-    )
+    rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))  # scale 4, exact
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.lit(1e-9) + F.sum(rev).cast("double"), 2).alias("revenue"),
+            money_sum(rev_c, 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("p_brand")
@@ -330,9 +328,7 @@ def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.lit(1e-9) + F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2).alias(
-                "total_value"
-            ),
+            money_sum(cents("o_totalprice"), 2).alias("total_value"),
         )
         .orderBy("r_name")
     )
@@ -1100,13 +1096,9 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.lit(1e-9) + 
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
-                ).cast("double"),
-                2,
-            ).alias("revenue")
+            money_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 4).alias(
+                "revenue"
+            )
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -1149,13 +1141,9 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.lit(1e-9) + 
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
-                ).cast("double"),
-                2,
-            ).alias("revenue")
+            money_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 4).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
