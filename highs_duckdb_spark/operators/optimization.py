@@ -185,10 +185,10 @@ def opt05_solve_many_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = g.select(
         F.concat(F.lit("nation_"), F.col("c_nationkey").cast("string")).alias("model_name"),
         "cnt",
-    ).localCheckpoint(eager=True)
-    # pinned: variables/constraints/coefficients all branch from g; without
-    # it the customer scan+agg subplan is duplicated per branch in the union
-    # (neutral at bench scale, real at 100 TB where g is worth materializing)
+    )
+    # variables/constraints/coefficients all branch from g; the union's three
+    # copies of the customer agg share one map-side execution via Spark's
+    # ReuseExchange rule (the exchanges are identical), so no checkpoint job
     variables = g.selectExpr(
         "model_name",
         "stack(2, 'x', 0, 'y', 1) AS (variable_name, ord)",
@@ -218,14 +218,22 @@ def opt05_solve_many_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coefficient",
     )
     result = solve_many(variables, constraints, coefficients)
-    return result.select(
-        "model_name",
-        "variable_name",
-        "variable_index",
-        F.round(F.lit(1e-9) + F.col("solution_value"), 6).alias("solution_value"),
-        "reduced_cost",
-        "status",
-    ).orderBy("model_name", "variable_index")
+    # Presentation sort of a tiny result (n_models × n_vars rows): a global
+    # orderBy would range-sample its child — re-executing the solve stage a
+    # second time per run. One round-robin exchange to a single partition +
+    # partition-local sort keeps the Python solve stage single-execution.
+    return (
+        result.select(
+            "model_name",
+            "variable_name",
+            "variable_index",
+            F.round(F.lit(1e-9) + F.col("solution_value"), 6).alias("solution_value"),
+            "reduced_cost",
+            "status",
+        )
+        .repartition(1)
+        .sortWithinPartitions("model_name", "variable_index")
+    )
 
 
 @register(
