@@ -1,0 +1,25 @@
+"""Cheap total ordering for small final results.
+
+A global ``orderBy`` plans a range exchange whose partitioner SAMPLES the
+child — an extra Spark job per query that re-executes the plan segment
+above the last shuffle. For a final result of a few (thousand) rows that
+is pure overhead: ``coalesce(1)`` + a partition-local sort yields the same
+total order in the main job itself, with one reduce task instead of a
+sample job + N sorted tasks.
+
+Use ONLY where the pre-sort result is small (aggregated/top-k outputs):
+``coalesce`` collapses everything above the last shuffle boundary into a
+single task, so applying it to a large or compute-heavy final stage would
+serialize real work. Large ordered outputs keep ``orderBy`` (range
+partitioning is exactly right at 100 TB, where the output itself is
+cluster-sized and the sample pass is amortized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def present_sorted(df: DataFrame, *cols) -> DataFrame:
+    """Totally-ordered single-partition presentation of a SMALL result."""
+    return df.coalesce(1).sortWithinPartitions(*cols)

@@ -26,6 +26,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import ensure_shipped, load_table
 
@@ -78,7 +79,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.md5(_NORM(F.col("text"))).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
-        .orderBy("fingerprint")
+        .transform(present_sorted, "fingerprint")
     )
 
 
@@ -260,7 +261,7 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select("doc_a", "doc_b", (inter / uni).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.05)
         .select("doc_a", "doc_b", F.round(F.lit(1e-9) + F.col("jaccard"), 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .transform(present_sorted, "doc_a", "doc_b")
     )
 
 

@@ -36,6 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.functions.money import cents, from_cents, money_sum
+from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import load_table
 
@@ -90,7 +91,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1e-9) + from_cents(F.sum(disc_c), 2) / n, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(present_sorted, "l_returnflag", "l_linestatus")
     )
 
 
@@ -298,7 +299,7 @@ def q10_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(rev_c, 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
-        .orderBy("p_brand")
+        .transform(present_sorted, "p_brand")
     )
 
 
@@ -330,7 +331,7 @@ def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             money_sum(cents("o_totalprice"), 2).alias("total_value"),
         )
-        .orderBy("r_name")
+        .transform(present_sorted, "r_name")
     )
 
 
@@ -435,7 +436,7 @@ def q20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("distinct_supps"),
             F.count("*").alias("n"),
         )
-        .orderBy("l_returnflag")
+        .transform(present_sorted, "l_returnflag")
     )
 
 
@@ -1145,7 +1146,7 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .transform(present_sorted, F.desc("revenue"), F.asc("n_name"))
     )
 
 

@@ -28,6 +28,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import load_table
 
@@ -97,7 +98,7 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "rk", "neighbor_id", "label", "cosine")
-        .orderBy("query_id", "rk")
+        .transform(present_sorted, "query_id", "rk")
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import load_table
 
@@ -219,7 +220,7 @@ def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("bucket"),
-    ).orderBy("doc_id")
+    ).transform(present_sorted, "doc_id")
 
 
 @register(
