@@ -24,5 +24,6 @@ from highs_duckdb_spark.operators import tpch_extra2  # noqa: E402,F401
 from highs_duckdb_spark.operators import merge_ops  # noqa: E402,F401
 from highs_duckdb_spark.operators import relational3  # noqa: E402,F401
 from highs_duckdb_spark.operators import pipeline_ops  # noqa: E402,F401
+from highs_duckdb_spark.operators import graph_ops  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "all_queries", "all_oracles"]

@@ -167,3 +167,103 @@ def p03_language_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.lit(1e-9) + samp, 6).alias("sampled_share"),
         F.round(F.lit(1e-9) + samp / nat, 6).alias("upsample_factor"),
     ).orderBy("lang")
+
+
+SAMPLE_PER_LANG = 40
+
+
+@register(
+    "p04_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+    FROM ranked WHERE rk <= {SAMPLE_PER_LANG}
+    ORDER BY lang, rk
+    """,
+    category="pipeline",
+    doc=(
+        f"Deterministic stratified sample ({SAMPLE_PER_LANG}/language): rank "
+        "docs by md5(doc_id) inside each language shard and keep the top "
+        "N — a reproducible 'random' sample (same members on every engine, "
+        "run, and cluster size; random()/TABLESAMPLE are not). One window "
+        "per stratum, no global sort."
+    ),
+)
+def p04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_PER_LANG)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+TOKEN_BUDGET = 20000
+
+
+@register(
+    "p05_token_budget_curriculum",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             round(1e-9 + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 6) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+                                    ORDER BY quality DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM feat
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_taken,
+           round(1e-9 + min(quality), 6) AS worst_quality_admitted
+    FROM ranked
+    WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+    GROUP BY lang ORDER BY lang
+    """,
+    category="pipeline",
+    doc=(
+        f"Quality-first data selection under a token budget ({TOKEN_BUDGET}/"
+        "language): rank docs by quality inside each shard, admit while the "
+        "preceding-token cumsum is under budget (greedy knapsack, the "
+        "curriculum/selection step of a training-data pipeline). Windowed "
+        "cumsum per shard — one shuffle on the stratum key."
+    ),
+)
+def p05_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    quality = F.round(
+        F.lit(1e-9) + F.least(F.length("text").cast("double") / 500.0, F.lit(1.0)), 6
+    )
+    feat = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), quality.alias("quality")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = feat.select(
+        "lang", "n_tokens", "quality", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_taken"),
+            F.round(F.lit(1e-9) + F.min("quality"), 6).alias("worst_quality_admitted"),
+        )
+        .orderBy("lang")
+    )

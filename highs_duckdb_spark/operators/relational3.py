@@ -296,3 +296,77 @@ def q38_error_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+Z_THRESHOLD = 2.5
+
+
+@register(
+    "dq01_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT c_mktsegment AS seg,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sx,
+             -- sum of squared cents overflows BIGINT beyond ~sf0.001;
+             -- DuckDB's sum(BIGINT) widens to HUGEINT, Spark side uses DECIMAL
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                      * CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxx
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    ),
+    z AS (
+      SELECT o_orderkey, c_mktsegment AS seg,
+             (o_totalprice - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS zscore
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN stats ON stats.seg = c_mktsegment
+    )
+    SELECT o_orderkey, seg, round(1e-9 + zscore, 4) AS zscore
+    FROM z WHERE abs(zscore) > {Z_THRESHOLD}
+    ORDER BY o_orderkey
+    """,
+    category="quality",
+    doc=(
+        "Data-quality outlier detection: per-segment z-scores of order "
+        "totals with |z| > 2.5 flagged. Mean and variance derive from "
+        "exact integer-cents sums (sum x, sum x^2 — one grouped pass, "
+        "engine-exact), then one broadcast join of the 5-row stats table "
+        "back onto the fact side; no second full-data pass for the "
+        "variance and no stddev_samp (whose summation order is "
+        "engine-dependent)."
+    ),
+)
+def dq01_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.functions.money import cents
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", F.col("c_mktsegment").alias("seg"), "o_totalprice"
+    )
+    c = cents("o_totalprice")
+    stats = joined.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        (F.sum(c).cast("double") / 100.0).alias("sx"),
+        # squared cents reach ~2.5e15/row: a long sum overflows past ~1e3
+        # rows/group, so this one aggregate takes the exact DECIMAL path
+        # (the oracle's HUGEINT equivalent); both cast the same exact
+        # integer to DOUBLE
+        (F.sum((c * c).cast("decimal(28,0)")).cast("double") / 10000.0).alias("sxx"),
+    )
+    z = (
+        joined.join(F.broadcast(stats), "seg")
+        .select(
+            "o_orderkey",
+            "seg",
+            (
+                (F.col("o_totalprice") - F.col("sx") / F.col("n"))
+                / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+            ).alias("zscore"),
+        )
+    )
+    return (
+        z.filter(F.abs("zscore") > Z_THRESHOLD)
+        .select("o_orderkey", "seg", F.round(F.lit(1e-9) + F.col("zscore"), 4).alias("zscore"))
+        .orderBy("o_orderkey")
+    )

@@ -169,3 +169,64 @@ def qs05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = dedup_stream(read_events_stream(spark, sf_dir))
     run_stream_to_table(stream, table, output_mode="append")
     return spark.table(table).orderBy("user_id", "event_type")
+
+
+@register(
+    "qs06_stream_stream_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor((CAST(epoch(p.ts) AS BIGINT) - CAST(epoch(c.ts) AS BIGINT)) / 60.0) AS BIGINT) AS gap_minutes
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+    category="streaming",
+    doc=(
+        "Stream-stream interval join: clicks joined to purchases of the same "
+        "user within the following 2 hours, BOTH sides watermarked so the "
+        "join state is bounded (Spark buffers only events inside the "
+        "watermark + interval horizon — the attribution-join pattern). Run "
+        "as a real AvailableNow stream; result equals the batch interval "
+        "join the oracle expresses."
+    ),
+)
+def qs06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOURS"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.floor(
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")) / F.lit(60.0)
+        )
+        .cast("bigint")
+        .alias("gap_minutes"),
+    )
+    table = f"stream_stream_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(joined, table, output_mode="append")
+    return spark.table(table).orderBy("user_id", "click_id", "purchase_id")

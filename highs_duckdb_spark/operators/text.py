@@ -347,3 +347,67 @@ def t08_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", verdict.alias("verdict"), is_kept.alias("is_kept"))
         .orderBy("doc_id")
     )
+
+
+LM_DOC_LIMIT = 200
+
+
+@register(
+    "t09_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE doc_id < {LM_DOC_LIMIT}
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, length(t))) AS r(i)
+      WHERE length(t) >= 2
+    ),
+    cnt2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id, ln(CAST(c12 AS DOUBLE) / c1) AS lp
+      FROM big b JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(1e-9 + avg(lp), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="text",
+    doc=(
+        "Bigram language-model fluency score: train P(w2|w1) = c12/c1 on the "
+        "corpus itself, score each document by its mean bigram log-prob — "
+        "the classic cheap perplexity proxy for corpus filtering. Counts "
+        "are two grouped aggregations over one exploded-bigram pass; "
+        "scoring joins occurrences back on (w1, w2) and w1."
+    ),
+)
+def t09_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < LM_DOC_LIMIT)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    big = toks.select("doc_id", F.explode(bg).alias("b")).select("doc_id", "b.w1", "b.w2")
+    cnt2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cnt1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        big.join(cnt2, ["w1", "w2"])
+        .join(cnt1, ["w1"])
+        .select("doc_id", F.log(F.col("c12").cast("double") / F.col("c1")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.lit(1e-9) + F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .transform(present_sorted, "doc_id")
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import load_table
 
@@ -228,3 +229,143 @@ def v04_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(K_CLUSTERS)
         ]
     return assigned.select("vec_id", "label", "cluster").orderBy("vec_id")
+
+
+QUANT_VEC_LIMIT = 100
+
+
+@register(
+    "v04_int8_quantize",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id < {QUANT_VEC_LIMIT}),
+    p AS (
+      SELECT vec_id, v, list_min(v) AS lo,
+             greatest(list_max(v) - list_min(v), 1e-12) / 254.0 AS s
+      FROM emb
+    ),
+    q AS (
+      SELECT vec_id, v, lo, s,
+             [floor((x - lo) / s + 0.5) FOR x IN v] AS qs
+      FROM p
+    ),
+    d AS (
+      SELECT vec_id, lo, s, qs,
+             [abs(v[i] - (qs[i] * s + lo)) FOR i IN range(1, length(v) + 1)] AS errs
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(length(list_distinct(qs)) AS BIGINT) AS n_codes,
+           round(1e-9 + list_max(errs), 6) AS max_abs_err,
+           round(1e-9 + list_sum([e * e FOR e IN errs]) / length(errs), 6) AS mse
+    FROM d ORDER BY vec_id
+    """,
+    category="similarity",
+    doc=(
+        "Int8 scalar quantization of embeddings (per-vector min/max grid, "
+        "255 codes): quantize, dequantize, report code cardinality and "
+        "reconstruction error — the compression step before shipping "
+        "vectors to an ANN index. floor(x+0.5) keeps the code assignment "
+        "engine-identical (round() half-even/half-up differs); everything "
+        "is higher-order array ops in one codegen pass, no shuffle."
+    ),
+)
+def v04_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < QUANT_VEC_LIMIT)
+    v = _as_double(F.col("embedding"))
+    p = emb.select("vec_id", v.alias("v")).select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("lo"),
+        (F.greatest(F.array_max("v") - F.array_min("v"), F.lit(1e-12)) / 254.0).alias("s"),
+    )
+    q = p.select(
+        "vec_id",
+        "v",
+        "lo",
+        "s",
+        F.transform(
+            F.col("v"), lambda x: F.floor((x - F.col("lo")) / F.col("s") + 0.5)
+        ).alias("qs"),
+    )
+    d = q.select(
+        "vec_id",
+        "qs",
+        F.zip_with(
+            "v", "qs", lambda x, c: F.abs(x - (c * F.col("s") + F.col("lo")))
+        ).alias("errs"),
+    )
+    sq_sum = F.aggregate(F.col("errs"), F.lit(0.0), lambda acc, e: acc + e * e)
+    return d.select(
+        "vec_id",
+        F.size(F.array_distinct("qs")).cast("bigint").alias("n_codes"),
+        F.round(F.lit(1e-9) + F.array_max("errs"), 6).alias("max_abs_err"),
+        F.round(F.lit(1e-9) + sq_sum / F.size("errs"), 6).alias("mse"),
+    ).transform(present_sorted, "vec_id")
+
+
+PROJ_DIMS = 8
+PROJ_SRC_DIM = 64
+_PROJ_A, _PROJ_B, _PROJ_M = 1103515245, 12345, 2001
+
+
+def _proj_row_sql(j: int) -> str:
+    return (
+        f"[(({_PROJ_A} * ({j * PROJ_SRC_DIM} + d) + {_PROJ_B}) % {_PROJ_M} - 1000) / 1000.0 "
+        f"FOR d IN range(0, {PROJ_SRC_DIM})]"
+    )
+
+
+@register(
+    "v05_random_projection",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id < {QUANT_VEC_LIMIT}),
+    proj AS (
+      SELECT vec_id, v,
+             [{", ".join(f"list_dot_product(v, {_proj_row_sql(j)})" for j in range(PROJ_DIMS))}] AS p
+      FROM emb
+    )
+    SELECT vec_id,
+           round(1e-9 + p[1], 4) AS p0,
+           round(1e-9 + p[2], 4) AS p1,
+           round(1e-9 + sqrt(list_dot_product(p, p)) / sqrt(list_dot_product(v, v)), 4) AS norm_ratio
+    FROM proj ORDER BY vec_id
+    """,
+    category="similarity",
+    doc=(
+        f"Johnson-Lindenstrauss-style random projection {PROJ_SRC_DIM}->"
+        f"{PROJ_DIMS} dims with a DETERMINISTIC pseudo-random matrix "
+        "(affine integer formula, identical in both engines — no RNG state "
+        "to ship): the dimensionality-reduction step before clustering/ANN "
+        "at scale. Pure higher-order folds in codegen; the matrix is "
+        "formula-generated per row, so the plan carries no literal matrix."
+    ),
+)
+def v05_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < QUANT_VEC_LIMIT)
+    v = _as_double(F.col("embedding"))
+
+    def proj_row(j: int):
+        return F.transform(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(PROJ_SRC_DIM - 1).cast("bigint")),
+            lambda d: (
+                (F.lit(_PROJ_A).cast("bigint") * (F.lit(j * PROJ_SRC_DIM) + d) + _PROJ_B)
+                % _PROJ_M
+                - 1000
+            )
+            / 1000.0,
+        )
+
+    base = emb.select("vec_id", v.alias("v"))
+    p = F.array(*[_dot(F.col("v"), proj_row(j)) for j in range(PROJ_DIMS)])
+    proj = base.select("vec_id", "v", p.alias("p"))
+    return proj.select(
+        "vec_id",
+        F.round(F.lit(1e-9) + F.element_at("p", 1), 4).alias("p0"),
+        F.round(F.lit(1e-9) + F.element_at("p", 2), 4).alias("p1"),
+        F.round(
+            F.lit(1e-9) + F.sqrt(_dot(F.col("p"), F.col("p"))) / F.sqrt(_dot(F.col("v"), F.col("v"))),
+            4,
+        ).alias("norm_ratio"),
+    ).transform(present_sorted, "vec_id")

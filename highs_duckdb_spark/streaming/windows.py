@@ -169,15 +169,28 @@ def run_stream_to_table(stream_df: DataFrame, table: str, output_mode: str) -> N
     watermark are emitted (append would hold them back forever on a finite
     source); the stateful sessionizer only supports ``append``.
     """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/hds_ckpt_{table}_{uuid.uuid4().hex}")
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    # State-store partition count is fixed per checkpoint at stream start
+    # and defaults to spark.sql.shuffle.partitions (200 on a vanilla
+    # session) — 200 state tasks per stateful stage is pure scheduling
+    # overhead at test scale. Each run here uses a fresh checkpoint, so
+    # clamp for the duration of the (synchronous) run and restore. On a
+    # real cluster you'd size this to the state volume instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    clamped = min(int(prev), 8)
+    spark.conf.set("spark.sql.shuffle.partitions", str(clamped))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"/tmp/hds_ckpt_{table}_{uuid.uuid4().hex}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def dedup_stream(events: DataFrame) -> DataFrame:
