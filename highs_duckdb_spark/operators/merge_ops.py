@@ -14,7 +14,7 @@ target scan but keeps this plan shape.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import load_table
@@ -92,3 +92,50 @@ def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     ).orderBy("custkey")
+
+
+@register(
+    "q78_scd2_history",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_id, ts, value
+      FROM events WHERE event_type = 'signup' OR event_type = 'purchase'
+    )
+    SELECT user_id,
+           event_id,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to,
+           round(1e-9 + value, 4) AS state_value,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+    category="merge",
+    doc=(
+        "Type-2 slowly-changing-dimension history build: each change event "
+        "opens a validity interval closed by the user's next change "
+        "(valid_to NULL = current row) — the warehouse pattern that turns a "
+        "CDC/event stream into point-in-time queryable history. One window "
+        "over the change key; at 100 TB this is a single shuffle on "
+        "user_id, and incremental maintenance is the q77 MERGE."
+    ),
+)
+def q78_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ch = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ch.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            F.round(F.lit(1e-9) + F.col("value"), 4).alias("state_value"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )

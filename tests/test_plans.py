@@ -17,6 +17,7 @@ from highs_duckdb_spark.operators.relational import (
 from highs_duckdb_spark.operators.sources_ops import _tmpdir
 from highs_duckdb_spark.plans.audit import (
     has_broadcast_hash_join,
+    has_shuffle_exchange,
     has_take_ordered,
     partition_filters,
     pushed_filters,
@@ -177,3 +178,43 @@ def test_q77_merge_single_copartitioned_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" in plan
     assert plan.count("Exchange hashpartitioning(c_custkey") == 1, plan[:3000]
+
+
+def test_v04_v05_vector_ops_zero_shuffle(spark):
+    """Quantization and projection are pure map passes: no shuffle at all
+    (present_sorted's coalesce is a narrow dependency)."""
+    from highs_duckdb_spark.operators.vectors import v04_int8_quantize, v05_random_projection
+
+    assert not has_shuffle_exchange(v04_int8_quantize(spark, SF))
+    assert not has_shuffle_exchange(v05_random_projection(spark, SF))
+
+
+def test_p04_p05_single_stratum_shuffle(spark):
+    """Stratified sample and token-budget curriculum shuffle ONCE on the
+    stratum key (the window exchange; p05's groupBy(lang) reuses it)."""
+    from highs_duckdb_spark.operators.pipeline_ops import (
+        p04_stratified_sample,
+        p05_token_budget_curriculum,
+    )
+
+    for df in (p04_stratified_sample(spark, SF), p05_token_budget_curriculum(spark, SF)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_dq01_broadcasts_stats(spark):
+    """The 5-row moments table joins back by broadcast — the fact side is
+    never shuffled for the z-score pass."""
+    from highs_duckdb_spark.operators.relational3 import dq01_zscore_outliers
+
+    df = dq01_zscore_outliers(spark, SF)
+    assert has_broadcast_hash_join(df)
+
+
+def test_g03_bfs_broadcasts_adjacency(spark):
+    """Every BFS relaxation round joins the frontier against a broadcast
+    adjacency list — no all-to-all shuffle per round."""
+    from highs_duckdb_spark.operators.graph_ops import g03_bfs_hops
+
+    df = g03_bfs_hops(spark, SF)
+    assert has_broadcast_hash_join(df)
