@@ -370,3 +370,52 @@ def dq01_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "seg", F.round(F.lit(1e-9) + F.col("zscore"), 4).alias("zscore"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q79_udaf_geomean",
+    oracle="""
+    SELECT o_orderpriority,
+           round(1e-9 + exp(avg(ln(o_totalprice))), 4) AS geo_mean_price
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="functions",
+    doc=(
+        "Custom aggregate (UDAF) surface: per-group geometric mean via an "
+        "Arrow-batched grouped-agg pandas UDF — the Spark-4 registration "
+        "path for user aggregates (SURVEY §2.2 'UDAF registration APIs'). "
+        "Numpy does the log-sum per group; the plan is a normal hash "
+        "aggregate whose buffer is the UDF's partial state."
+    ),
+)
+def q79_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from highs_duckdb_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mean_log(prices):
+        # mean-of-logs matches the oracle's avg(ln(x)) up to summation
+        # order; the 4-decimal round absorbs the difference
+        return float(np.log(prices.to_numpy(dtype="float64")).mean())
+
+    # real type objects: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf's signature inference rejects
+    _mean_log.__annotations__ = {"prices": pd.Series, "return": float}
+    geo_mean = F.pandas_udf(_mean_log, "double")
+
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        # a grouped-agg pandas UDF cannot share an agg() with built-in
+        # aggregates (INVALID_PANDAS_UDF_PLACEMENT), so it stands alone
+        .agg(
+            F.round(F.lit(1e-9) + F.exp(geo_mean(F.col("o_totalprice"))), 4).alias(
+                "geo_mean_price"
+            )
+        )
+        .orderBy("o_orderpriority")
+    )
