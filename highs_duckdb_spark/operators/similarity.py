@@ -380,3 +380,98 @@ def s04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "neighbor_id", "label", "cosine")
         .orderBy("query_id", "rk")
     )
+
+
+@register(
+    "s05_cosine_topk_local_merge",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, label, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    category="similarity",
+    doc=(
+        "Exact cosine top-k, scale-correct formulation: the query matrix "
+        "broadcasts into a mapInPandas kernel that scores each corpus "
+        "partition with one BLAS matmul and emits only its LOCAL top-k per "
+        "query — the global merge then ranks partitions x queries x k rows "
+        "instead of the full corpus x queries cross product that s01's "
+        "single window shuffles. Same exact result (local top-k is a "
+        "superset of each partition's contribution to the global top-k)."
+    ),
+)
+def s05_cosine_topk_local_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from highs_duckdb_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label", "embedding")
+    # The query set is bounded (N_QUERIES rows) — collect once and close
+    # over it; cloudpickle ships the ndarray inside the kernel (the
+    # driver-side equivalent of a broadcast variable at this size).
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            # cosine: (corpus x dim) @ (dim x queries), normalized
+            sims = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
+            sims = np.round(1e-9 + sims, 6)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = vec_ids != qid  # self-match excluded
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # local top-k: order by (-cosine, neighbor_id) like the merge
+                order = np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:TOP_K]
+                take = cand_idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": vec_ids[take],
+                            "label": labels[take],
+                            "cosine": col[take],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    local = emb.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, label int, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "label", "cosine")
+        .transform(present_sorted, "query_id", "rk")
+    )
