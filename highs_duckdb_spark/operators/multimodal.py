@@ -217,3 +217,59 @@ def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     vids = synthesize_blobs(docs).filter(F.col("media_type") == "video")
     schema = "doc_id long, frame_idx long, ts_sec double, byte_offset long"
     return vids.mapInPandas(_frame_sample_batch, schema).orderBy("doc_id", "frame_idx")
+
+
+AUDIO_SAMPLE_RATE = 8000  # fake PCM rate for the stubbed decode
+
+
+def _audio_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio feature extraction: fake-decode payload bytes as signed int8
+    PCM samples, then numpy-vectorized RMS / peak / zero-crossing-rate —
+    the real feature math over the stubbed decode."""
+    import numpy as np
+
+    for pdf in it:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            if not FAKE_DECODE:
+                raise NotImplementedError("audio codecs not available in this container")
+            samples = np.frombuffer(bytes(blob)[12:], dtype=np.int8).astype(np.float64)
+            n = len(samples)
+            if n == 0:
+                rows.append({"doc_id": doc_id, "n_samples": 0, "duration_sec": 0.0,
+                             "rms": 0.0, "peak": 0, "zero_cross_rate": 0.0})
+                continue
+            zc = int(np.count_nonzero(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_samples": n,
+                    "duration_sec": round(1e-9 + n / AUDIO_SAMPLE_RATE, 4),
+                    "rms": round(1e-9 + float(np.sqrt((samples * samples).mean())), 4),
+                    "peak": int(np.abs(samples).max()),
+                    "zero_cross_rate": round(1e-9 + zc / n, 4),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "m04_audio_features",
+    oracle=None,  # byte-level PCM math is not SQL-expressible; exactness vs a pure-Python reference in pytest
+    category="multimodal",
+    doc=(
+        "Audio feature extraction (decode STUBBED as int8 PCM): RMS, peak, "
+        "duration at the fake sample rate, zero-crossing rate — numpy-"
+        "vectorized per Arrow batch via mapInPandas; completes the "
+        "multimodal set (metadata/resize/frame-sample/feature-extract)."
+    ),
+)
+def m04_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    audio = synthesize_blobs(docs).filter(F.col("media_type") == "audio")
+    schema = (
+        "doc_id long, n_samples long, duration_sec double, rms double, "
+        "peak long, zero_cross_rate double"
+    )
+    return audio.mapInPandas(_audio_features_batch, schema).orderBy("doc_id")
