@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import load_table
 
@@ -418,4 +419,106 @@ def q79_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q36_range_interval_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(1e-9 + CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0, 4)
+             AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc=(
+        "Time-based RANGE window frame: per user, rolling count/sum over "
+        "the trailing hour BY EVENT TIME (value-based frame bounds, not row "
+        "counts — irregular event spacing means ROWS frames cannot express "
+        "this). One shuffle on user_id; the frame is evaluated with a "
+        "sliding aggregate over the sorted partition."
+    ),
+)
+def q36_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.functions.money import cents
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("epoch").rangeBetween(-3600, Window.currentRow)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("long").alias("epoch"),
+            cents("value").alias("vc"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+            F.round(
+                F.lit(1e-9) + F.sum("vc").over(w).cast("double") / 100.0, 4
+            ).alias("value_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q37_exact_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS syy,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round(1e-9 + (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS price_discount_corr
+    FROM m ORDER BY flag
+    """,
+    doc=(
+        "Pearson correlation from exact integer-cents moments (n, Σx, Σy, "
+        "Σx², Σy², Σxy in one grouped pass) — native corr() merges partial "
+        "states in partition order and is not reproducible across engines; "
+        "the moments form is exact, order-free, and still one shuffle."
+    ),
+)
+def q37_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.functions.money import cents
+
+    li = load_table(spark, "lineitem", sf_dir)
+    x = cents("l_extendedprice")
+    y = cents("l_discount")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        # squared-cents sums overflow BIGINT (see dq01): exact DECIMAL path
+        F.sum((x * x).cast("decimal(28,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,0)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,0)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        m.select(
+            "flag",
+            n.cast("bigint").alias("n"),
+            F.round(F.lit(1e-9) + corr, 6).alias("price_discount_corr"),
+        )
+        .transform(present_sorted, "flag")
     )
