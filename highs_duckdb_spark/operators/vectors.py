@@ -235,7 +235,7 @@ QUANT_VEC_LIMIT = 100
 
 
 @register(
-    "v04_int8_quantize",
+    "v06_int8_quantize",
     oracle=f"""
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                  WHERE vec_id < {QUANT_VEC_LIMIT}),
@@ -270,7 +270,7 @@ QUANT_VEC_LIMIT = 100
         "is higher-order array ops in one codegen pass, no shuffle."
     ),
 )
-def v04_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v06_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < QUANT_VEC_LIMIT)
     v = _as_double(F.col("embedding"))
     p = emb.select("vec_id", v.alias("v")).select(

@@ -183,9 +183,9 @@ def test_q77_merge_single_copartitioned_shuffle(spark):
 def test_v04_v05_vector_ops_zero_shuffle(spark):
     """Quantization and projection are pure map passes: no shuffle at all
     (present_sorted's coalesce is a narrow dependency)."""
-    from highs_duckdb_spark.operators.vectors import v04_int8_quantize, v05_random_projection
+    from highs_duckdb_spark.operators.vectors import v06_int8_quantize, v05_random_projection
 
-    assert not has_shuffle_exchange(v04_int8_quantize(spark, SF))
+    assert not has_shuffle_exchange(v06_int8_quantize(spark, SF))
     assert not has_shuffle_exchange(v05_random_projection(spark, SF))
 
 
