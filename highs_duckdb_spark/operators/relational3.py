@@ -522,3 +522,61 @@ def q37_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "flag")
     )
+
+
+@register(
+    "q58_hierarchical_time_rollup",
+    oracle="""
+    WITH minute AS (
+      SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+      FROM events GROUP BY m
+    ),
+    hour AS (
+      SELECT CAST(date_trunc('hour', m) AS TIMESTAMP) AS h,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(vc) AS BIGINT) AS vc,
+             count(*) AS n_minutes_active
+      FROM minute GROUP BY h
+    )
+    SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(1e-9 + CAST(sum(vc) AS DOUBLE) / 100.0, 4) AS total_value,
+           count(*) AS n_hours_active,
+           CAST(sum(n_minutes_active) AS BIGINT) AS n_minutes_active
+    FROM hour GROUP BY day ORDER BY day
+    """,
+    doc=(
+        "Hierarchical time-bucket rollup (the hypertable/continuous-"
+        "aggregate pattern): minute buckets aggregate the raw scan ONCE; "
+        "hourly and daily levels re-aggregate the level below, never the "
+        "raw data — at 100 TB the raw table is read one time and each "
+        "coarser resolution costs only a re-agg of the (tiny) finer one. "
+        "Exact integer-cents sums compose losslessly across levels."
+    ),
+)
+def q58_hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.functions.money import cents
+
+    ev = load_table(spark, "events", sf_dir)
+    minute = ev.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
+        F.count("*").alias("n"), F.sum(cents("value")).alias("vc")
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "m").alias("h")).agg(
+        F.sum("n").alias("n"),
+        F.sum("vc").alias("vc"),
+        F.count("*").alias("n_minutes_active"),
+    )
+    return (
+        hour.groupBy(F.date_trunc("day", "h").alias("day"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.lit(1e-9) + F.sum("vc").cast("double") / 100.0, 4).alias(
+                "total_value"
+            ),
+            F.count("*").alias("n_hours_active"),
+            F.sum("n_minutes_active").cast("bigint").alias("n_minutes_active"),
+        )
+        .transform(present_sorted, "day")
+    )
