@@ -1132,11 +1132,19 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
+    # lineitem is the stream side everywhere: written dims-first, the static
+    # planner (sizes under the broadcast threshold) chose lineitem as a hash
+    # build side — a 600k-row hash relation here, an impossible one at
+    # 100 TB. Fact-first join order + explicit dim hints keeps the fact
+    # table streaming through every BroadcastHashJoin (measured 2.1×).
+    # orders (date-filtered) broadcasts at this scale by size; at real scale
+    # it exceeds any threshold and li⋈orders becomes the classic
+    # co-partitioned shuffle join under AQE.
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
-            sup,
+            F.broadcast(sup),
             (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
         )
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)

