@@ -23,6 +23,7 @@ from highs_duckdb_spark.operators import tpch_extra  # noqa: E402,F401
 from highs_duckdb_spark.operators import tpch_extra2  # noqa: E402,F401
 from highs_duckdb_spark.operators import merge_ops  # noqa: E402,F401
 from highs_duckdb_spark.operators import relational3  # noqa: E402,F401
+from highs_duckdb_spark.operators import relational4  # noqa: E402,F401
 from highs_duckdb_spark.operators import pipeline_ops  # noqa: E402,F401
 from highs_duckdb_spark.operators import graph_ops  # noqa: E402,F401
 
