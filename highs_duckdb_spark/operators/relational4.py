@@ -163,6 +163,72 @@ def q18_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q19_timezone_convert",
+    oracle="""
+    SELECT event_id,
+           timezone('America/New_York', timezone('UTC', ts)) AS ts_ny,
+           timezone('Asia/Tokyo', timezone('UTC', ts)) AS ts_tokyo,
+           CAST(hour(timezone('America/New_York', timezone('UTC', ts))) AS BIGINT)
+             AS hour_ny
+    FROM events WHERE event_id < 500
+    ORDER BY event_id
+    """,
+    doc=(
+        "Session-TZ-independent timezone conversion (incl. a DST boundary: "
+        "America/New_York is UTC-4/UTC-5 across the event range). Spark's "
+        "convert_timezone on TIMESTAMP_NTZ mirrors DuckDB's "
+        "timezone(tz, timezone('UTC', ts)) double-hop; neither side touches "
+        "the session time zone, so results are reproducible on any cluster."
+    ),
+)
+def q19_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 500)
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts"))
+    tokyo = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), F.col("ts"))
+    return ev.select(
+        "event_id",
+        ny.alias("ts_ny"),
+        tokyo.alias("ts_tokyo"),
+        F.hour(ny).cast("bigint").alias("hour_ny"),
+    ).transform(present_sorted, "event_id")
+
+
+@register(
+    "q44_bool_bitwise_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(bit_and(o_orderkey % 4096) AS BIGINT) AS keys_bit_and,
+           CAST(bit_or(o_custkey % 4096) AS BIGINT) AS cust_bit_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS keys_bit_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Boolean and bitwise aggregates (bool_and/bool_or, "
+        "bit_and/bit_or/bit_xor) — order-insensitive by construction, so "
+        "they need none of the float determinism machinery. Single hash "
+        "aggregate with map-side partials."
+    ),
+)
+def q44_bool_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.bit_and(F.col("o_orderkey") % 4096).cast("bigint").alias("keys_bit_and"),
+            F.bit_or(F.col("o_custkey") % 4096).cast("bigint").alias("cust_bit_or"),
+            F.bit_xor(F.col("o_orderkey")).cast("bigint").alias("keys_bit_xor"),
+        )
+        .transform(present_sorted, "o_orderpriority")
+    )
+
+
 _PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
 
 
