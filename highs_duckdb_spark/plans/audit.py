@@ -37,8 +37,22 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column lists actually read by each parquet scan (pruning check)."""
     plan = formatted_plan(df)
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    # greedy to end of line: nested generics (array<float>) contain '>'
+    for m in re.finditer(r"ReadSchema: struct<(.*)>\s*$", plan, re.MULTILINE):
+        # split on top-level commas only (nested struct<a,b> types would
+        # contain commas inside <...>)
+        cols, depth, start = [], 0, 0
+        body = m.group(1)
+        for i, ch in enumerate(body + ","):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                item = body[start:i].strip()
+                if item:
+                    cols.append(item.split(":")[0].strip())
+                start = i + 1
         out.append(cols)
     return out
 
@@ -80,4 +94,33 @@ def partition_filters(df: DataFrame) -> list[str]:
         entry = m.group(1).strip()
         if entry:
             out.extend(s.strip() for s in entry.split(","))
+    return out
+
+
+def simple_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def broadcast_build_scans(df: DataFrame) -> list[str]:
+    """Table names whose parquet scan feeds a BroadcastExchange build side.
+
+    The scale contract: only bounded dimensions (or provably reduced
+    derivations) may appear here — a fact-table scan as a hash build side
+    is a plan that dies at 100 TB (found live in a dims-first TPC-H Q5:
+    the static planner hash-built the 600k-row lineitem scan because the
+    file was under the local broadcast threshold)."""
+    lines = simple_plan(df).splitlines()
+    out: list[str] = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        for la in lines[i + 1 :]:
+            if "FileScan parquet" in la or "Scan parquet" in la:
+                m = re.search(r"/(\w+)\.parquet", la)
+                if m:
+                    out.append(m.group(1))
+                break
     return out

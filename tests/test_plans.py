@@ -218,3 +218,59 @@ def test_g03_bfs_broadcasts_adjacency(spark):
 
     df = g03_bfs_hops(spark, SF)
     assert has_broadcast_hash_join(df)
+
+
+def test_q65_fact_table_never_hash_build_side(spark):
+    """The 100-TB contract: lineitem streams through every broadcast join.
+
+    Regression for the dims-first formulation where the static planner chose
+    the whole lineitem scan as a BroadcastHashJoin build side (legal under
+    the local 64MB threshold, fatal at scale)."""
+    from highs_duckdb_spark.operators.relational import q65_tpch_q5_local_volume
+    from highs_duckdb_spark.plans.audit import broadcast_build_scans
+
+    builds = broadcast_build_scans(q65_tpch_q5_local_volume(spark, SF))
+    assert "lineitem" not in builds, builds
+
+
+def test_q15_q16_generate_map_side(spark):
+    """UNPIVOT and posexplode are Generate nodes: no shuffle before the
+    single-partition presentation coalesce."""
+    from highs_duckdb_spark.operators.relational4 import (
+        q15_unpivot,
+        q16_posexplode_ordinality,
+    )
+
+    assert not has_shuffle_exchange(q15_unpivot(spark, SF))
+    assert not has_shuffle_exchange(q16_posexplode_ordinality(spark, SF))
+
+
+def test_dq02_profiles_in_one_scan(spark):
+    """Multi-column null/distinct profile must read the table once (expand +
+    aggregate), not once per column like the naive oracle."""
+    from highs_duckdb_spark.operators.relational4 import dq02_completeness_profile
+    from highs_duckdb_spark.plans.audit import read_schema_columns as rsc
+
+    scans = rsc(dq02_completeness_profile(spark, SF))
+    assert len(scans) == 1, scans
+
+
+def test_q45_orders_scan_pruned(spark):
+    from highs_duckdb_spark.operators.relational4 import q45_generator_calendar
+    from highs_duckdb_spark.plans.audit import read_schema_columns as rsc
+
+    (scan,) = rsc(q45_generator_calendar(spark, SF))
+    assert sorted(scan) == ["o_orderdate", "o_orderkey"]
+
+
+def test_s01_single_corpus_scan_kernel(spark):
+    """Brute-force cosine: exactly one embeddings scan feeding the pandas
+    kernel; the only hash shuffle is the per-query window top-k."""
+    from highs_duckdb_spark.operators.similarity import s01_cosine_topk
+    from highs_duckdb_spark.plans.audit import formatted_plan, read_schema_columns as rsc
+
+    df = s01_cosine_topk(spark, SF)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    scans = rsc(df)
+    assert len(scans) == 1 and sorted(scans[0]) == ["embedding", "label", "vec_id"]
