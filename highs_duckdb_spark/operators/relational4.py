@@ -332,3 +332,145 @@ def dq02_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "column_name")
     )
+
+
+@register(
+    "q47_asof_forward_tolerance",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.ts AS pts,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts, p.event_id) AS rk
+      FROM c JOIN p ON p.user_id = c.user_id
+                   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    )
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(coalesce(m.purchase_id, -1) AS BIGINT) AS next_purchase_id,
+           CAST(coalesce(CAST(floor(epoch(m.pts)) AS BIGINT)
+                         - CAST(floor(epoch(c.ts)) AS BIGINT), -1) AS BIGINT)
+             AS secs_to_purchase
+    FROM c LEFT JOIN m ON m.click_id = c.event_id AND m.rk = 1
+    ORDER BY c.user_id, click_id
+    """,
+    doc=(
+        "FORWARD as-of join with tolerance: each click matched to its next "
+        "purchase within 2 hours (strictly after). Same union-and-carry "
+        "single-shuffle pattern as q80 run time-descending — the oracle's "
+        "pairwise inequality join is O(clicks x purchases) per user, the "
+        "carry is one window pass. Reference: DuckDB ASOF JOIN "
+        "(direction/tolerance variants)."
+    ),
+)
+def q47_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit("c").alias("side")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit("p").alias("side")
+    )
+    tagged = clicks.unionByName(purchases)
+    # Time-DESCENDING scan: "carry last non-null" = earliest future purchase.
+    # Within equal ts, clicks sort first ('c' < 'p') so an equal-ts purchase
+    # is NOT visible (strict >); among equal-ts purchases, event_id DESC
+    # makes the carried (= last-seen) one the smallest event_id — matching
+    # the oracle's (p.ts, p.event_id) tie-break.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("side").asc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nxt = F.last(
+        F.when(
+            F.col("side") == "p",
+            F.struct(F.col("ts").alias("pts"), F.col("event_id").alias("pid")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    carried = tagged.withColumn("nxt", nxt)
+    # floored-seconds gap for OUTPUT; tolerance compares exact timestamps
+    # (a floored gap of 7200 can hide a true gap of 7200.4s)
+    gap = F.unix_timestamp(F.col("nxt.pts")) - F.unix_timestamp(F.col("ts"))
+    within = F.col("nxt").isNotNull() & (
+        F.col("nxt.pts") <= F.col("ts") + F.expr("INTERVAL 2 HOURS")
+    )
+    return (
+        carried.filter(F.col("side") == "c")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.when(within, F.col("nxt.pid")).otherwise(F.lit(-1)).cast("bigint").alias(
+                "next_purchase_id"
+            ),
+            F.when(within, gap).otherwise(F.lit(-1)).cast("bigint").alias(
+                "secs_to_purchase"
+            ),
+        )
+        .transform(present_sorted, "user_id", "click_id")
+    )
+
+
+@register(
+    "q48_arg_max",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(arg_max(o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                        + o_orderkey) AS BIGINT) AS biggest_order,
+           round(1e-9 + max(o_totalprice), 2) AS biggest_total,
+           CAST(arg_min(o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+                        + o_orderkey) AS BIGINT) AS smallest_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "arg_max/arg_min (Spark max_by/min_by): the row-identifying "
+        "aggregate. Ranked on an exact integer composite "
+        "(cents x 1e8 + orderkey) so ties are impossible and both engines "
+        "agree — arg_max on a raw double with duplicate values is "
+        "nondeterministic on any parallel engine."
+    ),
+)
+def q48_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.functions.money import cents
+
+    orders = load_table(spark, "orders", sf_dir)
+    key = cents("o_totalprice") * F.lit(100000000) + F.col("o_orderkey")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", key).cast("bigint").alias("biggest_order"),
+            F.round(F.lit(1e-9) + F.max("o_totalprice"), 2).alias("biggest_total"),
+            F.min_by("o_orderkey", key).cast("bigint").alias("smallest_order"),
+        )
+        .transform(present_sorted, "o_orderpriority")
+    )
+
+
+# One SQL text serves both engines (like q17): GROUP BY ALL infers the
+# grouping keys from the non-aggregate select items.
+_Q49_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register(
+    "q49_group_by_all",
+    oracle=_Q49_SQL,
+    doc="GROUP BY ALL (keys inferred from the projection) — same SQL text on both engines.",
+)
+def q49_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_Q49_SQL)
