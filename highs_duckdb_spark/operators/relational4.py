@@ -474,3 +474,71 @@ _Q49_SQL = """
 def q49_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
     return spark.sql(_Q49_SQL)
+
+
+@register(
+    "q25_regexp_replace_groups",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_replace(p_name, '(\w+) (\w+)', '\2-\1') AS flipped,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word
+    FROM part WHERE p_partkey < 400
+    ORDER BY p_partkey
+    """,
+    doc=(
+        "Regex replacement with capture-group references. The PATTERN "
+        "dialect is shared (both engines take this RE2-compatible syntax) "
+        "but the REPLACEMENT syntax differs: Java/Spark writes $1, "
+        "RE2/DuckDB writes \\1 — the operator pair encodes that mapping."
+    ),
+)
+def q25_regexp_replace_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.filter(F.col("p_partkey") < 400)
+        .select(
+            "p_partkey",
+            F.regexp_replace("p_name", r"(\w+) (\w+)", r"$2-$1").alias("flipped"),
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        )
+        .transform(present_sorted, "p_partkey")
+    )
+
+
+@register(
+    "q27_ratio_to_report",
+    oracle="""
+    SELECT o_orderpriority,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(sum(sum(CAST(o_totalprice AS DECIMAL(12,2)))) OVER ()
+                        AS DOUBLE), 6) AS revenue_share
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Ratio-to-report: each group's share of the global total via a "
+        "window over the aggregate (sum of sums OVER ()). Numerator and "
+        "denominator are exact integer-cent sums cast to double, so the "
+        "IEEE division is identical on both engines. At scale this is a "
+        "grouped aggregate plus a 1-row broadcast, never a second scan."
+    ),
+)
+def q27_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from highs_duckdb_spark.functions.money import cents, from_cents
+
+    orders = load_table(spark, "orders", sf_dir)
+    g = orders.groupBy("o_orderpriority").agg(
+        F.sum(cents("o_totalprice")).alias("c")
+    )
+    total = F.sum("c").over(Window.partitionBy())
+    return (
+        g.select(
+            "o_orderpriority",
+            F.round(
+                F.lit(1e-9) + from_cents(F.col("c"), 2) / from_cents(total, 2), 6
+            ).alias("revenue_share"),
+        )
+        .transform(present_sorted, "o_orderpriority")
+    )
