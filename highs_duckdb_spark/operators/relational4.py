@@ -542,3 +542,60 @@ def q27_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "o_orderpriority")
     )
+
+
+_FK_EDGES = (
+    # (label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+@register(
+    "dq03_referential_integrity",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{label}' AS relation,
+               CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM {child} c
+                     LEFT JOIN {parent} p ON c.{ck} = p.{pk}
+                     WHERE p.{pk} IS NULL) AS BIGINT) AS n_orphans
+        """
+        for label, child, ck, parent, pk in _FK_EDGES
+    )
+    + " ORDER BY relation",
+    category="data-quality",
+    doc=(
+        "Referential-integrity audit: one row per FK edge with row and "
+        "orphan counts (left-anti probe). The ingest gate that runs before "
+        "any star-schema join lands in a training pipeline; at scale each "
+        "probe is an anti join against a broadcast dim or a co-partitioned "
+        "shuffle on the key — never a NOT IN (which also has the "
+        "three-valued NULL trap)."
+    ),
+)
+def dq03_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    def edge_report(label: str, child: str, ck: str, parent: str, pk: str) -> DataFrame:
+        c = load_table(spark, child, sf_dir).select(ck)
+        p = load_table(spark, parent, sf_dir).select(pk)
+        orphans = c.join(p, F.col(ck) == F.col(pk), "left_anti")
+        return (
+            c.agg(F.count("*").alias("n_rows"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(label).alias("relation"),
+                F.col("n_rows").cast("bigint"),
+                F.col("n_orphans").cast("bigint"),
+            )
+        )
+
+    reports = [edge_report(*e) for e in _FK_EDGES]
+    return functools.reduce(lambda a, b: a.unionByName(b), reports).transform(
+        present_sorted, "relation"
+    )
