@@ -274,3 +274,31 @@ def test_s01_single_corpus_scan_kernel(spark):
     assert "MapInPandas" in plan
     scans = rsc(df)
     assert len(scans) == 1 and sorted(scans[0]) == ["embedding", "label", "vec_id"]
+
+
+def test_q27_ratio_single_scan(spark):
+    """Ratio-to-report must not re-scan for the denominator: one orders
+    scan, the global total comes from a window over the aggregate."""
+    from highs_duckdb_spark.operators.relational4 import q27_ratio_to_report
+    from highs_duckdb_spark.plans.audit import read_schema_columns as rsc
+
+    scans = rsc(q27_ratio_to_report(spark, SF))
+    assert len(scans) == 1, scans
+
+
+def test_q47_forward_asof_single_shuffle(spark):
+    """Union-and-carry: exactly one hash shuffle (user_id window), no join."""
+    from highs_duckdb_spark.operators.relational4 import q47_asof_forward_tolerance
+    from highs_duckdb_spark.plans.audit import simple_plan
+
+    plan = simple_plan(q47_asof_forward_tolerance(spark, SF))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_dq03_anti_join_probes(spark):
+    from highs_duckdb_spark.operators.relational4 import dq03_referential_integrity
+    from highs_duckdb_spark.plans.audit import simple_plan
+
+    plan = simple_plan(dq03_referential_integrity(spark, SF))
+    assert "LeftAnti" in plan
