@@ -217,3 +217,40 @@ def q76_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl in ("b_orders", "b_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return result
+
+
+@register(
+    "q75_text_roundtrip",
+    oracle="""
+    SELECT split_part(p_name, ' ', 1) AS first_word,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p_partkey) AS BIGINT) AS key_sum
+    FROM part GROUP BY first_word ORDER BY first_word
+    """,
+    category="sources",
+    doc=(
+        "Line-oriented text sink + source round-trip (write.text/read.text "
+        "— the log-file / raw-corpus format): rows serialized to "
+        "'key|name' lines, parsed back with split_part, aggregated. Hash "
+        "match against the original table proves the round-trip lossless."
+    ),
+)
+def q75_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    path = _tmpdir("text")
+    part.select(
+        F.concat_ws("|", F.col("p_partkey").cast("string"), F.col("p_name")).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(
+        F.split_part(F.col("value"), F.lit("|"), F.lit(1)).cast("bigint").alias("p_partkey"),
+        F.split_part(F.col("value"), F.lit("|"), F.lit(2)).alias("p_name"),
+    )
+    return (
+        parsed.groupBy(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p_partkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("first_word")
+    )
