@@ -451,7 +451,7 @@ def q36_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_id",
             "user_id",
-            F.col("ts").cast("long").alias("epoch"),
+            F.unix_timestamp("ts").alias("epoch"),
             cents("value").alias("vc"),
         )
         .select(
