@@ -41,8 +41,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP; the session TZ is pinned to UTC so the
+        # cast preserves wall-clock and window bounds match the batch side.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
