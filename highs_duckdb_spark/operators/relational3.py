@@ -158,7 +158,7 @@ def q59_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 30 * 60,
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag(F.col("ts")).over(w)) > 30 * 60,
             1,
         )
         .otherwise(0)
