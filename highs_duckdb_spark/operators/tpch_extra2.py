@@ -626,3 +626,109 @@ def q111_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+@register(
+    "q112_important_part_values",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             sum({_DISC_PRICE_SQL}) AS v,
+             sum(sum({_DISC_PRICE_SQL})) OVER () AS t,
+             count(*) OVER () AS n_parts
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(1e-9 + CAST(v AS DOUBLE), 2) AS part_value
+    FROM per_part
+    WHERE CAST(v AS DOUBLE) > 1.5 * (CAST(t AS DOUBLE) / n_parts)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc=(
+        "TPC-H Q11 shape (important stock): per-part revenue exceeding a "
+        "threshold derived from a global scalar subquery (here 1.5x the mean "
+        "part value — the reference's fixed fraction is sf-dependent; the "
+        "mean keeps the selectivity stable across scale factors). The "
+        "global total is a window over the ALREADY-AGGREGATED per-part "
+        "rows — one fact shuffle, never a second scan of lineitem. "
+        "Reference parity target: TPC-H Q11's HAVING sum(...) > (SELECT "
+        "sum(...)*f) pattern over the host engine's SQL surface."
+    ),
+)
+def q112_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_extendedprice", "l_discount")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("v"))
+    w = Window.partitionBy()
+    # identical IEEE evaluation order on both engines: 2.0 * (t / n)
+    thresh = F.lit(1.5) * (F.sum("v").over(w).cast("double") / F.count("*").over(w))
+    return (
+        per_part.withColumn("thresh", thresh)
+        .filter(F.col("v").cast("double") > F.col("thresh"))
+        .select(
+            "l_partkey",
+            F.round(F.lit(1e-9) + F.col("v").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "q113_dominant_part_suppliers",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+             sum(sum(CAST(l_quantity AS DECIMAL(12,2))))
+               OVER (PARTITION BY l_partkey) AS tq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS n_dominated_parts
+    FROM per
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      AND CAST(sq AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE)
+    GROUP BY s_name
+    ORDER BY s_name
+    """,
+    doc=(
+        "TPC-H Q20 shape (potential part promotion): suppliers who shipped "
+        "more than half of a promo part's 1996 volume — nested IN "
+        "subqueries plus a correlated per-part scalar threshold, "
+        "decorrelated into one (l_partkey, l_suppkey) grouped pass with a "
+        "per-part window total (no partsupp/availqty in the synthetic "
+        "schema, so shipped quantity stands in for stock). One fact "
+        "shuffle on l_partkey (subset rule covers the pair groupBy and "
+        "the part window); part filter and supplier lookup broadcast."
+    ),
+)
+def q113_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    promo = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    per = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"))
+        .withColumn("tq", F.sum("sq").over(Window.partitionBy("l_partkey")))
+    )
+    dominated = per.filter(F.col("sq").cast("double") > 0.5 * F.col("tq").cast("double"))
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        dominated.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("n_dominated_parts"))
+        .orderBy("s_name")
+    )

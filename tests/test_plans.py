@@ -302,3 +302,32 @@ def test_dq03_anti_join_probes(spark):
 
     plan = simple_plan(dq03_referential_integrity(spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_q112_single_fact_shuffle_and_pruned_scan(spark):
+    """Q11 shape: the global threshold comes from a window over the
+    ALREADY-AGGREGATED per-part rows — the fact table shuffles once on
+    l_partkey and is never scanned twice; the scan reads only 3 columns."""
+    from highs_duckdb_spark.operators.tpch_extra2 import q112_important_part_values
+    from highs_duckdb_spark.plans.audit import read_schema_columns
+
+    df = q112_important_part_values(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1, plan[:3000]
+    schemas = read_schema_columns(df)
+    assert len(schemas) == 1, f"lineitem must be scanned once, got {len(schemas)} scans"
+    assert sorted(schemas[0]) == ["l_discount", "l_extendedprice", "l_partkey"]
+
+
+def test_q113_single_fact_shuffle_broadcast_dims(spark):
+    """Q20 shape: one fact shuffle on l_partkey (pair groupBy + per-part
+    window both satisfied by the subset rule); promo parts and the
+    supplier lookup are broadcast; the shipdate filter reaches the scan."""
+    from highs_duckdb_spark.operators.tpch_extra2 import q113_dominant_part_suppliers
+    from highs_duckdb_spark.plans.audit import has_broadcast_hash_join, pushed_filters
+
+    df = q113_dominant_part_suppliers(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1, plan[:3000]
+    assert has_broadcast_hash_join(df)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
