@@ -153,6 +153,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         spec = QUERIES[name]
+        # One untimed steady-state pass per query (EVERY query, so no query
+        # is advantaged), then best-of-3 timed: codegen/JIT compilation of
+        # each query's unique operator pipeline is session setup, not query
+        # work, and the debug per-run lists show run 3 < run 2 < run 1
+        # without it. The DuckDB --compare side gets the same warm pass.
+        materialize(spec.builder(spark, sf_dir))
         runs: list[float] = []
         for _ in range(3):  # best-of-3: one-off scheduling/GC noise is large vs these runtimes
             t0 = time.perf_counter()
@@ -178,8 +184,9 @@ def main() -> None:
             spec = QUERIES[name]
             if spec.oracle is None:
                 continue
+            con.execute(spec.oracle).fetch_arrow_table()  # same warm pass as Spark
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetch_arrow_table()
                 best = min(best, time.perf_counter() - t0)

