@@ -599,3 +599,58 @@ def dq03_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return functools.reduce(lambda a, b: a.unionByName(b), reports).transform(
         present_sorted, "relation"
     )
+
+
+@register(
+    "dq04_volume_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY day
+    ),
+    s AS (
+      SELECT day, n,
+             count(*) OVER ()   AS k,
+             sum(n) OVER ()     AS sn,
+             sum(n * n) OVER () AS snn
+      FROM d
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_events,
+           round(1e-9 + (n - (CAST(sn AS DOUBLE) / k))
+                 / sqrt((CAST(snn AS DOUBLE) - (CAST(sn AS DOUBLE) / k) * sn)
+                        / (k - 1)), 4) AS z,
+           CAST(abs((n - (CAST(sn AS DOUBLE) / k))
+                / sqrt((CAST(snn AS DOUBLE) - (CAST(sn AS DOUBLE) / k) * sn)
+                       / (k - 1))) > 2.0 AS BOOLEAN) AS is_drift
+    FROM s ORDER BY day
+    """,
+    doc=(
+        "Ingest-volume drift control chart: per-day event counts z-scored "
+        "against the corpus mean/stddev from exact integer moments (k, Σn, "
+        "Σn² — identical IEEE arithmetic on both engines). The moments are "
+        "a window over the ALREADY-AGGREGATED per-day rows: one fact "
+        "shuffle on day, then a ~hundreds-row window — the pattern that "
+        "flags a broken upstream feed in a 100 TB daily ingest."
+    ),
+)
+def dq04_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    k = F.count("*").over(w)
+    sn = F.sum("n").over(w)
+    snn = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = sn.cast("double") / k
+    sd = F.sqrt((snn.cast("double") - mean * sn) / (k - F.lit(1)))
+    z = (F.col("n") - mean) / sd
+    return (
+        d.select(
+            "day",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(F.lit(1e-9) + z, 4).alias("z"),
+            (F.abs(z) > 2.0).alias("is_drift"),
+        )
+        .transform(present_sorted, "day")
+    )

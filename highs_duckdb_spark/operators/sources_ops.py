@@ -254,3 +254,37 @@ def q75_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_word")
     )
+
+
+@register(
+    "q68_xml_roundtrip",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_nation
+    FROM nation GROUP BY regionkey ORDER BY regionkey
+    """,
+    category="sources",
+    doc=(
+        "XML sink + source round-trip (Spark 4 ships spark-xml as a "
+        "built-in format): nation serialized as <row> elements, read back "
+        "with an explicit rowTag, aggregated. Completes the format matrix "
+        "alongside parquet/CSV/JSON/ORC/line-text. Schema inference on "
+        "read is exercised deliberately — XML feeds rarely carry schemas."
+    ),
+)
+def q68_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, "nation", sf_dir)
+    path = _tmpdir("xml")
+    nation.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "row"
+    ).save(path)
+    back = spark.read.format("xml").option("rowTag", "row").load(path)
+    return (
+        back.groupBy(F.col("n_regionkey").cast("bigint").alias("regionkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("regionkey")
+    )

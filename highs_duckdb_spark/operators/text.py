@@ -411,3 +411,62 @@ def t09_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "doc_id")
     )
+
+
+@register(
+    "t10_trigram_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tg
+      FROM toks, unnest(range(1, length(t) - 1)) AS r(i)
+      WHERE length(t) >= 3
+    ),
+    cnt AS (
+      SELECT doc_id, tg, count(*) AS c FROM tri GROUP BY doc_id, tg
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_trigrams,
+           round(1e-9 + CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_trigram_share,
+           CAST(max(c) > 1 AS BOOLEAN) AS has_repeats
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="text",
+    doc=(
+        "Intra-document trigram repetition (Gopher/C4-style quality rule): "
+        "the share of a document's trigrams taken by its single most "
+        "frequent trigram — boilerplate and degenerate generations score "
+        "high. Tokens explode map-side; both aggregations key on doc_id, "
+        "so the exploded rows shuffle once (partial aggregation collapses "
+        "duplicate trigrams before the exchange)."
+    ),
+)
+def t10_trigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    tg = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + 1),
+            F.element_at(F.col("t"), i + 2),
+        ),
+    )
+    tri = toks.select("doc_id", F.explode(tg).alias("tg"))
+    cnt = tri.groupBy("doc_id", "tg").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_trigrams"),
+            F.round(
+                F.lit(1e-9) + F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("top_trigram_share"),
+            (F.max("c") > 1).alias("has_repeats"),
+        )
+        .transform(present_sorted, "doc_id")
+    )
