@@ -428,3 +428,67 @@ def d06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "d08_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+      FROM toks, unnest(range(1, length(t) - 2)) AS r(i)
+      WHERE length(t) >= 4
+    ),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 100 = 0),
+    train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 100 <> 0)
+    SELECT train.doc_id,
+           CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM train JOIN bench USING (g)
+    GROUP BY train.doc_id
+    ORDER BY train.doc_id
+    """,
+    category="dedup",
+    doc=(
+        "Benchmark decontamination (the pre-training hygiene step): flag "
+        "training documents sharing any n-gram with the held-out benchmark "
+        "set (stand-in: doc_id %% 100 == 0; n=4 here — production uses 8-13, "
+        "but the synthetic corpus's tiny vocabulary makes 4 the selective "
+        "radius). Both sides dedupe their grams "
+        "map-side, the benchmark gram set is tiny and BROADCAST, so the "
+        "training corpus never shuffles — the scan streams through a "
+        "broadcast hash join. At 100 TB the join key becomes xxhash64(g) "
+        "(8-byte probes, collision-checked on the string); semantics here "
+        "keep the raw gram string so the DuckDB oracle is exact."
+    ),
+)
+def d08_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 4)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 3),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("t"), i + k) for k in range(4)]
+        ),
+    )
+    # DISTINCT (doc_id, gram) is doc-local, so it is array_distinct BEFORE
+    # the explode — a map-side pass, never a corpus-wide shuffle.
+    grams = toks.select("doc_id", F.explode(F.array_distinct(gram)).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = grams.filter(F.col("doc_id") % 100 != 0).select("doc_id", "g")
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("bench_id").cast("bigint").alias("n_bench_docs"),
+            F.count("*").cast("bigint").alias("n_shared_grams"),
+        )
+        .orderBy("doc_id")
+    )

@@ -331,3 +331,16 @@ def test_q113_single_fact_shuffle_broadcast_dims(spark):
     assert plan.count("Exchange hashpartitioning(l_partkey") == 1, plan[:3000]
     assert has_broadcast_hash_join(df)
     assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_d08_broadcast_probe_no_corpus_shuffle(spark):
+    """Decontamination probes the broadcast benchmark gram set: the only
+    hash exchange is the post-join doc_id aggregation of contaminated
+    rows — the exploded training grams themselves never shuffle."""
+    from highs_duckdb_spark.operators.dedup import d08_decontamination
+    from highs_duckdb_spark.plans.audit import has_broadcast_hash_join
+
+    df = d08_decontamination(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_broadcast_hash_join(df)
+    assert "Exchange hashpartitioning(g" not in plan, plan[:3000]
