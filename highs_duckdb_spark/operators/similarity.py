@@ -525,3 +525,88 @@ def s05_cosine_topk_local_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "neighbor_id", "label", "cosine")
         .transform(present_sorted, "query_id", "rk")
     )
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.40
+
+
+@register(
+    "s06_semdedup",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {SEMDEDUP_K}),
+    sims AS (
+      SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM emb e CROSS JOIN cent c
+    ),
+    asg AS (
+      SELECT vec_id, v, cid AS cell
+      FROM (SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+            FROM sims)
+      WHERE rk = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= {SEMDEDUP_TAU}
+    )
+    SELECT asg.vec_id, CAST(cell AS BIGINT) AS cell,
+           CAST(asg.vec_id IN (SELECT vec_id FROM dropped) AS BOOLEAN) AS is_dropped
+    FROM asg ORDER BY asg.vec_id
+    """,
+    category="similarity",
+    doc=(
+        "SemDeDup (semantic dedup at corpus scale): assign every embedding "
+        "to its max-cosine coarse cell (deterministic centroids: the first "
+        "K vectors — a stand-in for sampled-kmeans centroids, keeping the "
+        "operator oracle-checkable), then GREEDILY drop any vector whose "
+        "cell contains a lower-id vector with cosine >= tau (0.40 here: the "
+        "synthetic embeddings are near-uniform, max intra-cell cosine ~0.49; "
+        "real model embeddings would use ~0.95). The scale "
+        "shape: the KxD centroid matrix broadcasts (8 rows), assignment is "
+        "map-side; the near-dup join runs only WITHIN cells (one shuffle "
+        "on cell id), never all-pairs across the corpus."
+    ),
+)
+def s06_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    asg = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "v", "cid", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    a = asg.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "cell")
+    b = asg.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "cell")
+    pair_cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(pair_cos >= SEMDEDUP_TAU)
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        asg.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+        )
+        .orderBy("vec_id")
+    )
