@@ -654,3 +654,120 @@ def dq04_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "day")
     )
+
+
+@register(
+    "q26_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+    )
+    SELECT stage, users, round(1e-9 + CAST(users AS DOUBLE)
+             / greatest(lag(users) OVER (ORDER BY ord), 1), 4) AS conv_from_prev
+    FROM (
+      SELECT 1 AS ord, 'view' AS stage, (SELECT count(*) FROM v) AS users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    ) ORDER BY ord
+    """,
+    doc=(
+        "Ordered event funnel (view -> click -> purchase): each stage keeps "
+        "users whose first stage-event strictly follows their previous "
+        "stage's first event — the sequential-pattern shape windowing alone "
+        "cannot express. Every stage aggregates and joins on user_id, so "
+        "after the first shuffle all stages are co-partitioned; stage "
+        "tables shrink monotonically."
+    ),
+)
+def q26_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = None
+    for ord_, (stage, df) in enumerate([("view", v), ("click", c), ("purchase", p)], start=1):
+        row = df.agg(F.count("*").alias("users")).select(
+            F.lit(ord_).alias("ord"), F.lit(stage).alias("stage"), "users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ord")
+    return (
+        counts.select(
+            "stage",
+            "users",
+            F.round(
+                F.lit(1e-9)
+                + F.col("users").cast("double")
+                / F.greatest(F.lag("users").over(w), F.lit(1)),
+                4,
+            ).alias("conv_from_prev"),
+        )
+    )
+
+
+@register(
+    "q28_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events
+    )
+    SELECT cohort_week,
+           CAST((epoch(activity_week) - epoch(cohort_week)) / 604800 AS BIGINT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY cohort_week, weeks_since
+    ORDER BY cohort_week, weeks_since
+    """,
+    doc=(
+        "Weekly cohort retention grid: users bucketed by first-seen week, "
+        "counted in every subsequent week they were active. One shuffle on "
+        "user_id covers the first-seen aggregate, the per-(user, week) "
+        "dedup, and the join (co-partitioned); the final (cohort, offset) "
+        "rollup aggregates the already-small grid."
+    ),
+)
+def q28_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week")
+    ).distinct()
+    weeks_since = (
+        (F.unix_timestamp(F.col("activity_week").cast("timestamp")) - F.unix_timestamp(F.col("cohort_week").cast("timestamp"))) / 604800
+    ).cast("bigint")
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .transform(present_sorted, "cohort_week", "weeks_since")
+    )
