@@ -288,3 +288,40 @@ def q68_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("regionkey")
     )
+
+
+@register(
+    "q67_schema_evolution",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name,
+           CAST(NULL AS VARCHAR) AS batch_tag
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name, 'v2'
+    FROM nation WHERE n_regionkey = 1
+    ORDER BY nationkey
+    """,
+    category="sources",
+    doc=(
+        "Schema evolution on read: two parquet batches written with "
+        "different schemas (v2 adds a batch_tag column), unified by "
+        "mergeSchema — the landing-zone reality where producers add fields "
+        "over time. Old rows surface the new column as NULL; at 100 TB "
+        "this is footer-schema union only, no data rewrite."
+    ),
+)
+def q67_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, "nation", sf_dir)
+    path = _tmpdir("evolve")
+    v1 = nation.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"), "n_name"
+    )
+    v2 = nation.filter(F.col("n_regionkey") == 1).select(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"),
+        "n_name",
+        F.lit("v2").alias("batch_tag"),
+    )
+    v1.write.mode("overwrite").parquet(path + "/b=1")
+    v2.write.mode("overwrite").parquet(path + "/b=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path + "/b=1", path + "/b=2")
+    return back.select("nationkey", "n_name", "batch_tag").orderBy("nationkey")
