@@ -771,3 +771,123 @@ def q28_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .transform(present_sorted, "cohort_week", "weeks_since")
     )
+
+
+@register(
+    "q29_window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(1e-9 + percent_rank() OVER w, 6) AS pr,
+           round(1e-9 + CAST(o_totalprice AS DECIMAL(12,2))
+                 / nth_value(CAST(o_totalprice AS DECIMAL(12,2)), 1)
+                   OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+             AS vs_top,
+           CAST(dense_rank() OVER w AS BIGINT) AS drk
+    FROM orders
+    WHERE o_orderkey < 500
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, drk, o_orderkey
+    """,
+    doc=(
+        "Rank-family completion: percent_rank, nth_value over a full-frame "
+        "window, dense_rank — the remaining ANSI window functions not "
+        "already exercised by q30-q34/q86. One shuffle on the partition "
+        "key; ties broken by o_orderkey so both engines order identically."
+    ),
+)
+def q29_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 500)
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.lit(1e-9) + F.percent_rank().over(w), 6).alias("pr"),
+            F.round(
+                F.lit(1e-9) + (price / F.nth_value(price, 1).over(wf)).cast("double"), 6
+            ).alias("vs_top"),
+            F.dense_rank().over(w).cast("bigint").alias("drk"),
+        )
+        .transform(present_sorted, "o_orderpriority", "drk", "o_orderkey")
+    )
+
+
+@register(
+    "q39_filtered_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(count(*) FILTER (WHERE l_discount >= 0.05) AS BIGINT) AS n_discounted,
+           round(1e-9 + CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 FILTER (WHERE l_discount >= 0.05) AS DOUBLE) / 100.0, 2) AS discounted_revenue
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc=(
+        "ANSI FILTER-clause aggregates (the declarative form of conditional "
+        "aggregation; q63 exercises the CASE form): per-flag counts and an "
+        "exact-cents revenue restricted by independent predicates, one "
+        "grouped pass. Run through spark.sql so the SQL surface itself is "
+        "exercised, not a DataFrame translation."
+    ),
+)
+def q39_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("q39_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+               CAST(count(*) FILTER (WHERE l_discount >= 0.05) AS BIGINT) AS n_discounted,
+               round(1e-9 + CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     FILTER (WHERE l_discount >= 0.05) AS DOUBLE) / 100.0, 2)
+                 AS discounted_revenue
+        FROM q39_lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "q98_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, flag, status
+    """,
+    doc=(
+        "GROUPING()/grouping-id disambiguation over grouping sets: "
+        "distinguishes a real NULL group key from a rollup-generated "
+        "subtotal row — the standard way BI layers consume multi-level "
+        "aggregates. Single expand+aggregate pass (one shuffle)."
+    ),
+)
+def q98_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("bigint")
+    return (
+        li.groupingSets(
+            [
+                [F.col("l_returnflag"), F.col("l_linestatus")],
+                [F.col("l_returnflag")],
+                [],
+            ],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(gid.alias("gid"), F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "flag", "status")
+    )
