@@ -344,3 +344,26 @@ def test_d08_broadcast_probe_no_corpus_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert has_broadcast_hash_join(df)
     assert "Exchange hashpartitioning(g" not in plan, plan[:3000]
+
+
+def test_q28_single_user_shuffle(spark):
+    """Cohort retention: first-seen agg, per-(user,week) dedup and the join
+    all cluster on user_id; the events table shuffles on user-derived keys,
+    never twice on the same branch."""
+    from highs_duckdb_spark.operators.relational4 import q28_cohort_retention
+
+    df = q28_cohort_retention(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan[:3000]
+
+
+def test_s06_broadcasts_centroids(spark):
+    """SemDeDup: the K-row centroid table broadcasts into the assignment
+    cross product (BroadcastNestedLoopJoin — keyless by design, K rows);
+    the corpus itself is never the broadcast side of a CartesianProduct."""
+    from highs_duckdb_spark.operators.similarity import s06_semdedup
+
+    df = s06_semdedup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
