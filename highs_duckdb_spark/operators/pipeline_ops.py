@@ -267,3 +267,56 @@ def p05_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30
+
+
+@register(
+    "p06_context_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(i AS BIGINT) AS start_tok,
+             CAST(least({CHUNK_TOKENS}, length(t) - i) AS BIGINT) AS n_tok,
+             md5(array_to_string(t[i + 1 : i + least({CHUNK_TOKENS}, length(t) - i)], ' ')) AS chunk_md5
+      FROM toks, unnest(range(0, length(t), {CHUNK_STRIDE})) AS r(i)
+      WHERE length(t) > 0
+    )
+    SELECT doc_id, chunk_idx, start_tok, n_tok, chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    category="pipeline",
+    doc=(
+        "Overlapping context-window chunking (tokens 40, stride 30 — the "
+        "doc-splitting step before tokenization/embedding in a RAG or "
+        "pretraining pipeline): deterministic chunk grid per document, "
+        "verified by per-chunk md5 of the joined token slice. Pure "
+        "map-side explode — zero shuffles; at 100 TB this runs embedded "
+        "in the ingest scan."
+    ),
+)
+def p06_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+    chunked = toks.select("doc_id", F.size("t").alias("n"), F.explode(starts).alias("i"), "t")
+    n_tok = F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("i"))
+    return (
+        chunked.select(
+            "doc_id",
+            (F.col("i") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.col("i").cast("bigint").alias("start_tok"),
+            n_tok.cast("bigint").alias("n_tok"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("i") + 1, n_tok))).alias(
+                "chunk_md5"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
