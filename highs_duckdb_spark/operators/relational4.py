@@ -891,3 +891,56 @@ def q98_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "flag", "status")
     )
+
+
+@register(
+    "q99_window_exclude_current",
+    oracle="""
+    SELECT event_id, user_id,
+           round(1e-9 + CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                         EXCLUDE CURRENT ROW) AS DOUBLE)
+                 / (100.0 * greatest(count(*)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                         EXCLUDE CURRENT ROW), 1)), 6) AS peer_avg
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, event_id
+    """,
+    doc=(
+        "EXCLUDE CURRENT ROW window frames — a reference-engine (DuckDB) "
+        "feature Spark's frame syntax lacks. Rewritten exactly as "
+        "(frame_sum - current) / (frame_count - 1) over the plain frame: "
+        "the oracle runs DuckDB's NATIVE EXCLUDE clause, so the hash match "
+        "proves the rewrite is semantics-preserving, not approximately so. "
+        "Sums are integer cents, division order is identical on both "
+        "engines. Same one-shuffle window plan as any ROWS frame."
+    ),
+)
+def q99_window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from highs_duckdb_spark.functions.money import cents
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    peer_sum = F.sum(cents("value")).over(w) - cents("value")
+    peer_cnt = F.count("*").over(w) - F.lit(1)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.lit(1e-9)
+                + peer_sum.cast("double") / (100.0 * F.greatest(peer_cnt, F.lit(1))),
+                6,
+            ).alias("peer_avg"),
+        )
+        .orderBy("user_id", "event_id")
+    )
