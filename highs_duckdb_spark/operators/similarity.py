@@ -610,3 +610,69 @@ def s06_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+DECON_TAU = 0.35
+
+
+@register(
+    "s07_embedding_decontamination",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bench AS (SELECT vec_id AS bench_id, v AS bv FROM emb WHERE vec_id % 100 = 0),
+    train AS (SELECT vec_id, v FROM emb WHERE vec_id % 100 <> 0),
+    scored AS (
+      SELECT t.vec_id, b.bench_id,
+             round(1e-9 + list_dot_product(t.v, b.bv)
+                   / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.bv, b.bv))), 6)
+               AS cosine
+      FROM train t CROSS JOIN bench b
+    )
+    SELECT vec_id, bench_id AS nearest_bench_id, cosine AS max_cosine
+    FROM (SELECT vec_id, bench_id, cosine,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, bench_id) AS rk
+          FROM scored)
+    WHERE rk = 1 AND cosine >= {DECON_TAU}
+    ORDER BY vec_id
+    """,
+    category="similarity",
+    doc=(
+        "Semantic decontamination — the embedding-space complement of "
+        "d08's n-gram form: training vectors whose cosine to ANY held-out "
+        "benchmark vector reaches tau (0.35 on these near-uniform "
+        "synthetic embeddings; ~0.9 on real model embeddings). The "
+        "benchmark matrix broadcasts; scoring is map-side; only the "
+        "(tiny) per-vector max aggregation shuffles. Ties on cosine "
+        "resolve to the LOWEST bench id on both engines (scores are "
+        "rounded before arg_max so orderings cannot diverge in the last "
+        "ulp)."
+    ),
+)
+def s07_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    bench = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
+    )
+    train = emb.filter(F.col("vec_id") % 100 != 0)
+    cosine = F.round(
+        F.lit(1e-9)
+        + _dot(F.col("v"), F.col("bv")) / (_norm(F.col("v")) * _norm(F.col("bv"))),
+        6,
+    )
+    scored = train.join(F.broadcast(bench)).select(
+        "vec_id", "bench_id", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("cosine") >= DECON_TAU))
+        .select(
+            "vec_id",
+            F.col("bench_id").alias("nearest_bench_id"),
+            F.col("cosine").alias("max_cosine"),
+        )
+        .orderBy("vec_id")
+    )
