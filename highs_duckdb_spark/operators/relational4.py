@@ -944,3 +944,43 @@ def q99_window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q09_scalar_subquery_projection",
+    oracle="""
+    SELECT o_orderkey,
+           round(1e-9 + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 / CAST((SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         FROM orders) AS DOUBLE), 9) AS share_of_book,
+           CAST(o_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_orderpriority = '1-URGENT') AS BOOLEAN) AS is_urgent
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    doc=(
+        "Uncorrelated scalar subquery in the projection (each order's share "
+        "of total book value) plus an IN-subquery projected as a boolean — "
+        "Catalyst plans the scalar as a one-row broadcast (Subquery "
+        "scalar-subquery in the plan) and the IN as a left-semi-derived "
+        "flag, both single-execution, never per-row re-evaluation. Run via "
+        "spark.sql so the SQL subquery surface itself is exercised."
+    ),
+)
+def q09_scalar_subquery_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("q09_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(1e-9 + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     / CAST((SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                             FROM q09_orders) AS DOUBLE), 9) AS share_of_book,
+               CAST(o_orderkey IN (SELECT o_orderkey FROM q09_orders
+                                   WHERE o_orderpriority = '1-URGENT') AS BOOLEAN)
+                 AS is_urgent
+        FROM q09_orders
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey
+        """
+    )
