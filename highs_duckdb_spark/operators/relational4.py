@@ -984,3 +984,44 @@ def q09_scalar_subquery_projection(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY o_orderkey
         """
     )
+
+
+# One SQL text serves both engines (like q17): Spark 4 ships WITH RECURSIVE
+# (SPARK-24497), so the reference engine's recursive-CTE surface now has a
+# NATIVE Spark form — d07/g03 keep the driver-loop formulation for graphs
+# whose frontier must be checkpointed, this exercises the built-in.
+_Q69_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT n_nationkey AS src, (n_nationkey * 3 + 1) % 25 AS dst FROM nation
+      UNION ALL
+      SELECT n_nationkey, (n_nationkey * 7 + 2) % 25 FROM nation
+    ),
+    reach(nk, hop) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT CAST(e.dst AS BIGINT), hop + 1
+      FROM reach JOIN edges e ON e.src = reach.nk
+      WHERE hop < 4
+    )
+    SELECT n_name, CAST(min(hop) AS BIGINT) AS hops
+    FROM reach JOIN nation ON nk = n_nationkey
+    GROUP BY n_name
+    ORDER BY hops, n_name
+"""
+
+
+@register(
+    "q69_recursive_cte",
+    oracle=_Q69_SQL,
+    doc=(
+        "Native WITH RECURSIVE (Spark 4 / SPARK-24497): min-hop BFS over a "
+        "deterministic 2-out-regular graph on the nation table, identical "
+        "SQL text on both engines. Branching 2 x depth 4 bounds the "
+        "working set; each recursive step is one join against the "
+        "(broadcastable) edge list — the engine materializes the frontier "
+        "per step exactly like g03's driver loop, but planned natively."
+    ),
+)
+def q69_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation")
+    return spark.sql(_Q69_SQL)
