@@ -276,10 +276,14 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_VEC_LIMIT = 1000  # ground-truth op: quadratic by definition, bounded by construction
+
+
 @register(
     "s03_embedding_near_dup_pairs",
-    oracle="""
-    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id < {NEAR_DUP_VEC_LIMIT}),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
              round(1e-9 + list_dot_product(a.v, b.v)
@@ -291,11 +295,18 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY vec_a, vec_b
     """,
     category="similarity",
-    doc="Embedding near-duplicate pairs (cosine ≥ 0.8), exact all-pairs with i<j halving.",
+    doc=(
+        "Embedding near-duplicate pairs (cosine ≥ 0.8): the EXACT all-pairs "
+        "ground truth (i<j halving), capped at the first "
+        f"{NEAR_DUP_VEC_LIMIT} vectors like d02's document cap — a "
+        "quadratic oracle is for validating the scaled paths (s06 SemDeDup "
+        "blocks by cell; s02/s04 bucket), never for running on the corpus."
+    ),
 )
 def s03_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") < NEAR_DUP_VEC_LIMIT)
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
         .withColumn("nv", _norm(F.col("v")))  # norm once per vector, not per pair
     )
