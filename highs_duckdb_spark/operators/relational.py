@@ -1092,9 +1092,19 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # Fact-first with explicit dim hints: written dims-first, the static
+    # planner broadcast the FILTERED LINEITEM (~300k rows) as the hash
+    # build side — legal under the local 64MB threshold, impossible at
+    # 100 TB. The (customer ⋈ orders) side is the bounded one here;
+    # broadcast it. At a scale where even filtered orders outgrows the
+    # broadcast threshold, drop this hint and the join degrades correctly
+    # to a shuffle on orderkey under AQE — the invariant this encoding
+    # protects is only "the fact table never becomes the hash build side".
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(
+            F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey)),
+            F.col("o_orderkey") == li.l_orderkey,
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             money_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 4).alias(

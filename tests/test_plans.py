@@ -367,3 +367,16 @@ def test_s06_broadcasts_centroids(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_q64_fact_never_hash_build_side(spark):
+    """Q3 shape: the broadcast (hash build) side must be the bounded
+    customer-orders subtree, never the lineitem fact scan."""
+    from highs_duckdb_spark.operators.relational import q64_tpch_q3_shipping_priority
+
+    df = q64_tpch_q3_shipping_priority(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for seg in plan.split("BroadcastExchange")[1:]:
+        # only the subtree UNDER the broadcast, i.e. until the next join
+        built = seg.split("BroadcastHashJoin")[0]
+        assert "lineitem" not in built, plan[:3000]
