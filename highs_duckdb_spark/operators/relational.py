@@ -759,10 +759,15 @@ def q40_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q41_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
+    # EXCEPT DISTINCT spelled as distinct + left-anti join: .subtract()
+    # compiles to the same logical shape but DROPS join-strategy hints, and
+    # the static planner then broadcasts one raw fact-scale side. The merge
+    # hint keeps both sides co-partitioned on the key at any scale.
     bulk = li.filter(F.col("l_quantity") >= 49).select("l_partkey")
-    single = li.filter(F.col("l_quantity") <= 2).select("l_partkey")
+    single = li.filter(F.col("l_quantity") <= 2).select("l_partkey").hint("merge")
     return (
-        bulk.subtract(single)  # EXCEPT DISTINCT, matching SQL set semantics
+        bulk.distinct()
+        .join(single, "l_partkey", "left_anti")
         .select(F.col("l_partkey").cast("bigint").alias("partkey"))
         .orderBy("partkey")
     )

@@ -253,7 +253,7 @@ def q85_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     due = F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        F.broadcast(orders).join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -520,9 +520,13 @@ def q93_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     salts = spark.range(N_SALTS).select(F.col("id").alias("salt"))
     dim_replicated = sup.crossJoin(F.broadcast(salts))
+    # merge hint: salting exists precisely because the dim CANNOT broadcast
+    # (if it could, you would broadcast and skip salting entirely) — force
+    # the co-partitioned (key, salt) shuffle the technique is demonstrating,
+    # at every scale factor.
     return (
         skewed.join(
-            dim_replicated,
+            dim_replicated.hint("merge"),
             (skewed.skew_key == dim_replicated.s_suppkey) & (skewed.salt == dim_replicated.salt),
         )
         .groupBy("s_name")

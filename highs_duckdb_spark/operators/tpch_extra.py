@@ -123,9 +123,14 @@ def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li.withColumnRenamed("l_orderkey", "lo"), F.col("o_orderkey") == F.col("lo"))
-        .join(big, F.col("o_orderkey") == big.l_orderkey, "left_semi")
+        cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey)
+        .join(
+            # merge: raw lineitem is fact-scale; only the AGGREGATED big-order
+            # key set (broadcast below) is bounded
+            li.withColumnRenamed("l_orderkey", "lo").hint("merge"),
+            F.col("o_orderkey") == F.col("lo"),
+        )
+        .join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi")
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(
             F.round(

@@ -62,7 +62,11 @@ def q100_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    # merge hint: both sides are fact-scale at 100 TB — the static planner
+    # otherwise broadcasts the raw lineitem projection as the semi-join
+    # build side (fine at sf0.1, impossible at scale; a static broadcast
+    # is never revisited by AQE, so the encoding must forbid it).
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate").hint("merge")
     return (
         orders.join(
             li,
@@ -118,10 +122,13 @@ def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    # fact-first: supplier (bounded dim) broadcasts INTO lineitem; the
+    # lineitem-orders and orders-customer joins are fact-fact at scale and
+    # take merge hints so the static planner cannot broadcast a raw fact.
     return (
-        sup.join(li, sup.s_suppkey == li.l_suppkey)
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        li.join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey)
+        .join(orders.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust.hint("merge"), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -288,8 +295,8 @@ def q104_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, "nation", sf_dir)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey)
+        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -337,7 +344,7 @@ def q105_shipping_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(li.hint("merge"), orders.o_orderkey == li.l_orderkey)
         .select(
             bucket.alias("delay_bucket"),
             F.when(high, 1).otherwise(0).alias("is_high"),

@@ -380,3 +380,38 @@ def test_q64_fact_never_hash_build_side(spark):
         # only the subtree UNDER the broadcast, i.e. until the next join
         built = seg.split("BroadcastHashJoin")[0]
         assert "lineitem" not in built, plan[:3000]
+
+
+def test_registry_wide_no_raw_fact_broadcast(spark):
+    """Registry-wide invariant: NO query may put a raw (un-aggregated,
+    un-bounded) lineitem scan under a BroadcastExchange. A static broadcast
+    decision is never revisited by AQE, so a fact-as-build-side plan that
+    is merely legal at test scale becomes an OOM at 100 TB. Bounded
+    slices (literal key filters) and aggregated key sets are exempt."""
+    from highs_duckdb_spark.operators import QUERIES
+
+    offenders = []
+    for name in sorted(QUERIES):
+        if name.startswith(("qs", "m0")):  # streams / multimodal stubs
+            continue
+        df = QUERIES[name].builder(spark, SF)
+        lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            indent = len(ln) - len(ln.lstrip(" :+-*("))
+            sub = []
+            for l2 in lines[i + 1:]:
+                ind2 = len(l2) - len(l2.lstrip(" :+-*("))
+                if ind2 <= indent and l2.strip():
+                    break
+                sub.append(l2)
+            subtxt = "\n".join(sub)
+            if (
+                "lineitem" in subtxt
+                and "Aggregate" not in subtxt
+                and not ("l_orderkey#" in subtxt and "< 200" in subtxt)
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, f"raw fact under broadcast in: {offenders}"
