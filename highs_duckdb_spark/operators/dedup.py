@@ -456,7 +456,7 @@ def d06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Benchmark decontamination (the pre-training hygiene step): flag "
         "training documents sharing any n-gram with the held-out benchmark "
-        "set (stand-in: doc_id %% 100 == 0; n=4 here — production uses 8-13, "
+        "set (stand-in: doc_id % 100 == 0; n=4 here — production uses 8-13, "
         "but the synthetic corpus's tiny vocabulary makes 4 the selective "
         "radius). Both sides dedupe their grams "
         "map-side, the benchmark gram set is tiny and BROADCAST, so the "

@@ -61,8 +61,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
     trade = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy(

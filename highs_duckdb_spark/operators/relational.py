@@ -349,7 +349,7 @@ def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 200000)
     return (
-        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        cust.join(big.hint("merge"), cust.c_custkey == big.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
         .orderBy("c_mktsegment")
@@ -370,7 +370,7 @@ def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
         .orderBy("c_mktsegment")
@@ -1097,17 +1097,14 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    # Fact-first with explicit dim hints: written dims-first, the static
-    # planner broadcast the FILTERED LINEITEM (~300k rows) as the hash
-    # build side — legal under the local 64MB threshold, impossible at
-    # 100 TB. The (customer ⋈ orders) side is the bounded one here;
-    # broadcast it. At a scale where even filtered orders outgrows the
-    # broadcast threshold, drop this hint and the join degrades correctly
-    # to a shuffle on orderkey under AQE — the invariant this encoding
-    # protects is only "the fact table never becomes the hash build side".
+    # Every join side here is fact-scale at 100 TB (customer, orders,
+    # lineitem all grow with SF): merge hints force the co-partitioned
+    # sort-merge plan — the static planner otherwise broadcasts whichever
+    # filtered fact its estimator thinks is smallest, a decision AQE never
+    # revisits and an OOM at scale (registry-wide plan audit pins this).
     return (
         li.join(
-            F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey)),
+            cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey).hint("merge"),
             F.col("o_orderkey") == li.l_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -1156,8 +1153,8 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it exceeds any threshold and li⋈orders becomes the classic
     # co-partitioned shuffle join under AQE.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(sup),
             (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),

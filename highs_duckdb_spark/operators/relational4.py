@@ -253,7 +253,7 @@ def q45_generator_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT explode(sequence(DATE'1996-01-01', DATE'1996-03-31')) AS d"
     )
     return (
-        cal.join(orders, F.col("o_orderdate").cast("date") == F.col("d"), "left")
+        cal.join(orders.hint("merge"), F.col("o_orderdate").cast("date") == F.col("d"), "left")
         .groupBy("d")
         .agg(F.count("o_orderkey").alias("n_orders"))
         .transform(present_sorted, "d")
@@ -584,6 +584,10 @@ def dq03_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     def edge_report(label: str, child: str, ck: str, parent: str, pk: str) -> DataFrame:
         c = load_table(spark, child, sf_dir).select(ck)
         p = load_table(spark, parent, sf_dir).select(pk)
+        # fact-scale parents (orders/lineitem key sets grow with SF) must
+        # co-partition the anti probe; genuinely bounded dims may broadcast
+        if parent in ("orders", "lineitem", "events"):
+            p = p.hint("merge")
         orphans = c.join(p, F.col(ck) == F.col(pk), "left_anti")
         return (
             c.agg(F.count("*").alias("n_rows"))
@@ -692,8 +696,12 @@ def dq04_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    # merge hints: each stage joins two user-keyed sets that both grow
+    # with corpus size (filtered raw events x per-user aggregates) — after
+    # the first shuffle every stage is co-partitioned on user_id.
     c = (
         ev.filter(F.col("event_type") == "click")
+        .hint("merge")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
@@ -701,6 +709,7 @@ def q26_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
+        .hint("merge")
         .join(c, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
@@ -932,15 +941,23 @@ def q99_window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     peer_sum = F.sum(cents("value")).over(w) - cents("value")
     peer_cnt = F.count("*").over(w) - F.lit(1)
+    # empty excluded frame (single-row partition): DuckDB's native EXCLUDE
+    # clause sums an EMPTY frame -> NULL; the rewrite must yield NULL too,
+    # not 0/1 = 0.0 (the greatest() below only guards the division).
+    peer_avg = F.when(
+        peer_cnt == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(1e-9)
+            + peer_sum.cast("double") / (100.0 * F.greatest(peer_cnt, F.lit(1))),
+            6,
+        )
+    )
     return (
         ev.select(
             "event_id",
             "user_id",
-            F.round(
-                F.lit(1e-9)
-                + peer_sum.cast("double") / (100.0 * F.greatest(peer_cnt, F.lit(1))),
-                6,
-            ).alias("peer_avg"),
+            peer_avg.alias("peer_avg"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -953,7 +970,7 @@ def q99_window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1e-9 + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                  / CAST((SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                          FROM orders) AS DOUBLE), 9) AS share_of_book,
-           CAST(o_orderkey IN (SELECT o_orderkey FROM orders
+           CAST(o_orderkey IN (SELECT DISTINCT o_orderkey FROM orders
                                WHERE o_orderpriority = '1-URGENT') AS BOOLEAN) AS is_urgent
     FROM orders
     WHERE o_orderkey < 200
@@ -976,7 +993,7 @@ def q09_scalar_subquery_projection(spark: SparkSession, sf_dir: str) -> DataFram
                round(1e-9 + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                      / CAST((SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                              FROM q09_orders) AS DOUBLE), 9) AS share_of_book,
-               CAST(o_orderkey IN (SELECT o_orderkey FROM q09_orders
+               CAST(o_orderkey IN (SELECT DISTINCT o_orderkey FROM q09_orders
                                    WHERE o_orderpriority = '1-URGENT') AS BOOLEAN)
                  AS is_urgent
         FROM q09_orders

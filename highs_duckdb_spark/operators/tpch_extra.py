@@ -174,7 +174,7 @@ def q97_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(orders.hint("merge"), cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy(F.substring("c_name", 10, 2).alias("cust_group"))
         .agg(
             F.count("*").alias("numcust"),

@@ -189,7 +189,7 @@ def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _disc_price().cast("decimal(14,4)")
     zero = F.lit(0).cast("decimal(14,4)")
     return (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        li.join(orders.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -254,7 +254,7 @@ def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(orders.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -382,7 +382,7 @@ def q106_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = load_table(spark, "orders", sf_dir)
     per_cust = (
         cust.join(
-            orders,
+            orders.hint("merge"),
             (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus != "P"),
             "left_outer",
         )
@@ -665,7 +665,7 @@ def q112_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_extendedprice", "l_discount")
     per_part = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("v"))
     w = Window.partitionBy()
-    # identical IEEE evaluation order on both engines: 2.0 * (t / n)
+    # identical IEEE evaluation order on both engines: 1.5 * (t / n)
     thresh = F.lit(1.5) * (F.sum("v").over(w).cast("double") / F.count("*").over(w))
     return (
         per_part.withColumn("thresh", thresh)

@@ -384,12 +384,15 @@ def test_q64_fact_never_hash_build_side(spark):
 
 def test_registry_wide_no_raw_fact_broadcast(spark):
     """Registry-wide invariant: NO query may put a raw (un-aggregated,
-    un-bounded) lineitem scan under a BroadcastExchange. A static broadcast
-    decision is never revisited by AQE, so a fact-as-build-side plan that
-    is merely legal at test scale becomes an OOM at 100 TB. Bounded
-    slices (literal key filters) and aggregated key sets are exempt."""
+    un-bounded) fact-table scan — lineitem, orders or events — under a
+    BroadcastExchange. A static broadcast decision is never revisited by
+    AQE, so a fact-as-build-side plan that is merely legal at test scale
+    becomes an OOM at 100 TB. Exempt: aggregated key sets, and scans
+    bounded by a pushed literal-key filter (selectivity fixed at any SF,
+    e.g. q85's l_orderkey < 200 slice or q09's o_orderkey < 200)."""
     from highs_duckdb_spark.operators import QUERIES
 
+    FACTS = ("lineitem", "orders", "events")
     offenders = []
     for name in sorted(QUERIES):
         if name.startswith(("qs", "m0")):  # streams / multimodal stubs
@@ -407,11 +410,17 @@ def test_registry_wide_no_raw_fact_broadcast(spark):
                     break
                 sub.append(l2)
             subtxt = "\n".join(sub)
-            if (
-                "lineitem" in subtxt
-                and "Aggregate" not in subtxt
-                and not ("l_orderkey#" in subtxt and "< 200" in subtxt)
-            ):
-                offenders.append(name)
+            if "Aggregate" in subtxt:
+                continue
+            hit = None
+            for fact in FACTS:
+                for scan_ln in subtxt.splitlines():
+                    if "FileScan" in scan_ln and f"/{fact}.parquet" in scan_ln:
+                        # literal-key bound => fixed row count at any SF
+                        if "key#" in scan_ln and "< 200" in scan_ln:
+                            continue
+                        hit = (fact, name)
+            if hit:
+                offenders.append(hit)
                 break
     assert not offenders, f"raw fact under broadcast in: {offenders}"
