@@ -1042,3 +1042,66 @@ _Q69_SQL = """
 def q69_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation")
     return spark.sql(_Q69_SQL)
+
+
+@register(
+    "dq05_financial_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS li_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents,
+             coalesce(li_cents, 0) AS li_cents
+      FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN abs(o_cents - li_cents) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatched,
+           round(1e-9 + CAST(max(abs(o_cents - li_cents)) AS DOUBLE) / 100.0, 2)
+             AS max_abs_diff,
+           round(1e-9 + CAST(sum(abs(o_cents - li_cents)) AS DOUBLE) / 100.0, 2)
+             AS total_abs_diff
+    FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Cross-table financial reconciliation: does each order's stored "
+        "total match the sum of its line items? Exact integer-cents "
+        "arithmetic end-to-end (a reconciliation that itself rounds is "
+        "worthless); lineitem aggregates once on l_orderkey and joins "
+        "orders co-partitioned on the same key (merge hint — both sides "
+        "fact-scale), then rolls up to priority level. The synthetic data "
+        "does NOT balance — the audit's job is to quantify exactly that."
+    ),
+)
+def dq05_financial_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.functions.money import cents
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("li_cents"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    diff = F.abs(F.col("o_cents") - F.col("li_cents"))
+    return (
+        orders.select("o_orderkey", "o_orderpriority", cents("o_totalprice").alias("o_cents"))
+        .join(li.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "o_orderpriority",
+            "o_cents",
+            F.coalesce("li_cents", F.lit(0)).alias("li_cents"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(diff > 1, 1).otherwise(0)).cast("bigint").alias("n_mismatched"),
+            F.round(F.lit(1e-9) + F.max(diff).cast("double") / 100.0, 2).alias("max_abs_diff"),
+            F.round(F.lit(1e-9) + F.sum(diff).cast("double") / 100.0, 2).alias("total_abs_diff"),
+        )
+        .transform(present_sorted, "o_orderpriority")
+    )
