@@ -320,3 +320,62 @@ def p06_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+N_EXPORT_SHARDS = 8
+# Knuth multiplicative hash — exact integer arithmetic, identical on both
+# engines (xxhash64/DuckDB-hash are engine-specific and would diverge)
+_SHARD_SQL = f"CAST((doc_id * 2654435761) % 2147483647 % {N_EXPORT_SHARDS} AS BIGINT)"  # operands non-negative: % == pmod
+
+
+@register(
+    "p07_sharded_export",
+    oracle=f"""
+    SELECT {_SHARD_SQL} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY shard ORDER BY shard
+    """,
+    category="pipeline",
+    doc=(
+        "Sharded training-data export: documents hash-assigned to "
+        "N_EXPORT_SHARDS shards via a portable multiplicative hash (exact "
+        "integer arithmetic — engine-native hash functions differ between "
+        "Spark and DuckDB), written hive-partitioned by shard, then the "
+        "manifest (per-shard counts, char totals, id range) is computed "
+        "from the WRITTEN FILES while the oracle scans the source table — "
+        "the hash match proves the export is lossless and the assignment "
+        "deterministic. At 100 TB each shard directory is a self-contained "
+        "training input consumed independently; maxRecordsPerFile bounds "
+        "file sizes for loader parallelism."
+    ),
+)
+def p07_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "shard",
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2147483647))
+        % N_EXPORT_SHARDS,
+    )
+    out = tempfile.mkdtemp(prefix="p07_export_")
+    (
+        docs.write.mode("overwrite")
+        .option("maxRecordsPerFile", 50000)
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
