@@ -276,27 +276,42 @@ def _fnv1a64(data: bytes) -> int:
 def _simhash_pandas(texts: pd.Series) -> pd.Series:
     """64-bit SimHash per text, computed per Arrow batch.
 
-    Token hashes are memoized across the batch (synthetic corpora share a
-    small vocabulary, so the per-token FNV cost amortizes to ~0)."""
-    token_bits: dict[str, int] = {}
-    out = []
+    Two passes over the batch: (1) tokenize, interning each unique token's
+    ±1 bit-vote row ONCE (FNV hash → 64 int8 votes, memoized — synthetic
+    corpora share a small vocabulary so this amortizes to ~0); (2) one
+    numpy gather+sum per document replaces the old per-token Python loop
+    over 64 bits (~3x faster kernel, bit-identical signatures: ties at
+    vote 0 still yield bit 0)."""
+    import numpy as np
+
+    token_idx: dict[str, int] = {}
+    vote_rows: list["np.ndarray"] = []
+    shifts = np.arange(64, dtype=np.uint64)
+    doc_idxs: list[list[int]] = []
     for t in texts:
         toks = set((t or "").lower().split())
-        if not toks:
+        idxs = []
+        for tok in toks:
+            i = token_idx.get(tok)
+            if i is None:
+                h = _fnv1a64(tok.encode())
+                i = len(vote_rows)
+                token_idx[tok] = i
+                vote_rows.append(
+                    (((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int8) * 2 - 1)
+                )
+            idxs.append(i)
+        doc_idxs.append(idxs)
+    votes = (
+        np.stack(vote_rows).astype(np.int32) if vote_rows else np.zeros((0, 64), np.int32)
+    )
+    out = []
+    for idxs in doc_idxs:
+        if not idxs:
             out.append(0)
             continue
-        acc = [0] * 64
-        for tok in toks:
-            h = token_bits.get(tok)
-            if h is None:
-                h = _fnv1a64(tok.encode())
-                token_bits[tok] = h
-            for i in range(64):
-                acc[i] += 1 if (h >> i) & 1 else -1
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
+        acc = votes[idxs].sum(axis=0)
+        v = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
         if v >= 1 << 63:  # wrap to signed int64 for Spark LongType
             v -= 1 << 64
         out.append(v)
