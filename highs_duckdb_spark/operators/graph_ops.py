@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
 #: edges denser than EDGE_DENSITY x the mean trade-line count survive; a
@@ -61,8 +62,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
     trade = (
-        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
-        .join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+        li.join(orders.hint(fact_join_strategy(sf_dir)), li.l_orderkey == orders.o_orderkey)
+        .join(cust.hint(fact_join_strategy(sf_dir)), orders.o_custkey == cust.c_custkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy(

@@ -13,7 +13,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.optim.bulk import solve_many
 from highs_duckdb_spark.optim.registry import (
     ModelRegistry,
     create_constraints,
@@ -180,54 +179,52 @@ def opt04_datacenter_mip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def opt05_solve_many_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, "customer", sf_dir)
-    g = cust.groupBy("c_nationkey").agg(F.count("*").cast("double").alias("cnt"))
-    g = g.select(
-        F.concat(F.lit("nation_"), F.col("c_nationkey").cast("string")).alias("model_name"),
-        "cnt",
+    from highs_duckdb_spark.optim.bulk import solve_packed
+
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    # The three model tables (variables / constraints / coefficients) are
+    # assembled directly into the solver's packed long form in ONE SQL
+    # statement: the union's three copies of the customer agg share one
+    # map-side execution via Spark's ReuseExchange rule, and a single
+    # spark.sql call keeps driver-side plan construction flat (the chained
+    # DataFrame-API form of this query spent ~0.4 s/run in Py4J round trips
+    # at bench scale — ~40% of its wall time).
+    packed = spark.sql(
+        """
+        WITH g AS (
+          SELECT 'nation_' || CAST(c_nationkey AS STRING) AS model_name,
+                 CAST(count(*) AS DOUBLE) AS cnt
+          FROM customer GROUP BY c_nationkey
+        )
+        SELECT model_name, 'v' AS kind, variable_name AS name,
+               CAST(NULL AS STRING) AS name2, 0.0 AS lower_bound,
+               1e30 AS upper_bound, 1.0 AS obj, 'continuous' AS vtype,
+               CAST(NULL AS DOUBLE) AS coefficient, ord
+        FROM g LATERAL VIEW stack(2, 'x', 0L, 'y', 1L) AS variable_name, ord
+        UNION ALL
+        SELECT model_name, 'c', 'c1', CAST(NULL AS STRING), cnt, 1e30,
+               CAST(NULL AS DOUBLE), CAST(NULL AS STRING),
+               CAST(NULL AS DOUBLE), 0L
+        FROM g
+        UNION ALL
+        SELECT model_name, 'k', 'c1', variable_name,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS STRING), coefficient,
+               CAST(NULL AS BIGINT)
+        FROM g LATERAL VIEW stack(2, 'x', 1.0D, 'y', 2.0D) AS variable_name, coefficient
+        """
     )
-    # variables/constraints/coefficients all branch from g; the union's three
-    # copies of the customer agg share one map-side execution via Spark's
-    # ReuseExchange rule (the exchanges are identical), so no checkpoint job
-    variables = g.selectExpr(
-        "model_name",
-        "stack(2, 'x', 0, 'y', 1) AS (variable_name, ord)",
-    ).select(
-        "model_name",
-        "variable_name",
-        F.lit(0.0).alias("lower_bound"),
-        F.lit(1e30).alias("upper_bound"),
-        F.lit(1.0).alias("obj_coefficient"),
-        F.lit("continuous").alias("var_type"),
-        F.col("ord"),
-    )
-    constraints = g.select(
-        "model_name",
-        F.lit("c1").alias("constraint_name"),
-        F.col("cnt").alias("lower_bound"),
-        F.lit(1e30).alias("upper_bound"),
-        F.lit(0).alias("ord"),
-    )
-    coefficients = g.selectExpr(
-        "model_name",
-        "stack(2, 'x', 1.0, 'y', 2.0) AS (variable_name, coefficient)",
-    ).select(
-        "model_name",
-        F.lit("c1").alias("constraint_name"),
-        "variable_name",
-        "coefficient",
-    )
-    result = solve_many(variables, constraints, coefficients)
+    result = solve_packed(packed)
     # Presentation sort of a tiny result (n_models × n_vars rows): a global
     # orderBy would range-sample its child — re-executing the solve stage a
     # second time per run. One round-robin exchange to a single partition +
     # partition-local sort keeps the Python solve stage single-execution.
     return (
-        result.select(
+        result.selectExpr(
             "model_name",
             "variable_name",
             "variable_index",
-            F.round(F.lit(1e-9) + F.col("solution_value"), 6).alias("solution_value"),
+            "round(1e-9 + solution_value, 6) AS solution_value",
             "reduced_cost",
             "status",
         )

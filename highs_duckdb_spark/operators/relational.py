@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from highs_duckdb_spark.functions.money import cents, from_cents, money_sum
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -349,7 +350,7 @@ def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 200000)
     return (
-        cust.join(big.hint("merge"), cust.c_custkey == big.o_custkey, "left_semi")
+        cust.join(big.hint(fact_join_strategy(sf_dir)), cust.c_custkey == big.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
         .orderBy("c_mktsegment")
@@ -370,7 +371,7 @@ def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     return (
-        cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
         .orderBy("c_mktsegment")
@@ -764,7 +765,7 @@ def q41_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the static planner then broadcasts one raw fact-scale side. The merge
     # hint keeps both sides co-partitioned on the key at any scale.
     bulk = li.filter(F.col("l_quantity") >= 49).select("l_partkey")
-    single = li.filter(F.col("l_quantity") <= 2).select("l_partkey").hint("merge")
+    single = li.filter(F.col("l_quantity") <= 2).select("l_partkey").hint(fact_join_strategy(sf_dir))
     return (
         bulk.distinct()
         .join(single, "l_partkey", "left_anti")
@@ -1104,7 +1105,7 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     # revisits and an OOM at scale (registry-wide plan audit pins this).
     return (
         li.join(
-            cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey).hint("merge"),
+            cust.join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey).hint(fact_join_strategy(sf_dir)),
             F.col("o_orderkey") == li.l_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -1153,8 +1154,8 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it exceeds any threshold and li⋈orders becomes the classic
     # co-partitioned shuffle join under AQE.
     return (
-        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
-        .join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+        li.join(orders.hint(fact_join_strategy(sf_dir)), li.l_orderkey == orders.o_orderkey)
+        .join(cust.hint(fact_join_strategy(sf_dir)), orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(sup),
             (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),

@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
 
@@ -526,7 +527,7 @@ def q93_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at every scale factor.
     return (
         skewed.join(
-            dim_replicated.hint("merge"),
+            dim_replicated.hint(fact_join_strategy(sf_dir)),
             (skewed.skew_key == dim_replicated.s_suppkey) & (skewed.salt == dim_replicated.salt),
         )
         .groupBy("s_name")

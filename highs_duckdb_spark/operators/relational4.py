@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
 
@@ -253,7 +254,7 @@ def q45_generator_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT explode(sequence(DATE'1996-01-01', DATE'1996-03-31')) AS d"
     )
     return (
-        cal.join(orders.hint("merge"), F.col("o_orderdate").cast("date") == F.col("d"), "left")
+        cal.join(orders.hint(fact_join_strategy(sf_dir)), F.col("o_orderdate").cast("date") == F.col("d"), "left")
         .groupBy("d")
         .agg(F.count("o_orderkey").alias("n_orders"))
         .transform(present_sorted, "d")
@@ -587,7 +588,7 @@ def dq03_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fact-scale parents (orders/lineitem key sets grow with SF) must
         # co-partition the anti probe; genuinely bounded dims may broadcast
         if parent in ("orders", "lineitem", "events"):
-            p = p.hint("merge")
+            p = p.hint(fact_join_strategy(sf_dir))
         orphans = c.join(p, F.col(ck) == F.col(pk), "left_anti")
         return (
             c.agg(F.count("*").alias("n_rows"))
@@ -701,7 +702,7 @@ def q26_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the first shuffle every stage is co-partitioned on user_id.
     c = (
         ev.filter(F.col("event_type") == "click")
-        .hint("merge")
+        .hint(fact_join_strategy(sf_dir))
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
@@ -709,7 +710,7 @@ def q26_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .hint("merge")
+        .hint(fact_join_strategy(sf_dir))
         .join(c, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
@@ -1090,7 +1091,7 @@ def dq05_financial_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     diff = F.abs(F.col("o_cents") - F.col("li_cents"))
     return (
         orders.select("o_orderkey", "o_orderpriority", cents("o_totalprice").alias("o_cents"))
-        .join(li.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .join(li.hint(fact_join_strategy(sf_dir)), F.col("o_orderkey") == F.col("l_orderkey"), "left")
         .select(
             "o_orderpriority",
             "o_cents",

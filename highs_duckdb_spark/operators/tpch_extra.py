@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
 
@@ -123,11 +124,11 @@ def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
     return (
-        cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey)
+        cust.join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey)
         .join(
             # merge: raw lineitem is fact-scale; only the AGGREGATED big-order
             # key set (broadcast below) is bounded
-            li.withColumnRenamed("l_orderkey", "lo").hint("merge"),
+            li.withColumnRenamed("l_orderkey", "lo").hint(fact_join_strategy(sf_dir)),
             F.col("o_orderkey") == F.col("lo"),
         )
         .join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi")
@@ -174,7 +175,7 @@ def q97_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
-        .join(orders.hint("merge"), cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy(F.substring("c_name", 10, 2).alias("cust_group"))
         .agg(
             F.count("*").alias("numcust"),

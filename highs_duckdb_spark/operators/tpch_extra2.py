@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
 # exact-decimal revenue term shared by most TPC-H shapes (see module doc in
@@ -66,7 +67,7 @@ def q100_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise broadcasts the raw lineitem projection as the semi-join
     # build side (fine at sf0.1, impossible at scale; a static broadcast
     # is never revisited by AQE, so the encoding must forbid it).
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate").hint("merge")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate").hint(fact_join_strategy(sf_dir))
     return (
         orders.join(
             li,
@@ -127,8 +128,8 @@ def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # take merge hints so the static planner cannot broadcast a raw fact.
     return (
         li.join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey)
-        .join(orders.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust.hint("merge"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(orders.hint(fact_join_strategy(sf_dir)), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust.hint(fact_join_strategy(sf_dir)), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -189,7 +190,7 @@ def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _disc_price().cast("decimal(14,4)")
     zero = F.lit(0).cast("decimal(14,4)")
     return (
-        li.join(orders.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+        li.join(orders.hint(fact_join_strategy(sf_dir)), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -254,7 +255,7 @@ def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(orders.hint(fact_join_strategy(sf_dir)), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -295,8 +296,8 @@ def q104_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, "nation", sf_dir)
     return (
-        cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey)
-        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        cust.join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey)
+        .join(li.hint(fact_join_strategy(sf_dir)), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -344,7 +345,7 @@ def q105_shipping_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        orders.join(li.hint("merge"), orders.o_orderkey == li.l_orderkey)
+        orders.join(li.hint(fact_join_strategy(sf_dir)), orders.o_orderkey == li.l_orderkey)
         .select(
             bucket.alias("delay_bucket"),
             F.when(high, 1).otherwise(0).alias("is_high"),
@@ -382,7 +383,7 @@ def q106_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = load_table(spark, "orders", sf_dir)
     per_cust = (
         cust.join(
-            orders.hint("merge"),
+            orders.hint(fact_join_strategy(sf_dir)),
             (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus != "P"),
             "left_outer",
         )

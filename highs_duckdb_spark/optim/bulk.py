@@ -186,6 +186,18 @@ def solve_many(
     """
     ensure_shipped(variables_df.sparkSession)
     packed = _pack(variables_df, constraints_df, coefficients_df)
+    return solve_packed(packed)
+
+
+def solve_packed(packed: DataFrame) -> DataFrame:
+    """Solve models already in the packed long form (see :func:`_pack`).
+
+    Callers that assemble the long frame themselves (e.g. in one SQL
+    statement) skip ``_pack``'s per-table projections. Expected columns:
+    model_name, kind ('v'|'c'|'k'), name, name2, lower_bound, upper_bound,
+    obj, vtype, coefficient, ord.
+    """
+    ensure_shipped(packed.sparkSession)
     return packed.groupBy("model_name").applyInPandas(_solve_one_model, BULK_RESULT_SCHEMA)
 
 
