@@ -379,3 +379,87 @@ def p07_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- p08: Z-order (Morton) layout clustering -------------------------------
+# Bits per dimension: 8 → a 256×256 grid, 16-bit z-values, 64 write buckets.
+_Z_BITS = 8
+_Z_BUCKET_SHIFT = 10  # 64 buckets of 1024 z-cells each
+
+
+def _z_spark(x, y):
+    """Interleave the low _Z_BITS of x (even positions) and y (odd)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _z_sql(x: str, y: str) -> str:
+    """The identical interleave as DuckDB SQL text (disjoint bits, so +)."""
+    parts = []
+    for i in range(_Z_BITS):
+        parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(parts)
+
+
+@register(
+    "p08_zorder_layout",
+    oracle=f"""
+    WITH pts AS (
+      SELECT (o_orderkey % 256) AS x, (o_custkey % 256) AS y FROM orders
+    ),
+    z AS (SELECT x, y, {_z_sql("x", "y")} AS zval FROM pts)
+    SELECT CAST(zval >> {_Z_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """,
+    category="pipeline",
+    doc=(
+        "Z-order (Morton) layout clustering: interleave the bits of two "
+        "bounded dimensions into a space-filling-curve key, bucket rows by "
+        "z-range, and lay the table out hive-partitioned by bucket. Each "
+        "bucket then covers a compact rectangle of (x, y) space — the "
+        "min/max column stats per file let a scan with predicates on "
+        "EITHER dimension skip most files (the Delta/Iceberg OPTIMIZE "
+        "ZORDER story, done with plain Spark writes). The oracle replays "
+        "the identical bit-interleave arithmetic in SQL and checks the "
+        "per-bucket extents."
+    ),
+)
+def p08_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, "orders", sf_dir)
+    pts = orders.select(
+        (F.col("o_orderkey") % 256).alias("x"), (F.col("o_custkey") % 256).alias("y")
+    )
+    z = pts.select(
+        "x", "y", _z_spark(F.col("x"), F.col("y")).alias("zval")
+    ).withColumn("zbucket", F.shiftrightunsigned(F.col("zval"), _Z_BUCKET_SHIFT))
+    # Physically lay the data out clustered by z-bucket (the writer path a
+    # table-OPTIMIZE job runs), then compute the per-bucket extents from
+    # the files read back — proving the layout, not just the arithmetic.
+    path = tempfile.mkdtemp(prefix="hds_zorder_")
+    z.write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("zbucket").cast("bigint").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+        .orderBy("zbucket")
+    )

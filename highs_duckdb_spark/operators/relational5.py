@@ -1,0 +1,150 @@
+"""Round-2 relational additions: bloom-filter semi-join reduction and the
+native session-window aggregate.
+
+Both are oracle-checked: the bloom pre-filter is followed by the exact
+join (false positives are eliminated), so its result equals the plain
+join; the session-window aggregate is compared against DuckDB's classic
+gaps-and-islands formulation of the same 30-minute sessionization.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.functions.money import cents, money_sum
+from highs_duckdb_spark.functions.presentation import present_sorted
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.strategy import fact_join_strategy
+from highs_duckdb_spark.session import load_table
+
+# Bloom geometry: m must be a power of two so pmod(xxhash64, m) is uniform;
+# 2^16 bits = 1 KiB of longs in the plan regardless of build cardinality —
+# that fixed size is the whole point of the technique at 100 TB (an exact
+# key set would grow with the data; the filter does not).
+_BLOOM_BITS = 1 << 16
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (0x5EED0, 0x5EED1, 0x5EED2)
+
+
+def _bloom_positions(col):
+    """The k bit positions of ``col`` — computed with the JVM-side xxhash64
+    so build and probe agree without any Python hashing."""
+    return [F.pmod(F.xxhash64(col, F.lit(s)), F.lit(_BLOOM_BITS)) for s in _BLOOM_SEEDS]
+
+
+@register(
+    "q114_bloom_semijoin_reduction",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Bloom-filter semi-join reduction: the probe side (lineitem) is "
+        "pre-filtered by a fixed-size bloom filter of the build side's keys "
+        "BEFORE the join shuffle, then the exact join removes the false "
+        "positives — the result equals the plain join (the oracle). At "
+        "100 TB this is the runtime-filter pattern that cuts the fact "
+        "shuffle to the selective subset; the filter itself stays 1 KiB "
+        "whatever the build cardinality."
+    ),
+)
+def q114_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
+    li = load_table(spark, "lineitem", sf_dir)
+
+    # Build: distinct bit positions of the build keys — a bounded collect
+    # (≤ m ints) no matter how many build rows; hashing happens JVM-side.
+    pos_rows = (
+        orders.select(F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    # wrap to signed int64 for LongType literals
+    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+    bits = F.array(*[F.lit(w).cast("long") for w in words])
+
+    def might_contain(col):
+        checks = [
+            F.getbit(
+                F.element_at(bits, (h / F.lit(64)).cast("int") + 1),
+                h % F.lit(64),
+            )
+            == 1
+            for h in _bloom_positions(col)
+        ]
+        return reduce(lambda a, b: a & b, checks)
+
+    pre = li.filter(might_contain(F.col("l_orderkey")))
+    # the filtered orders side is still fact-scale (grows with SF): the
+    # exact join stays co-partitioned, never a static fact broadcast
+    return (
+        pre.join(
+            orders.hint(fact_join_strategy(sf_dir)), pre.l_orderkey == orders.o_orderkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            money_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 4).alias(
+                "revenue"
+            ),
+        )
+        .transform(present_sorted, "o_orderpriority")
+    )
+
+
+@register(
+    "q115_session_window_native",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(1e-9 + sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc=(
+        "Native session_window aggregation (Spark's built-in merging "
+        "session operator — one shuffle on user_id, sessions merged inside "
+        "the aggregate, no window-function pass), cross-checked against "
+        "DuckDB's gaps-and-islands formulation. q59 is the two-window "
+        "rewrite of the same semantics; this is the operator-native form "
+        "that also runs unchanged under readStream."
+    ),
+)
+def q115_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.lit(1e-9) + F.sum("value"), 4).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+        .transform(present_sorted, "user_id", "session_start")
+    )

@@ -687,3 +687,149 @@ def s07_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("vec_id")
     )
+
+
+# --- s08: product quantization with asymmetric-distance scoring ------------
+# 64-dim vectors → PQ_M=8 subspaces of 8 dims, PQ_K=64 centroids each: a
+# vector compresses to 8 six-bit codes (6 bytes vs 256 for float32×64) —
+# the memory story that makes billion-vector search fit a cluster. Per
+# query an M×K lookup table of partial inner products is built once; each
+# candidate's approximate score is M table gathers (ADC — asymmetric
+# distance computation), and only the ADC shortlist gets an exact re-rank
+# (the standard ADC+refine pipeline).
+PQ_M = 8
+PQ_K = 64
+PQ_ROUNDS = 4
+PQ_TRAIN_SAMPLE = 2048
+PQ_SHORTLIST = 10 * TOP_K  # ADC-pruned candidates that get an exact re-rank
+
+
+def _train_pq_codebooks(emb: DataFrame) -> "np.ndarray":
+    """Per-subspace Lloyd's on a deterministic bounded sample → (M, K, dsub).
+
+    Vectors are L2-normalized before chunking so ADC inner products
+    approximate cosine directly.
+    """
+    sample = np.array(
+        [r["v"] for r in emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).collect()],
+        dtype=np.float64,
+    )
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    dim = sample.shape[1]
+    dsub = dim // PQ_M
+    books = np.zeros((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        sub = sample[:, m * dsub : (m + 1) * dsub]
+        cents = sub[:PQ_K].copy()
+        for _ in range(PQ_ROUNDS):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(PQ_K):
+                members = sub[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+@register(
+    "s08_pq_adc_topk",
+    oracle=None,  # approximate; recall vs exact s01 + determinism asserted in pytest
+    category="similarity",
+    doc=(
+        "ANN top-k via product quantization: per-subspace codebooks trained "
+        "driver-side on a bounded sample, corpus encoded to 8×6-bit codes "
+        "(~43× compression), candidates scored via per-query ADC lookup "
+        "tables over the codes, and only the ADC shortlist re-ranked with "
+        "exact cosine — partition-local shortlist+refine, then a global "
+        "merge, like s05 but pruned by the compressed index."
+    ),
+)
+def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    books = _train_pq_codebooks(emb)  # (M, K, dsub)
+
+    import pyarrow.parquet as pq
+
+    tq = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", N_QUERIES)],
+        )
+        .sort_by("vec_id")
+    )
+    qids = tq["vec_id"].to_pylist()
+    Q = np.array([[float(x) for x in v] for v in tq["embedding"].to_pylist()])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    dsub = books.shape[2]
+    # per-query ADC tables: LUT[m, k, qi] = Σ_d q_sub[d]·codebook[m,k,d]
+    lut = np.einsum("qmd,mkd->mkq", Q.reshape(len(qids), PQ_M, dsub), books)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    books_list = books.tolist()
+    lut_list = lut.tolist()
+    qn_list = Q.tolist()
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        B = _np.asarray(books_list)  # (M, K, dsub)
+        L = _np.asarray(lut_list)  # (M, K, nq)
+        nq = L.shape[2]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["v"]])
+            V = V / _np.linalg.norm(V, axis=1, keepdims=True)
+            Vs = V.reshape(n, PQ_M, -1)
+            # encode: per subspace, nearest codebook row (the stored index
+            # holds ONLY these codes at scale; recomputing here keeps the
+            # operator single-pass over the corpus scan)
+            codes = _np.empty((n, PQ_M), dtype=_np.int64)
+            for m in range(PQ_M):
+                d2 = ((Vs[:, m, None, :] - B[None, m]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            # ADC: score[i, q] = Σ_m LUT[m, codes[i, m], q]
+            scores = _np.zeros((n, nq))
+            for m in range(PQ_M):
+                scores += L[m, codes[:, m], :]
+            nid = pdf["vec_id"].to_numpy()
+            lab = pdf["label"].to_numpy()
+            out_rows = []
+            k_local = min(PQ_SHORTLIST + 1, n)
+            QN = _np.asarray(qn_list)  # (nq, dim), L2-normalized queries
+            for qi in range(nq):
+                col = scores[:, qi]
+                idx = _np.argpartition(-col, k_local - 1)[:k_local]
+                # exact re-rank of the shortlist only: one (shortlist × dim)
+                # dot per query — the refine step touches |shortlist| raw
+                # vectors instead of the whole partition
+                exact = V[idx] @ QN[qi]
+                for j, i in enumerate(idx):
+                    if nid[i] == qid_arr[qi]:
+                        continue
+                    out_rows.append(
+                        (int(qid_arr[qi]), int(nid[i]), int(lab[i]), float(exact[j]))
+                    )
+            yield _pd.DataFrame(
+                out_rows, columns=["query_id", "neighbor_id", "label", "cosine"]
+            )
+
+    local = emb.mapInPandas(
+        kernel, "query_id long, neighbor_id long, label int, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("cosine", F.round(F.lit(1e-9) + F.col("cosine"), 6))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "label", "cosine")
+        .orderBy("query_id", "rk")
+    )

@@ -112,3 +112,51 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
     again = s04_ann_ivf_topk(spark, SF).collect()
     assert [tuple(r) for r in approx] == [tuple(r) for r in again]
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """PQ+ADC top-5 (8 subspaces x 64 centroids, shortlist 50, exact
+    re-rank) must recover >=80% of the exact top-5 on average; determinism:
+    two runs give identical rows. (At sf0.01 the measured recall is 0.96;
+    at this SF the shortlist covers the corpus so the refine step makes it
+    exact.)"""
+    from highs_duckdb_spark.operators.similarity import s08_pq_adc_topk
+
+    exact = s01_cosine_topk(spark, SF).collect()
+    approx = s08_pq_adc_topk(spark, SF).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    again = s08_pq_adc_topk(spark, SF).collect()
+    assert [tuple(r) for r in approx] == [tuple(r) for r in again]
+
+
+def test_pq_codebooks_deterministic_shape(spark):
+    """Codebook training is deterministic (sorted bounded sample, fixed
+    rounds) and produces (M, K, dim/M) arrays."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _as_double,
+        _train_pq_codebooks,
+    )
+    from highs_duckdb_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", SF).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    b1 = _train_pq_codebooks(emb)
+    b2 = _train_pq_codebooks(emb)
+    assert b1.shape == (PQ_M, PQ_K, 64 // PQ_M)
+    assert np.array_equal(b1, b2)
