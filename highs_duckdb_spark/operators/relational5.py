@@ -148,3 +148,75 @@ def q115_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events", "total_value")
         .transform(present_sorted, "user_id", "session_start")
     )
+
+
+@register(
+    "q116_hll_sketch_rollup",
+    oracle=None,  # DataSketches estimate; 5%-tolerance + merge-consistency in pytest
+    category="relational",
+    doc=(
+        "Mergeable distinct-count rollup via DataSketches HLL: one sketch "
+        "per (day, event_type) — the pre-aggregate a rollup table would "
+        "store — then hll_union_agg merges days into per-type totals "
+        "WITHOUT rescanning events. At 100 TB this is how distinct-users "
+        "dashboards stay incremental: sketches are tiny, associative, and "
+        "re-mergeable to any coarser grain."
+    ),
+)
+def q116_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(F.to_date("ts").alias("d"), "event_type", "user_id")
+        .groupBy("d", "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .transform(present_sorted, "event_type")
+    )
+
+
+@register(
+    "q117_bitmap_distinct_rollup",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY month
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+    ORDER BY month
+    """,
+    doc=(
+        "EXACT mergeable distinct-count rollup via bitmap aggregates: "
+        "per-month bitmaps of the customer-key space (bucketed by "
+        "bitmap_bucket_number), monthly distinct = bitmap_count, and the "
+        "all-time distinct = bitmap_or_agg of the monthly bitmaps — no "
+        "second scan, no approximation. The exact-bitmap twin of q116: "
+        "COUNT(DISTINCT) over any date range becomes an OR of stored "
+        "bitmaps at 100 TB."
+    ),
+)
+def q117_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    keyed = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+        F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+    )
+    per_bucket = keyed.groupBy("month", "bucket").agg(
+        F.bitmap_construct_agg(F.col("pos")).alias("bm")
+    )
+    monthly = per_bucket.groupBy("month").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_distinct")
+    )
+    overall = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_distinct"))
+        .select(F.lit("ALL").alias("month"), "n_distinct")
+    )
+    return monthly.unionByName(overall).transform(present_sorted, "month")

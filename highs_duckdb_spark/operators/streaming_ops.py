@@ -289,3 +289,102 @@ if _transform_with_state_available():  # pragma: no cover - environment-dependen
             "aggregate — which is what the oracle checks."
         ),
     )(qs07_stream_running_totals)
+
+
+@register(
+    "qs08_stream_foreachbatch_merge",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(1e-9 + CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    category="streaming",
+    doc=(
+        "Streaming upsert sink via foreachBatch + MERGE: the event stream "
+        "is split into 4 micro-batches (maxFilesPerTrigger=1), and each "
+        "batch full-outer-merges its per-user aggregates into a versioned "
+        "parquet target (counts add, decimal sums add exactly, last_ts "
+        "takes the max) — the lakehouse CDC-sink pattern. The final target "
+        "state equals the one-shot batch aggregate (the oracle), proving "
+        "exactly-once accumulation across batches."
+    ),
+)
+def qs08_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from highs_duckdb_spark.session import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts", "value")
+    src_dir = tempfile.mkdtemp(prefix="hds_qs08_src_")
+    # deterministic 4-way split on event_id so every micro-batch touches
+    # overlapping user sets (updates, not just inserts)
+    ev.repartition(4, F.col("event_id") % 4).drop("event_id").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    target_root = tempfile.mkdtemp(prefix="hds_qs08_tgt_")
+    state = {"path": None, "ver": 0}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        if state["path"] is None:
+            merged = agg
+        else:
+            tgt = s.read.parquet(state["path"])
+            st = agg.select(
+                F.col("user_id").alias("s_user_id"),
+                F.col("n_events").alias("s_n"),
+                F.col("sum_value").alias("s_sum"),
+                F.col("last_ts").alias("s_ts"),
+            )
+            merged = (
+                tgt.join(st, tgt.user_id == st.s_user_id, "full_outer")
+                .select(
+                    F.coalesce(tgt.user_id, st.s_user_id).alias("user_id"),
+                    (
+                        F.coalesce(tgt.n_events, F.lit(0))
+                        + F.coalesce(st.s_n, F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(tgt.sum_value, F.lit(0).cast("decimal(12,2)"))
+                        + F.coalesce(st.s_sum, F.lit(0).cast("decimal(12,2)"))
+                    ).cast("decimal(22,2)").alias("sum_value"),
+                    F.greatest(tgt.last_ts, st.s_ts).alias("last_ts"),
+                )
+            )
+        new_path = os.path.join(target_root, f"v{state['ver']}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+        state["ver"] += 1
+
+    import uuid as _uuid
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", f"/tmp/hds_ckpt_qs08_{_uuid.uuid4().hex}"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state["path"])
+    return final.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.lit(1e-9) + F.col("sum_value").cast("double"), 4).alias("total_value"),
+        "last_ts",
+    ).orderBy("user_id")

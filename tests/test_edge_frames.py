@@ -48,3 +48,33 @@ def test_q99_exclude_current_single_row_partition_is_null(spark):
     rows = {r.event_id: r.peer_avg for r in spec.builder(spark, d).collect()}
     assert rows[1] is None  # the single-event user
     assert rows[2] is not None and rows[3] is not None
+
+
+def test_hll_sketch_rollup_tolerance_and_merge(spark):
+    """q116's merged-sketch estimates stay within 5% of the exact distinct
+    counts, and merging daily sketches equals sketching the whole column
+    directly (associativity — the property that makes rollups incremental)."""
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.operators.relational5 import q116_hll_sketch_rollup
+    from highs_duckdb_spark.session import load_table
+
+    sf = "/root/testdata/sf0.01"
+    est = {r["event_type"]: r["est_users"] for r in q116_hll_sketch_rollup(spark, sf).collect()}
+    ev = load_table(spark, "events", sf)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t in exact:
+        assert abs(est[t] - exact[t]) <= 0.05 * exact[t], (t, est[t], exact[t])
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert est == direct  # union-of-daily == direct sketch
