@@ -61,20 +61,26 @@ def q114_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
     li = load_table(spark, "lineitem", sf_dir)
 
-    # Build: distinct bit positions of the build keys — a bounded collect
-    # (≤ m ints) no matter how many build rows; hashing happens JVM-side.
-    pos_rows = (
+    # Build: OR the per-key bits into 64-bit words JVM-side (bit_or with
+    # map-side partial aggregation) — the collect is ≤ 1024 words however
+    # many build rows there are; hashing happens JVM-side too (xxhash64),
+    # so build and probe agree with zero Python in either path.
+    word_rows = (
         orders.select(F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("p"))
-        .distinct()
+        .select(
+            (F.col("p") / F.lit(64)).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
         .collect()
     )
     words = [0] * _BLOOM_WORDS
-    for r in pos_rows:
-        p = int(r["p"])
-        words[p >> 6] |= 1 << (p & 63)
-    # wrap to signed int64 for LongType literals
-    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
-    bits = F.array(*[F.lit(w).cast("long") for w in words])
+    for r in word_rows:
+        words[int(r["w"])] = int(r["bits"])
+    # one literal-array expression (a per-element F.lit comprehension costs
+    # ~1k Py4J round trips — measured ~2s of pure plan construction)
+    bits = F.lit(words).cast("array<bigint>")
 
     def might_contain(col):
         checks = [

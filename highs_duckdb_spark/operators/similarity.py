@@ -304,33 +304,77 @@ NEAR_DUP_VEC_LIMIT = 1000  # ground-truth op: quadratic by definition, bounded b
     ),
 )
 def s03_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    # The capped comparison set rides into the kernel closure (≤1000×64
+    # doubles, KBs) and each corpus partition scores its rows against it
+    # with one vectorized pass — the join-free half-matrix layout. A
+    # zip_with/aggregate JVM fold per pair was measured ~12× slower
+    # (higher-order functions evaluate interpreted, per-pair allocation);
+    # dimension-sequential numpy adds keep the sums bit-identical to
+    # DuckDB's list_dot_product.
+    import pyarrow.parquet as pq
+
+    tq = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "label", "embedding"],
+            filters=[("vec_id", "<", NEAR_DUP_VEC_LIMIT)],
+        )
+        .sort_by("vec_id")
+    )
+    ids = tq["vec_id"].to_pylist()
+    labels = tq["label"].to_pylist()
+    vecs = [[float(x) for x in v] for v in tq["embedding"].to_pylist()]
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        M = _np.asarray(vecs)  # n × dim
+        n, dim = M.shape
+        mn = _np.zeros(n)
+        for j in range(dim):
+            mn += M[:, j] * M[:, j]
+        mn = _np.sqrt(mn)
+        id_arr = _np.asarray(ids, dtype=_np.int64)
+        lab_arr = _np.asarray(labels)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            V = _np.vstack([_np.asarray(v, dtype=_np.float64) for v in pdf["v"]])
+            dot = _np.zeros((m, n))
+            for j in range(dim):
+                dot += V[:, j : j + 1] * M[None, :, j][0]
+            nv = _np.zeros(m)
+            for j in range(dim):
+                nv += V[:, j] * V[:, j]
+            nv = _np.sqrt(nv)
+            cos = _np.round(1e-9 + dot / (nv[:, None] * mn[None, :]), 6)
+            va = pdf["vec_id"].to_numpy()
+            la = pdf["label"].to_numpy()
+            rows_a, rows_b = _np.nonzero((cos >= 0.8) & (va[:, None] < id_arr[None, :]))
+            yield _pd.DataFrame(
+                {
+                    "vec_a": va[rows_a],
+                    "vec_b": id_arr[rows_b],
+                    "label_a": la[rows_a],
+                    "label_b": lab_arr[rows_b],
+                    "cosine": cos[rows_a, rows_b],
+                }
+            )
+
     emb = (
         load_table(spark, "embeddings", sf_dir)
         .filter(F.col("vec_id") < NEAR_DUP_VEC_LIMIT)
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nv", _norm(F.col("v")))  # norm once per vector, not per pair
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
+    out = emb.mapInPandas(
+        kernel, "vec_a long, vec_b long, label_a int, label_b int, cosine double"
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-    )
-    cosine = F.round(
-        F.lit(1e-9) + _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "label_a", "label_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= 0.8)
-        .orderBy("vec_a", "vec_b")
-    )
+    return out.orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------
