@@ -226,3 +226,108 @@ def q117_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("month"), "n_distinct")
     )
     return monthly.unionByName(overall).transform(present_sorted, "month")
+
+
+@register(
+    "q118_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k,
+             count(*) AS n_orders
+      FROM orders GROUP BY k
+    ),
+    r AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k,
+             round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+      FROM orders GROUP BY k
+    )
+    SELECT l.k AS status_key, CAST(l.n_orders AS BIGINT) AS n_orders, r.total
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    ORDER BY status_key NULLS FIRST
+    """,
+    doc=(
+        "Null-safe equi-join (Spark `<=>` / SQL IS NOT DISTINCT FROM): NULL "
+        "keys match each other instead of dropping out — the semantics CDC "
+        "and dimension-conform joins need when NULL is a real key value. "
+        "Plain equality would silently lose the NULL group on both sides."
+    ),
+)
+def q118_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    k = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    left = orders.groupBy(k.alias("k")).agg(F.count("*").alias("n_orders"))
+    right = orders.groupBy(k.alias("k2")).agg(
+        F.round(
+            F.lit(1e-9) + F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+            2,
+        ).alias("total")
+    )
+    return (
+        left.join(right, left.k.eqNullSafe(right.k2))
+        .select(
+            F.col("k").alias("status_key"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "total",
+        )
+        .transform(present_sorted, F.asc_nulls_first("status_key"))
+    )
+
+
+@register(
+    "q119_union_by_name_evolution",
+    oracle="""
+    WITH old_batch AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer
+      WHERE c_custkey % 2 = 0
+    ),
+    new_batch AS (
+      SELECT c_custkey AS custkey,
+             round(1e-9 + CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE), 2) AS acctbal,
+             c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(acctbal) AS BIGINT) AS n_with_bal,
+           round(1e-9 + coalesce(sum(acctbal), 0.0), 2) AS total_bal
+    FROM (
+      SELECT custkey, NULL::DOUBLE AS acctbal, segment FROM old_batch
+      UNION ALL BY NAME
+      SELECT * FROM new_batch
+    )
+    GROUP BY segment ORDER BY segment
+    """,
+    doc=(
+        "Schema-evolving union: unionByName(allowMissingColumns=True) "
+        "aligns batches by COLUMN NAME and nulls the columns a batch "
+        "predates (DuckDB's UNION ALL BY NAME) — how a pipeline appends "
+        "old- and new-schema micro-batches without positional breakage. "
+        "q67 is the on-read (mergeSchema) twin; this is the in-plan form."
+    ),
+)
+def q119_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    old_batch = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    new_batch = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(
+            F.lit(1e-9) + F.col("c_acctbal").cast("decimal(12,2)").cast("double"), 2
+        ).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    unioned = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return (
+        unioned.groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("acctbal").alias("n_with_bal"),
+            F.round(F.lit(1e-9) + F.coalesce(F.sum("acctbal"), F.lit(0.0)), 2).alias(
+                "total_bal"
+            ),
+        )
+        .transform(present_sorted, "segment")
+    )

@@ -388,3 +388,51 @@ def qs08_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.lit(1e-9) + F.col("sum_value").cast("double"), 4).alias("total_value"),
         "last_ts",
     ).orderBy("user_id")
+
+
+@register(
+    "qs09_stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(1e-9 + sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    category="streaming",
+    doc=(
+        "Native session_window aggregation executed as a REAL stream "
+        "(watermark + AvailableNow): Spark's merging-session state operator "
+        "— the streaming twin of the batch q115, and the operator-native "
+        "alternative to qs03's hand-rolled applyInPandasWithState "
+        "sessionizer. Same gaps-and-islands oracle as q115."
+    ),
+)
+def qs09_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = f"stream_session_win_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, sf_dir)
+    stream = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.lit(1e-9) + F.sum("value"), 4).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+    run_stream_to_table(stream, table, output_mode="complete")
+    return spark.table(table).orderBy("user_id", "session_start")
