@@ -463,3 +463,102 @@ def p08_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@register(
+    "p09_full_corpus_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents WHERE n_chars >= 100
+    ),
+    admitted AS (SELECT * FROM toks WHERE n_tokens >= 20),
+    dedup AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM admitted
+      ) WHERE rn = 1
+    ),
+    splits AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS BIGINT) AS b
+        FROM dedup
+      )
+    ),
+    packed AS (
+      SELECT split, lang, doc_id, n_tokens,
+             CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                        / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+      FROM splits
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY split, lang ORDER BY split, lang
+    """,
+    category="pipeline",
+    doc=(
+        "The full preprocessing pipeline COMPOSED as one DataFrame plan: "
+        "quality gate (length + token floor, pushed to the scan) → exact "
+        "dedup keep-first (md5 fingerprint window) → deterministic 90/5/5 "
+        "hash split → per-(split, lang) context-window packing → summary. "
+        "Each stage is an operator proven elsewhere (t-series, d01/d06, "
+        "p02, p01); this entry proves they COMPOSE into the single-pass "
+        "corpus job a user would actually run — two shuffles end-to-end "
+        "(fingerprint, then the split/lang shard key), each reused by the "
+        "window and the aggregate that follow it."
+    ),
+)
+def p09_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("n_chars") >= 100)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    admitted = docs.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 20)
+    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        admitted.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    splits = dedup.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
+    w_pack = Window.partitionBy("split", "lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = splits.select(
+        "split",
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")).cast("double")
+            / PACK_CAPACITY
+        )
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return (
+        packed.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.max("pack_id") + 1).cast("bigint").alias("n_packs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -424,3 +424,19 @@ def test_registry_wide_no_raw_fact_broadcast(spark):
                 offenders.append(hit)
                 break
     assert not offenders, f"raw fact under broadcast in: {offenders}"
+
+
+def test_p09_pipeline_two_shuffles(spark):
+    """The composed corpus pipeline (quality gate -> dedup -> split -> pack
+    -> summary) moves data exactly twice: once on the md5 fingerprint for
+    the dedup window, once on (split, lang) — reused by both the packing
+    window and the final aggregate (plus only a presentation sort)."""
+    from highs_duckdb_spark.operators.pipeline_ops import p09_full_corpus_pipeline
+
+    df = p09_full_corpus_pipeline(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    # and the length gate reaches the parquet scan
+    assert "PushedFilters" in plan and "n_chars" in plan.split("PushedFilters", 1)[1][:200], (
+        plan[:3000]
+    )
