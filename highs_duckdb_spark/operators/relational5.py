@@ -331,3 +331,80 @@ def q119_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "segment")
     )
+
+
+@register(
+    "q120_variant_semi_structured",
+    oracle="""
+    SELECT event_type,
+           CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT) AS n_valid,
+           CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(k) AS BIGINT) AS k_total
+    FROM (
+      SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Semi-structured data through the VARIANT type (Spark 4): "
+        "parse_json ingests the raw JSON column ONCE into Spark's binary "
+        "variant encoding, variant_get extracts typed paths downstream — "
+        "the engine-native replacement for per-expression JSON string "
+        "re-parsing (q53 is the classic get_json_object form). At 100 TB "
+        "the difference is parsing each blob once at ingest vs once per "
+        "extracted field per query."
+    ),
+)
+def q120_variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select("event_type", F.parse_json(F.col("props")).alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_valid"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("k").cast("bigint").alias("k_total"),
+        )
+        .transform(present_sorted, "event_type")
+    )
+
+
+@register(
+    "q121_collated_grouping",
+    oracle="""
+    SELECT lower(seg) AS segment, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    GROUP BY lower(seg) ORDER BY segment
+    """,
+    doc=(
+        "Collation-aware grouping (Spark 4 string collations): a mixed-case "
+        "column grouped under UTF8_LCASE merges case variants inside the "
+        "hash aggregate itself — no lower() projection, and at scale no "
+        "second aggregate over normalized keys; the oracle is the classic "
+        "GROUP BY lower() rewrite."
+    ),
+)
+def q121_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    seg = F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")).otherwise(
+        F.lower("c_mktsegment")
+    )
+    return (
+        cust.select(F.collate(seg, "UTF8_LCASE").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        # lower() of ANY case-variant representative is the same string, so
+        # the output is deterministic even though the retained grouping
+        # representative is not; collate back to UTF8_BINARY for a plain
+        # string column in the result schema
+        .select(F.collate(F.lower("k"), "UTF8_BINARY").alias("segment"), "n")
+        .transform(present_sorted, "segment")
+    )
