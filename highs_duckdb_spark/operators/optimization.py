@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.optim.registry import (
     ModelRegistry,
@@ -277,4 +278,79 @@ def opt06_example_usage_relational(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return solve_from_tables(spark, variables, constraints, coefficients, "model1").orderBy(
         "variable_index"
+    )
+
+
+@register(
+    "opt07_parametric_sweep",
+    oracle="""
+    SELECT 'delta_' || CAST(d AS VARCHAR) AS model_name,
+           round(1e-9 + (23.0 + 2.0 * d) / 5.0, 6) AS objective,
+           round(1e-9 + (11.0 - d) / 5.0, 6) AS x,
+           round(1e-9 + (3.0 * (7.0 + d) - 9.0) / 5.0, 6) AS y
+    FROM (SELECT unnest(generate_series(0, 4)) AS d)
+    ORDER BY model_name
+    """,
+    category="optimization",
+    doc=(
+        "Parametric LP sweep (sensitivity analysis as a bulk workload): "
+        "min x+y s.t. x+2y >= 7+delta, 3x+y >= 9, x,y >= 0 solved for a "
+        "grid of RHS perturbations through the distributed bulk path — one "
+        "model per grid point, fanned out via groupBy(model).applyInPandas. "
+        "Both constraints stay binding on delta in [0,4], so the optimum "
+        "is the closed form x=(11-delta)/5, y=(3(7+delta)-9)/5, objective "
+        "(23+2*delta)/5 — the oracle is that algebra, making the sweep an "
+        "exact end-to-end check of duals-grade solver accuracy across a "
+        "model family."
+    ),
+)
+def opt07_parametric_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.optim.bulk import solve_packed
+
+    # grid of 5 models, each tiny; built in one SQL statement like opt05
+    packed = spark.sql(
+        """
+        WITH g AS (SELECT explode(sequence(0, 4)) AS d),
+        m AS (SELECT 'delta_' || CAST(d AS STRING) AS model_name, CAST(d AS DOUBLE) AS d FROM g)
+        SELECT model_name, 'v' AS kind, variable_name AS name,
+               CAST(NULL AS STRING) AS name2, 0.0 AS lower_bound,
+               1e30 AS upper_bound, 1.0 AS obj, 'continuous' AS vtype,
+               CAST(NULL AS DOUBLE) AS coefficient, ord
+        FROM m LATERAL VIEW stack(2, 'x', 0L, 'y', 1L) AS variable_name, ord
+        UNION ALL
+        SELECT model_name, 'c', cname, CAST(NULL AS STRING), lb, 1e30,
+               CAST(NULL AS DOUBLE), CAST(NULL AS STRING),
+               CAST(NULL AS DOUBLE), ord
+        FROM m LATERAL VIEW stack(2, 'c1', 7.0D + d, 0L, 'c2', 9.0D, 1L) AS cname, lb, ord
+        UNION ALL
+        SELECT model_name, 'k', cname, vname,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS STRING), coeff,
+               CAST(NULL AS BIGINT)
+        FROM m LATERAL VIEW stack(4, 'c1', 'x', 1.0D, 'c1', 'y', 2.0D,
+                                     'c2', 'x', 3.0D, 'c2', 'y', 1.0D) AS cname, vname, coeff
+        """
+    )
+    sol = solve_packed(packed)
+    # pivot the two variable rows per model into (x, y) columns
+    return (
+        sol.groupBy("model_name")
+        .agg(
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("solution_value"))
+                , 6
+            ).alias("objective"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.when(F.col("variable_name") == "x", F.col("solution_value")).otherwise(0.0)),
+                6,
+            ).alias("x"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.when(F.col("variable_name") == "y", F.col("solution_value")).otherwise(0.0)),
+                6,
+            ).alias("y"),
+        )
+        .transform(present_sorted, "model_name")
     )

@@ -408,3 +408,96 @@ def q121_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.collate(F.lower("k"), "UTF8_BINARY").alias("segment"), "n")
         .transform(present_sorted, "segment")
     )
+
+
+@register(
+    "q122_linear_interpolation",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, epoch_us(ts) AS t,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events WHERE user_id < 100
+    ),
+    ctx AS (
+      SELECT user_id, ts, t, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM base
+    )
+    SELECT user_id, ts,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap,
+           round(1e-9 + CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END, 6) AS filled
+    FROM ctx ORDER BY user_id, ts
+    """,
+    doc=(
+        "Time-series gap repair by linear interpolation: deterministic "
+        "holes (every 5th event) are filled from the nearest non-null "
+        "neighbors, weighted by microsecond-exact time fraction — four "
+        "IGNORE NULLS window lookups over ONE partition ordering (a single "
+        "shuffle on user_id), the distributable form of pandas "
+        "interpolate(method='time'). Boundary gaps fall back to the one "
+        "available neighbor."
+    ),
+)
+def q122_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 100)
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    base = ev.select("user_id", "ts", t.alias("t"), v.alias("v"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = base.select(
+        "user_id",
+        "ts",
+        "t",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("t")), ignorenulls=True)
+        .over(wb)
+        .alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("t")), ignorenulls=True)
+        .over(wf)
+        .alias("nt"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t") - F.col("pt")).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "user_id",
+        "ts",
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias("was_gap"),
+        F.round(F.lit(1e-9) + filled, 6).alias("filled"),
+    ).orderBy("user_id", "ts")
