@@ -1099,7 +1099,7 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     # Every join side here is fact-scale at 100 TB (customer, orders,
-    # lineitem all grow with SF): merge hints force the co-partitioned
+    # lineitem all grow with SF): strategy hints force the co-partitioned
     # sort-merge plan — the static planner otherwise broadcasts whichever
     # filtered fact its estimator thinks is smallest, a decision AQE never
     # revisits and an OOM at scale (registry-wide plan audit pins this).
@@ -1149,10 +1149,10 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planner (sizes under the broadcast threshold) chose lineitem as a hash
     # build side — a 600k-row hash relation here, an impossible one at
     # 100 TB. Fact-first join order + explicit dim hints keeps the fact
-    # table streaming through every BroadcastHashJoin (measured 2.1×).
-    # orders (date-filtered) broadcasts at this scale by size; at real scale
-    # it exceeds any threshold and li⋈orders becomes the classic
-    # co-partitioned shuffle join under AQE.
+    # table streaming through every BroadcastHashJoin (measured 2.1×);
+    # orders/customer take the size-picked co-partitioned strategy hint
+    # (shuffled hash at bench scale — no sort of either side — sort-merge
+    # at real scale, where li⋈orders is the classic co-partitioned join).
     return (
         li.join(orders.hint(fact_join_strategy(sf_dir)), li.l_orderkey == orders.o_orderkey)
         .join(cust.hint(fact_join_strategy(sf_dir)), orders.o_custkey == cust.c_custkey)

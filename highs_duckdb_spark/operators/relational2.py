@@ -521,7 +521,7 @@ def q93_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     salts = spark.range(N_SALTS).select(F.col("id").alias("salt"))
     dim_replicated = sup.crossJoin(F.broadcast(salts))
-    # merge hint: salting exists precisely because the dim CANNOT broadcast
+    # strategy hint: salting exists precisely because the dim CANNOT broadcast
     # (if it could, you would broadcast and skip salting entirely) — force
     # the co-partitioned (key, salt) shuffle the technique is demonstrating,
     # at every scale factor.

@@ -697,7 +697,7 @@ def dq04_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
-    # merge hints: each stage joins two user-keyed sets that both grow
+    # strategy hints: each stage joins two user-keyed sets that both grow
     # with corpus size (filtered raw events x per-user aggregates) — after
     # the first shuffle every stage is co-partitioned on user_id.
     c = (
@@ -1074,7 +1074,7 @@ def q69_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total match the sum of its line items? Exact integer-cents "
         "arithmetic end-to-end (a reconciliation that itself rounds is "
         "worthless); lineitem aggregates once on l_orderkey and joins "
-        "orders co-partitioned on the same key (merge hint — both sides "
+        "orders co-partitioned on the same key (strategy hint — both sides "
         "fact-scale), then rolls up to priority level. The synthetic data "
         "does NOT balance — the audit's job is to quantify exactly that."
     ),

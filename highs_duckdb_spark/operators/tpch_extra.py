@@ -126,7 +126,7 @@ def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey)
         .join(
-            # merge: raw lineitem is fact-scale; only the AGGREGATED big-order
+            # co-partitioned: raw lineitem is fact-scale; only the AGGREGATED big-order
             # key set (broadcast below) is bounded
             li.withColumnRenamed("l_orderkey", "lo").hint(fact_join_strategy(sf_dir)),
             F.col("o_orderkey") == F.col("lo"),

@@ -63,7 +63,7 @@ def q100_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    # merge hint: both sides are fact-scale at 100 TB — the static planner
+    # strategy hint: both sides are fact-scale at 100 TB — the static planner
     # otherwise broadcasts the raw lineitem projection as the semi-join
     # build side (fine at sf0.1, impossible at scale; a static broadcast
     # is never revisited by AQE, so the encoding must forbid it).
@@ -125,7 +125,7 @@ def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     # fact-first: supplier (bounded dim) broadcasts INTO lineitem; the
     # lineitem-orders and orders-customer joins are fact-fact at scale and
-    # take merge hints so the static planner cannot broadcast a raw fact.
+    # take strategy hints so the static planner cannot broadcast a raw fact.
     return (
         li.join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey)
         .join(orders.hint(fact_join_strategy(sf_dir)), F.col("o_orderkey") == F.col("l_orderkey"))
