@@ -562,3 +562,60 @@ def p09_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+WEIGHTED_SAMPLE_K = 30
+
+
+@register(
+    "p10_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                      + 1 AS DOUBLE) / 16777217.0)
+                ) / greatest(n_chars, 1) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rk <= {WEIGHTED_SAMPLE_K}
+    ORDER BY lang, rk
+    """,
+    category="pipeline",
+    doc=(
+        f"Weight-proportional sampling without replacement "
+        f"({WEIGHTED_SAMPLE_K}/language, weight = document length): the "
+        "Efraimidis–Spirakis A-ES scheme with the uniform draw derived "
+        "from md5(doc_id) instead of random(), so inclusion is "
+        "reproducible across engines, runs, and cluster sizes. Key "
+        "ln(u)/w orders identically to u^(1/w); top-K per stratum is one "
+        "window over the lang shard — A-ES is THE distributable weighted "
+        "sampler (per-partition top-K heaps merge associatively, so at "
+        "100 TB this becomes partial top-K map-side with no global sort)."
+    ),
+)
+def p10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    u6 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint")
+    u = (u6 + 1).cast("double") / 16777217.0
+    k = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    w = Window.partitionBy("lang").orderBy(F.desc("k"), "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars", k.alias("k"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WEIGHTED_SAMPLE_K)
+        .select(
+            "lang",
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .transform(lambda df: df.orderBy("lang", "rk"))
+    )

@@ -501,3 +501,86 @@ def q122_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias("was_gap"),
         F.round(F.lit(1e-9) + filled, 6).alias("filled"),
     ).orderBy("user_id", "ts")
+
+
+@register(
+    "q123_mode_median",
+    oracle="""
+    WITH cnt AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS c
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    md AS (
+      SELECT o_orderpriority, o_orderstatus AS mode_status,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY c DESC, o_orderstatus) AS rn
+      FROM cnt
+    ),
+    med AS (
+      SELECT o_orderpriority,
+             round(1e-9 + median(o_totalprice), 4) AS median_total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT med.o_orderpriority, md.mode_status, med.median_total, med.n
+    FROM med JOIN md ON med.o_orderpriority = md.o_orderpriority AND md.rn = 1
+    ORDER BY med.o_orderpriority
+    """,
+    doc=(
+        "Deterministic MODE (most frequent value, ties → smallest) and "
+        "exact interpolated MEDIAN per group. Spark's mode(col, "
+        "deterministic=true) pins exactly the tie rule the oracle's "
+        "hand-rolled count-window replays; median is percentile(0.5) with "
+        "linear interpolation in both engines. One grouped pass for the "
+        "mode counts (distinct (group,value) pairs shuffle, not rows) "
+        "plus the median's per-group sort — at 100 TB the median would "
+        "switch to approx_percentile; this entry pins the exact-path "
+        "semantics."
+    ),
+)
+def q123_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.mode("o_orderstatus", True).alias("mode_status"),
+            F.round(F.lit(1e-9) + F.median("o_totalprice"), 4).alias("median_total"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .transform(present_sorted, "o_orderpriority")
+    )
+
+
+@register(
+    "q124_regression_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(1e-9 + regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(1e-9 + regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(1e-9 + regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "Per-group ordinary-least-squares via the SQL-standard regression "
+        "aggregates (regr_slope/intercept/r2/count) — closed-form moment "
+        "accumulators in both engines, so one map-side-combined grouped "
+        "pass over the scan: fully distributable, no second pass, no "
+        "residual materialization."
+    ),
+)
+def q124_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.lit(1e-9) + F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.lit(1e-9) + F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.lit(1e-9) + F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("bigint").alias("n"),
+        )
+        .transform(present_sorted, "l_returnflag")
+    )

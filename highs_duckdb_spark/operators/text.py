@@ -470,3 +470,168 @@ def t10_trigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "doc_id")
     )
+
+
+@register(
+    "t11_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS tok_a, t[i+1] AS tok_b
+      FROM toks, unnest(range(1, length(t))) AS r(i)
+      WHERE length(t) >= 2
+    ),
+    uni AS (SELECT unnest(t) AS tok FROM toks),
+    ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    bcnt AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM big GROUP BY tok_a, tok_b),
+    tot AS (SELECT (SELECT count(*) FROM big) AS n_bi, (SELECT count(*) FROM uni) AS n_uni)
+    SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+           round(1e-9 + ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni)
+                           / (CAST(n_bi AS DOUBLE) * ca.c * cb.c)), 6) AS pmi
+    FROM bcnt
+    JOIN ucnt ca ON bcnt.tok_a = ca.tok
+    JOIN ucnt cb ON bcnt.tok_b = cb.tok
+    CROSS JOIN tot
+    WHERE c_ab >= 5
+    ORDER BY tok_a, tok_b
+    """,
+    category="text",
+    doc=(
+        "Pointwise mutual information of adjacent token bigrams over the "
+        "corpus — the classic collocation / phrase-mining statistic. "
+        "Bigrams explode map-side with partial aggregation (the vocabulary "
+        "is the shuffle key, so the exchange carries distinct grams, not "
+        "the token stream); unigram counts and the two scalar totals are "
+        "broadcast back onto the bigram counts, so the corpus is scanned "
+        "once and nothing re-shuffles at 100 TB."
+    ),
+)
+def t11_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select(t.alias("t"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("tok_a"),
+            F.element_at(F.col("t"), i + 1).alias("tok_b"),
+        ),
+    )
+    big = toks.filter(F.size("t") >= 2).select(F.explode(pairs).alias("p")).select(
+        "p.tok_a", "p.tok_b"
+    )
+    uni = toks.select(F.explode("t").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    bcnt = big.groupBy("tok_a", "tok_b").agg(F.count("*").alias("c_ab"))
+    tot = F.broadcast(
+        big.agg(F.count("*").alias("n_bi")).crossJoin(
+            uni.agg(F.count("*").alias("n_uni"))
+        )
+    )
+    ca = F.broadcast(ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca")))
+    cb = F.broadcast(ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb")))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_bi").cast("double") * F.col("ca") * F.col("cb"))
+    )
+    return (
+        bcnt.join(ca, "tok_a")
+        .join(cb, "tok_b")
+        .crossJoin(tot)
+        .filter(F.col("c_ab") >= 5)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(F.lit(1e-9) + pmi, 6).alias("pmi"),
+        )
+        .transform(present_sorted, "tok_a", "tok_b")
+    )
+
+
+# PII patterns — kept to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \d, \b.
+PAT_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PAT_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PAT_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_T12_ORACLE = """
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 37 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-867-5309 at 10.1.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  ELSE text END AS itext
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(itext, '{E}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(itext, '{P}')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(itext, '{I}')) AS BIGINT) AS n_ips,
+             md5(regexp_replace(regexp_replace(regexp_replace(itext,
+                   '{E}', '<EMAIL>', 'g'),
+                   '{P}', '<PHONE>', 'g'),
+                   '{I}', '<IP>', 'g')) AS redacted_md5
+      FROM injected
+    )
+    SELECT doc_id, n_emails, n_phones, n_ips, redacted_md5
+    FROM counted
+    WHERE n_emails + n_phones + n_ips > 0
+    ORDER BY doc_id
+""".replace("{E}", PAT_EMAIL).replace("{P}", PAT_PHONE).replace("{I}", PAT_IP)
+
+
+@register(
+    "t12_pii_redaction",
+    oracle=_T12_ORACLE,
+    category="text",
+    doc=(
+        "PII detection + redaction (emails / NANP phone numbers / IPv4 "
+        "addresses) — the compliance scrub every released corpus runs. The "
+        "synthetic corpus contains no organic PII, so a deterministic "
+        "injection (doc_id % 37) seeds known matches that both engines "
+        "derive identically; the md5 of the redacted text proves the "
+        "replacement semantics match byte-for-byte. Pure codegen "
+        "regexp_count/regexp_replace over the scan — no shuffle at all "
+        "until the tiny flagged subset is collected; patterns are "
+        "restricted to the Java-regex ∩ RE2 common dialect."
+    ),
+)
+def t12_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    itext = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 at 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", itext.alias("itext"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("itext"), PAT_EMAIL, "<EMAIL>"),
+            PAT_PHONE,
+            "<PHONE>",
+        ),
+        PAT_IP,
+        "<IP>",
+    )
+    out = base.select(
+        "doc_id",
+        F.regexp_count(F.col("itext"), F.lit(PAT_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("itext"), F.lit(PAT_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("itext"), F.lit(PAT_IP)).cast("bigint").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+    return out.filter(
+        F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0
+    ).transform(present_sorted, "doc_id")
