@@ -584,3 +584,166 @@ def q124_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "l_returnflag")
     )
+
+
+PSI_BINS = 10
+
+
+@register(
+    "dq06_psi_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, value, epoch_us(ts) AS us
+      FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+      SELECT min(us) AS mn, max(us) AS mx, min(value) AS vmin, max(value) AS vmax
+      FROM ev
+    ),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN us * 2 < mn + mx THEN 'ref' ELSE 'cur' END AS period,
+             least({PSI_BINS - 1}, CAST(floor((value - vmin)
+                   / ((vmax - vmin) / {PSI_BINS}.0)) AS BIGINT)) AS bin
+      FROM ev CROSS JOIN bounds
+    ),
+    cnt AS (
+      SELECT event_type, period, bin, count(*) AS c
+      FROM binned GROUP BY event_type, period, bin
+    ),
+    tot AS (
+      SELECT event_type, period, sum(c) AS t FROM cnt GROUP BY event_type, period
+    ),
+    frame AS (
+      SELECT event_type, bin
+      FROM (SELECT DISTINCT event_type FROM ev),
+           (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin)
+    ),
+    probs AS (
+      SELECT f.event_type, f.bin,
+             (coalesce(cr.c, 0) + 0.5) / (tr.t + {PSI_BINS}* 0.5) AS p_ref,
+             (coalesce(cc.c, 0) + 0.5) / (tc.t + {PSI_BINS}* 0.5) AS p_cur
+      FROM frame f
+      LEFT JOIN cnt cr ON cr.event_type = f.event_type AND cr.bin = f.bin AND cr.period = 'ref'
+      LEFT JOIN cnt cc ON cc.event_type = f.event_type AND cc.bin = f.bin AND cc.period = 'cur'
+      JOIN tot tr ON tr.event_type = f.event_type AND tr.period = 'ref'
+      JOIN tot tc ON tc.event_type = f.event_type AND tc.period = 'cur'
+    )
+    SELECT event_type,
+           round(1e-9 + sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+           CAST((SELECT t FROM tot WHERE tot.event_type = probs.event_type
+                 AND period = 'ref') AS BIGINT) AS n_ref,
+           CAST((SELECT t FROM tot WHERE tot.event_type = probs.event_type
+                 AND period = 'cur') AS BIGINT) AS n_cur
+    FROM probs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc=(
+        "Population Stability Index per event_type — the standard "
+        "drift-detection statistic between a reference window (first half "
+        "of the time range) and the current window. Deterministic binning: "
+        f"{PSI_BINS} equal-width bins over the global value range (pure "
+        "IEEE double arithmetic, identical in both engines), Laplace-"
+        "smoothed probabilities so empty bins never produce ln(0). Scale "
+        "shape: one grouped count per (type, period, bin) with map-side "
+        "combine — the PSI itself runs over (types × bins) rows, i.e. "
+        "nothing, regardless of event volume."
+    ),
+)
+def dq06_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    bounds = F.broadcast(
+        ev.agg(
+            F.min("us").alias("mn"),
+            F.max("us").alias("mx"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    binned = ev.crossJoin(bounds).select(
+        "event_type",
+        F.when(F.col("us") * 2 < F.col("mn") + F.col("mx"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / ((F.col("vmax") - F.col("vmin")) / float(PSI_BINS))
+            ).cast("bigint"),
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "period", "bin").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("event_type", "period").agg(F.sum("c").alias("t"))
+    frame = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(PSI_BINS).select(F.col("id").alias("bin"))
+            )
+        )
+    )
+    cr = F.broadcast(
+        cnt.filter(F.col("period") == "ref").select(
+            "event_type", "bin", F.col("c").alias("c_ref")
+        )
+    )
+    cc = F.broadcast(
+        cnt.filter(F.col("period") == "cur").select(
+            "event_type", "bin", F.col("c").alias("c_cur")
+        )
+    )
+    tr = F.broadcast(
+        tot.filter(F.col("period") == "ref").select(
+            "event_type", F.col("t").alias("t_ref")
+        )
+    )
+    tc = F.broadcast(
+        tot.filter(F.col("period") == "cur").select(
+            "event_type", F.col("t").alias("t_cur")
+        )
+    )
+    smooth = PSI_BINS * 0.5
+    probs = (
+        frame.join(cr, ["event_type", "bin"], "left")
+        .join(cc, ["event_type", "bin"], "left")
+        .join(tr, "event_type")
+        .join(tc, "event_type")
+        .select(
+            "event_type",
+            ((F.coalesce("c_ref", F.lit(0)) + 0.5) / (F.col("t_ref") + smooth)).alias(
+                "p_ref"
+            ),
+            ((F.coalesce("c_cur", F.lit(0)) + 0.5) / (F.col("t_cur") + smooth)).alias(
+                "p_cur"
+            ),
+            "t_ref",
+            "t_cur",
+        )
+    )
+    return (
+        probs.groupBy("event_type")
+        .agg(
+            F.round(
+                F.lit(1e-9)
+                + F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                ),
+                6,
+            ).alias("psi"),
+            F.first("t_ref").cast("bigint").alias("n_ref"),
+            F.first("t_cur").cast("bigint").alias("n_cur"),
+        )
+        .transform(present_sorted, "event_type")
+    )

@@ -635,3 +635,62 @@ def t12_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0
     ).transform(present_sorted, "doc_id")
+
+
+@register(
+    "t13_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang, tok, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk
+      FROM freq
+    )
+    SELECT lang,
+           round(1e-9 + regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4) AS zipf_slope,
+           round(1e-9 + regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6) AS zipf_r2,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    category="text",
+    doc=(
+        "Zipf's-law fit per language shard: regress ln(frequency) on "
+        "ln(rank) over the rank-frequency table (slope ≈ −1 for natural "
+        "text; the synthetic corpus's near-uniform vocabulary fits a much "
+        "flatter slope — exactly the kind of distribution-shape screen a "
+        "corpus-health dashboard runs). Token counts aggregate map-side "
+        "onto the (lang, token) vocabulary; the regression sees only "
+        "vocab-sized input, so corpus volume never reaches the window or "
+        "the fit."
+    ),
+)
+def t13_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    freq = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "tok")
+    ranked = freq.withColumn("rk", F.row_number().over(w))
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_rk = F.log(F.col("rk").cast("double"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.round(F.lit(1e-9) + F.regr_slope(ln_c, ln_rk), 4).alias("zipf_slope"),
+            F.round(F.lit(1e-9) + F.regr_r2(ln_c, ln_rk), 6).alias("zipf_r2"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+        .transform(present_sorted, "lang")
+    )
