@@ -354,3 +354,41 @@ def opt07_parametric_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "model_name")
     )
+
+
+@register(
+    "opt08_shadow_prices",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('capacity', 'capacity_0', -2.0, 100.0, 'Optimal'),
+      ('labor',    'labor_1',    -4.0, 150.0, 'Optimal')
+    ) AS t(constraint_name, constraint_index, dual, activity, status)
+    ORDER BY constraint_index
+    """,
+    category="optimization",
+    doc=(
+        "Constraint-side dual report (shadow prices + row activity) for a "
+        "production-planning LP: max 10x + 6y (minimize the negation) "
+        "s.t. x + y ≤ 100, 2x + y ≤ 150. Unique nondegenerate optimum "
+        "x=50, y=50; duals −2/−4 mean one more unit of capacity/labor "
+        "improves the (minimized) objective by 2/4 — hand-derivable from "
+        "Bᵀy = c_B, so the oracle is the closed-form constants. "
+        "Beyond-reference: the reference surfaces only variable reduced "
+        "costs (col_dual, src/highs_extension.cpp:607); this completes "
+        "the sensitivity surface with HiGHS's row_dual equivalent."
+    ),
+)
+def opt08_shadow_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.optim.registry import solve_duals
+
+    name = "q_shadow"
+    ModelRegistry.instance().remove_model(name)
+    create_variables(spark, name, "x", 0.0, 1e30, -10.0, "continuous")
+    create_variables(spark, name, "y", 0.0, 1e30, -6.0, "continuous")
+    create_constraints(spark, name, "capacity", -1e30, 100.0)
+    create_constraints(spark, name, "labor", -1e30, 150.0)
+    set_coefficients(spark, name, "capacity", "x", 1.0)
+    set_coefficients(spark, name, "capacity", "y", 1.0)
+    set_coefficients(spark, name, "labor", "x", 2.0)
+    set_coefficients(spark, name, "labor", "y", 1.0)
+    return solve_duals(spark, name).transform(present_sorted, "constraint_index")

@@ -877,3 +877,188 @@ def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "neighbor_id", "label", "cosine")
         .orderBy("query_id", "rk")
     )
+
+
+# --- s09: Maximal Marginal Relevance diversified retrieval -------------------
+
+MMR_SHORTLIST = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3  # 1 − λ as an exact literal: Python's 1 - 0.7 is 0.30000000000000004
+
+
+def _mmr_oracle() -> str:
+    """Chained greedy-selection CTEs: K=5 unrolled argmax steps.
+
+    MMR is iterative, but with fixed K it IS SQL-expressible — each pick is
+    a windowed argmax over the remaining candidates carrying a running
+    max-similarity to the selected set. All similarities are rounded to 6dp
+    before selection so the greedy path is engine-stable."""
+    head = f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS rel
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    short AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rk
+        FROM scored) WHERE rk <= {MMR_SHORTLIST}
+    ),
+    sims AS (
+      SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+             round(1e-9 + list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+      FROM short a
+      JOIN short b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+      JOIN emb ea ON ea.vec_id = a.neighbor_id
+      JOIN emb eb ON eb.vec_id = b.neighbor_id
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, rel, rel AS mmr FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        FROM short) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT s.query_id, s.neighbor_id, s.rel, sims.sim AS maxsim
+      FROM short s
+      JOIN sel1 ON s.query_id = sel1.query_id AND s.neighbor_id <> sel1.neighbor_id
+      JOIN sims ON sims.query_id = s.query_id AND sims.a_id = s.neighbor_id
+               AND sims.b_id = sel1.neighbor_id
+    )"""
+    parts = [head]
+    lam, mu = MMR_LAMBDA, MMR_MU
+    for i in range(2, MMR_K + 1):
+        parts.append(f""",
+    sel{i} AS (
+      SELECT query_id, neighbor_id, rel, maxsim,
+             {lam} * rel - {mu} * maxsim AS mmr FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY {lam} * rel - {mu} * maxsim DESC, neighbor_id) AS rn
+        FROM c{i - 1}) WHERE rn = 1
+    )""")
+        if i < MMR_K:
+            parts.append(f""",
+    c{i} AS (
+      SELECT c.query_id, c.neighbor_id, c.rel, greatest(c.maxsim, sims.sim) AS maxsim
+      FROM c{i - 1} c
+      JOIN sel{i} ON c.query_id = sel{i}.query_id AND c.neighbor_id <> sel{i}.neighbor_id
+      JOIN sims ON sims.query_id = c.query_id AND sims.a_id = c.neighbor_id
+               AND sims.b_id = sel{i}.neighbor_id
+    )""")
+    unions = ["""
+    SELECT query_id, CAST(1 AS BIGINT) AS pick, neighbor_id, round(1e-9 + mmr, 6) AS mmr
+    FROM sel1"""]
+    for i in range(2, MMR_K + 1):
+        unions.append(f"""
+    UNION ALL SELECT query_id, CAST({i} AS BIGINT), neighbor_id, round(1e-9 + mmr, 6)
+    FROM sel{i}""")
+    return "".join(parts) + "".join(unions) + "\n    ORDER BY query_id, pick"
+
+
+@register(
+    "s09_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    category="similarity",
+    doc=(
+        f"Maximal Marginal Relevance retrieval: brute-force shortlist of "
+        f"{MMR_SHORTLIST}, then greedy λ·relevance − (1−λ)·max-sim-to-"
+        f"selected re-ranking picks {MMR_K} diverse results per query "
+        f"(λ={MMR_LAMBDA}) — the dedup-at-retrieval-time operator for RAG "
+        "and eval-set construction. All cosines are computed by the same "
+        "left-to-right fold in both engines and rounded to 6dp BEFORE the "
+        "greedy walk, so the selection path is bit-stable; the oracle "
+        "unrolls the K greedy argmax steps as chained CTEs. Scale shape: "
+        "the corpus is touched only by the shortlist scan; the MMR itself "
+        "runs per query over shortlist² rows inside a grouped pandas "
+        "kernel — constant work per query however large the corpus."
+    ),
+)
+def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    # Exact relevance via the sequential JVM fold (same summation order as
+    # DuckDB's list_dot_product → bit-identical before rounding). This is
+    # the slow-but-exact path; the throughput variant is s01's kernel.
+    rel = F.round(
+        F.lit(1e-9) + _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        6,
+    )
+    scored = (
+        emb.join(q, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "v", rel.alias("rel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
+    short = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= MMR_SHORTLIST
+    )
+    a = short.select("query_id", F.col("neighbor_id").alias("a_id"),
+                     F.col("rel").alias("rel_a"), F.col("v").alias("va"))
+    b = short.select(F.col("query_id").alias("qb"), F.col("neighbor_id").alias("b_id"),
+                     F.col("v").alias("vb"))
+    sim = F.round(
+        F.lit(1e-9) + _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        6,
+    )
+    pairs = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("a_id") != F.col("b_id")))
+        .select("query_id", "a_id", "rel_a", "b_id", sim.alias("sim"))
+    )
+
+    def greedy(pdf):
+        import math
+
+        import pandas as pd
+
+        def round6(x: float) -> float:
+            x = x + 1e-9
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {}
+        sims = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.a_id)] = float(r.rel_a)
+            sims[(int(r.a_id), int(r.b_id))] = float(r.sim)
+        remaining = set(rel)
+        first = max(remaining, key=lambda c: (rel[c], -c))
+        out = [(qid, 1, first, round6(rel[first]))]
+        selected = [first]
+        remaining.discard(first)
+        maxsim = {c: sims[(c, first)] for c in remaining}
+        for pick in range(2, MMR_K + 1):
+            best = max(
+                remaining,
+                key=lambda c: (MMR_LAMBDA * rel[c] - MMR_MU * maxsim[c], -c),
+            )
+            out.append(
+                (qid, pick, best,
+                 round6(MMR_LAMBDA * rel[best] - MMR_MU * maxsim[best]))
+            )
+            selected.append(best)
+            remaining.discard(best)
+            for c in remaining:
+                s = sims[(c, best)]
+                if s > maxsim[c]:
+                    maxsim[c] = s
+        return pd.DataFrame(
+            out, columns=["query_id", "pick", "neighbor_id", "mmr"]
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(greedy, "query_id long, pick long, neighbor_id long, mmr double")
+        .transform(present_sorted, "query_id", "pick")
+    )

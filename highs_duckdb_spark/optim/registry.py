@@ -277,3 +277,71 @@ def solve(spark: SparkSession, model_name: str) -> DataFrame:
         except Exception as e:  # error-as-data contract
             rows = [("N/A", "ERROR", 0.0, 0.0, f"ERROR: {e}")]
     return spark.createDataFrame(rows, SOLVE_RESULT_SCHEMA)
+
+
+DUALS_RESULT_SCHEMA = (
+    "constraint_name string, constraint_index string, dual double, "
+    "activity double, status string"
+)
+
+
+def solve_model_duals(model: HighsModelInfo) -> list[tuple[str, str, float, float, str]]:
+    """Solve → one row per CONSTRAINT with its dual (shadow price) and
+    activity a·x.
+
+    Beyond-reference surface: the reference exposes only variable-side
+    ``col_dual`` (reduced cost, src/highs_extension.cpp:607); HiGHS also
+    computes ``row_dual``, which is the economically meaningful shadow
+    price (∂objective/∂rhs). Row order = constraint insertion order, the
+    same contract the solve output keeps for variables. MILP models get
+    dual 0.0 (duals are undefined for MIP), mirroring how the reference
+    backfills reduced costs."""
+    n = model.next_var_index
+    m = model.next_constraint_index
+    c = np.array(model.obj_coefficients, dtype=float)
+    col_lb = np.array(model.var_lower_bounds, dtype=float)
+    col_ub = np.array(model.var_upper_bounds, dtype=float)
+    row_lb = np.array(model.constraint_lower_bounds, dtype=float)
+    row_ub = np.array(model.constraint_upper_bounds, dtype=float)
+    a = np.zeros((m, n))
+    for row_idx, entries in model.constraint_coefficients.items():
+        for var_idx, coeff in entries:
+            a[row_idx, var_idx] += coeff
+
+    is_int = np.zeros(n, dtype=bool)
+    for i, vt in enumerate(model.variable_types):
+        if vt == "binary":
+            is_int[i] = True
+            col_lb[i] = max(0.0, col_lb[i])
+            col_ub[i] = min(1.0, col_ub[i])
+        elif vt == "integer":
+            is_int[i] = True
+
+    if is_int.any():
+        res = solve_milp(c, a, row_lb, row_ub, col_lb, col_ub, is_int)
+        duals = np.zeros(m)
+    else:
+        res = solve_lp(c, a, row_lb, row_ub, col_lb, col_ub)
+        duals = res.row_duals if res.row_duals.size == m else np.zeros(m)
+    activity = a @ res.x if res.x.size == n else np.zeros(m)
+    rows = []
+    for i, name in enumerate(model.constraint_names):
+        rows.append(
+            (name, f"{name}_{i}", float(duals[i]), float(activity[i]), res.status)
+        )
+    return rows
+
+
+def solve_duals(spark: SparkSession, model_name: str) -> DataFrame:
+    """Shadow-price report for a registry model: one row per constraint."""
+    registry = ModelRegistry.instance()
+    with registry.mutation_lock:
+        model = registry.get_model(model_name)
+        if model is None:
+            row = ("N/A", "ERROR", 0.0, 0.0, f"ERROR: Model '{model_name}' not found")
+            return spark.createDataFrame([row], DUALS_RESULT_SCHEMA)
+        try:
+            rows = solve_model_duals(model)
+        except Exception as e:  # error-as-data contract
+            rows = [("N/A", "ERROR", 0.0, 0.0, f"ERROR: {e}")]
+    return spark.createDataFrame(rows, DUALS_RESULT_SCHEMA)
