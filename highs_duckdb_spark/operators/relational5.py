@@ -682,66 +682,43 @@ def dq06_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("bin"),
     )
-    cnt = binned.groupBy("event_type", "period", "bin").agg(F.count("*").alias("c"))
-    tot = cnt.groupBy("event_type", "period").agg(F.sum("c").alias("t"))
-    frame = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                ev.sparkSession.range(PSI_BINS).select(F.col("id").alias("bin"))
-            )
-        )
+    # One pivoted aggregation over (type, bin): the ref/cur split is a
+    # conditional count, so events are aggregated exactly once; per-type
+    # totals come from a window over the (types × bins)-sized aggregate,
+    # not a self-join (self-referencing an aggregate duplicates its whole
+    # subtree in the physical plan — measured 20 parquet scans in the
+    # join-based formulation vs 2 here: bounds + the main pass).
+    from pyspark.sql import Window
+
+    agg1 = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("c_cur"),
     )
-    cr = F.broadcast(
-        cnt.filter(F.col("period") == "ref").select(
-            "event_type", "bin", F.col("c").alias("c_ref")
-        )
-    )
-    cc = F.broadcast(
-        cnt.filter(F.col("period") == "cur").select(
-            "event_type", "bin", F.col("c").alias("c_cur")
-        )
-    )
-    tr = F.broadcast(
-        tot.filter(F.col("period") == "ref").select(
-            "event_type", F.col("t").alias("t_ref")
-        )
-    )
-    tc = F.broadcast(
-        tot.filter(F.col("period") == "cur").select(
-            "event_type", F.col("t").alias("t_cur")
-        )
-    )
+    wt = Window.partitionBy("event_type")
     smooth = PSI_BINS * 0.5
-    probs = (
-        frame.join(cr, ["event_type", "bin"], "left")
-        .join(cc, ["event_type", "bin"], "left")
-        .join(tr, "event_type")
-        .join(tc, "event_type")
-        .select(
-            "event_type",
-            ((F.coalesce("c_ref", F.lit(0)) + 0.5) / (F.col("t_ref") + smooth)).alias(
-                "p_ref"
-            ),
-            ((F.coalesce("c_cur", F.lit(0)) + 0.5) / (F.col("t_cur") + smooth)).alias(
-                "p_cur"
-            ),
-            "t_ref",
-            "t_cur",
-        )
+    withtot = agg1.select(
+        "event_type",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(wt).alias("t_ref"),
+        F.sum("c_cur").over(wt).alias("t_cur"),
+        F.count("*").over(wt).alias("n_obs"),
     )
+    p_ref = (F.col("c_ref") + 0.5) / (F.col("t_ref") + smooth)
+    p_cur = (F.col("c_cur") + 0.5) / (F.col("t_cur") + smooth)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    # Bins empty in BOTH periods never appear in agg1; their Laplace term
+    # is a per-type constant, added analytically instead of materializing
+    # a bin frame — the PSI is identical, the plan stays one linear
+    # pipeline.
+    p0_ref = F.lit(0.5) / (F.col("t_ref") + smooth)
+    p0_cur = F.lit(0.5) / (F.col("t_cur") + smooth)
+    term0 = (p0_cur - p0_ref) * F.log(p0_cur / p0_ref)
+    missing = (F.lit(PSI_BINS) - F.col("n_obs")).cast("double") * term0
     return (
-        probs.groupBy("event_type")
+        withtot.groupBy("event_type")
         .agg(
-            F.round(
-                F.lit(1e-9)
-                + F.sum(
-                    (F.col("p_cur") - F.col("p_ref"))
-                    * F.log(F.col("p_cur") / F.col("p_ref"))
-                ),
-                6,
-            ).alias("psi"),
+            F.round(F.lit(1e-9) + F.sum(term) + F.first(missing), 6).alias("psi"),
             F.first("t_ref").cast("bigint").alias("n_ref"),
             F.first("t_cur").cast("bigint").alias("n_cur"),
         )
