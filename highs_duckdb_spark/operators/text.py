@@ -502,16 +502,25 @@ def t10_trigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Pointwise mutual information of adjacent token bigrams over the "
         "corpus — the classic collocation / phrase-mining statistic. "
-        "Bigrams explode map-side with partial aggregation (the vocabulary "
-        "is the shuffle key, so the exchange carries distinct grams, not "
-        "the token stream); unigram counts and the two scalar totals are "
-        "broadcast back onto the bigram counts, so the corpus is scanned "
-        "once and nothing re-shuffles at 100 TB."
+        "Scale shape: the corpus is scanned exactly ONCE — each document's "
+        "token array gets an end-of-doc sentinel, so every token occurs "
+        "exactly once as the left element of a bigram and the unigram "
+        "counts are marginals of the sentinel-extended bigram counts "
+        "(Σ_b count[t,b] = count[t]). That one vocab²-sized aggregate is "
+        "locally checkpointed (it's tiny at any corpus size), and every "
+        "downstream quantity — unigram counts, both scalar totals, the "
+        "PMI itself — derives from it without touching the corpus again; "
+        "a naive ucnt/bcnt/totals formulation re-scans the corpus once "
+        "per reference (5 scans) because Spark duplicates self-referenced "
+        "aggregate subtrees."
     ),
 )
 def t11_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sent = "</s>"  # end-of-doc sentinel; never a corpus token here
+    t = F.concat(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), F.array(F.lit(sent))
+    )
     toks = docs.select(t.alias("t"))
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("t") - 1),
@@ -520,25 +529,29 @@ def t11_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("t"), i + 1).alias("tok_b"),
         ),
     )
-    big = toks.filter(F.size("t") >= 2).select(F.explode(pairs).alias("p")).select(
-        "p.tok_a", "p.tok_b"
+    big = toks.select(F.explode(pairs).alias("p")).select("p.tok_a", "p.tok_b")
+    # One map-side-combined aggregation over the scan, then cut lineage:
+    # every reference below reuses these few-hundred rows, not the corpus.
+    bcnt = (
+        big.groupBy("tok_a", "tok_b").agg(F.count("*").alias("c_ab")).localCheckpoint()
     )
-    uni = toks.select(F.explode("t").alias("tok"))
-    ucnt = uni.groupBy("tok").agg(F.count("*").alias("c"))
-    bcnt = big.groupBy("tok_a", "tok_b").agg(F.count("*").alias("c_ab"))
+    ucnt = bcnt.groupBy("tok_a").agg(F.sum("c_ab").alias("c"))
+    real = bcnt.filter(F.col("tok_b") != sent)
     tot = F.broadcast(
-        big.agg(F.count("*").alias("n_bi")).crossJoin(
-            uni.agg(F.count("*").alias("n_uni"))
+        real.agg(F.sum("c_ab").alias("n_bi")).crossJoin(
+            ucnt.agg(F.sum("c").alias("n_uni"))
         )
     )
-    ca = F.broadcast(ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca")))
-    cb = F.broadcast(ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb")))
+    ca = F.broadcast(ucnt.select(F.col("tok_a"), F.col("c").alias("ca")))
+    cb = F.broadcast(
+        ucnt.select(F.col("tok_a").alias("tok_b"), F.col("c").alias("cb"))
+    )
     pmi = F.log(
         (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
         / (F.col("n_bi").cast("double") * F.col("ca") * F.col("cb"))
     )
     return (
-        bcnt.join(ca, "tok_a")
+        real.join(ca, "tok_a")
         .join(cb, "tok_b")
         .crossJoin(tot)
         .filter(F.col("c_ab") >= 5)
