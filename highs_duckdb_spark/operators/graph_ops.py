@@ -101,7 +101,11 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _edges(spark, sf_dir)
+    # Pin the derived edge list before the triangle self-joins: e is
+    # referenced three times, and each reference would otherwise re-run
+    # the 4-way fact join that derives it (6 scans of every base table in
+    # the physical plan). Same build-the-graph-then-iterate shape as g03.
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     e1 = e.select(F.col("n1").alias("a"), F.col("n2").alias("b"))
     e2 = e.select(F.col("n1").alias("b"), F.col("n2").alias("c"))
     e3 = e.select(F.col("n1").alias("a"), F.col("n2").alias("c"))

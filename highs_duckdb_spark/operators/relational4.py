@@ -695,47 +695,60 @@ def dq04_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q26_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
-    # strategy hints: each stage joins two user-keyed sets that both grow
-    # with corpus size (filtered raw events x per-user aggregates) — after
-    # the first shuffle every stage is co-partitioned on user_id.
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .hint(fact_join_strategy(sf_dir))
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .hint(fact_join_strategy(sf_dir))
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    counts = None
-    for ord_, (stage, df) in enumerate([("view", v), ("click", c), ("purchase", p)], start=1):
-        row = df.agg(F.count("*").alias("users")).select(
-            F.lit(ord_).alias("ord"), F.lit(stage).alias("stage"), "users"
-        )
-        counts = row if counts is None else counts.unionByName(row)
     from pyspark.sql import Window
 
-    w = Window.orderBy("ord")
-    return (
-        counts.select(
-            "stage",
-            "users",
-            F.round(
-                F.lit(1e-9)
-                + F.col("users").cast("double")
-                / F.greatest(F.lag("users").over(w), F.lit(1)),
-                4,
-            ).alias("conv_from_prev"),
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    # Single-scan funnel: the three stage thresholds are CHAINED windows
+    # over the same user partition — t1 feeds t2 feeds t3 without a new
+    # exchange (same partitioning key), so the whole funnel is one events
+    # scan + one user_id shuffle. The earlier per-stage join formulation
+    # re-derived each stage per reference: 6 events scans in the plan.
+    wu = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn("t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(wu),
         )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    totals = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    stages = totals.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("ord"), F.lit("view").alias("stage"), F.col("n1").alias("users")),
+                F.struct(F.lit(2).alias("ord"), F.lit("click").alias("stage"), F.col("n2").alias("users")),
+                F.struct(F.lit(3).alias("ord"), F.lit("purchase").alias("stage"), F.col("n3").alias("users")),
+            )
+        ).alias("s")
+    ).select("s.ord", "s.stage", "s.users")
+    w = Window.orderBy("ord")
+    return stages.select(
+        "stage",
+        "users",
+        F.round(
+            F.lit(1e-9)
+            + F.col("users").cast("double") / F.greatest(F.lag("users").over(w), F.lit(1)),
+            4,
+        ).alias("conv_from_prev"),
     )
 
 

@@ -586,6 +586,28 @@ SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.40
 
 
+def _semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-cell assignment subplan: broadcast K×D centroids, map-side
+    max-cosine argmax per vector. Exposed separately so the plan shape
+    (BroadcastNestedLoopJoin, never a CartesianProduct of the corpus) is
+    testable — s06 pins its result behind a checkpoint."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "v", "cid", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+
+
 @register(
     "s06_semdedup",
     oracle=f"""
@@ -630,21 +652,12 @@ SEMDEDUP_TAU = 0.40
     ),
 )
 def s06_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
-    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    asg = (
-        emb.join(F.broadcast(cent))
-        .select("vec_id", "v", "cid", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
-    )
+    # Pin the cell assignment: it feeds both sides of the intra-cell
+    # join AND the final projection — unpinned, each of the three
+    # references re-runs the scan + K-way scoring (6 corpus scans in
+    # the physical plan). At 100 TB this materialization is the
+    # assignment table every SemDeDup implementation persists anyway.
+    asg = _semdedup_assignment(spark, sf_dir).localCheckpoint(eager=True)
     a = asg.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "cell")
     b = asg.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "cell")
     pair_cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))

@@ -360,13 +360,21 @@ def test_q28_single_user_shuffle(spark):
 def test_s06_broadcasts_centroids(spark):
     """SemDeDup: the K-row centroid table broadcasts into the assignment
     cross product (BroadcastNestedLoopJoin — keyless by design, K rows);
-    the corpus itself is never the broadcast side of a CartesianProduct."""
-    from highs_duckdb_spark.operators.similarity import s06_semdedup
+    the corpus itself is never the broadcast side of a CartesianProduct.
+    The assignment subplan is inspected pre-checkpoint (s06 pins its
+    result, so the final plan shows no corpus scan at all — also
+    asserted)."""
+    from highs_duckdb_spark.operators.similarity import (
+        _semdedup_assignment,
+        s06_semdedup,
+    )
 
-    df = s06_semdedup(spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    asg = _semdedup_assignment(spark, SF)
+    plan = asg._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+    final = s06_semdedup(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in final  # checkpoint pins the assignment
 
 
 def test_q64_fact_never_hash_build_side(spark):
