@@ -133,10 +133,38 @@ class HighsSolveUDTF:
             yield row
 
 
+@udtf(returnType="model_name string, status string")
+class HighsRemoveModelUDTF:
+    """Drop a model from the store.
+
+    Beyond-reference: ``HighsModelRegistry::RemoveModel`` exists in the
+    C++ (reference: src/highs_extension.cpp:72-75) but is never registered
+    as a SQL function, so reference models leak until process exit. SQL
+    scripts here can clean up after themselves; removing a missing model
+    follows the error-as-status-row contract rather than raising."""
+
+    def eval(self, model_name: str):  # noqa: D102
+        import os
+
+        from highs_duckdb_spark.optim.udtf_store import _paths, locked_model
+
+        with locked_model(model_name, create=False, readonly=True) as model:
+            if model is None:
+                yield (model_name, f"ERROR: Model '{model_name}' not found")
+                return
+        path, _ = _paths(model_name)
+        from highs_duckdb_spark.optim.udtf_store import remove_model
+
+        remove_model(model_name)
+        yield (model_name, "SUCCESS" if not os.path.exists(path) else "ERROR: remove failed")
+
+
 def register_table_functions(spark: SparkSession) -> None:
-    """Register the 4 table functions under the reference's SQL names."""
+    """Register the table functions under the reference's SQL names (plus
+    highs_remove_model, which the reference implements but never exposes)."""
     ensure_shipped(spark)
     spark.udtf.register("highs_create_variables", HighsCreateVariablesUDTF)
     spark.udtf.register("highs_create_constraints", HighsCreateConstraintsUDTF)
     spark.udtf.register("highs_set_coefficients", HighsSetCoefficientsUDTF)
     spark.udtf.register("highs_solve", HighsSolveUDTF)
+    spark.udtf.register("highs_remove_model", HighsRemoveModelUDTF)

@@ -97,3 +97,24 @@ def test_store_dir_loose_mode_tightened(tmp_path, monkeypatch):
     monkeypatch.setattr(udtf_store, "STORE_DIR", str(d))
     udtf_store._paths("m")
     assert stat.S_IMODE(os.lstat(d).st_mode) == 0o700
+
+
+def test_remove_model_udtf(spark):
+    """highs_remove_model drops persisted state; the next create starts a
+    fresh model (no duplicate-variable error), and removing a missing
+    model yields an ERROR status row, not an exception."""
+    register_table_functions(spark)
+    spark.sql(
+        "SELECT * FROM highs_create_variables('udtf_rm', 'x', 0.0, 1e30, 1.0, 'continuous')"
+    ).collect()
+    r = spark.sql("SELECT * FROM highs_remove_model('udtf_rm')").collect()
+    assert r[0].status == "SUCCESS"
+    # model gone: same variable name creates cleanly at index 0 again
+    r2 = spark.sql(
+        "SELECT * FROM highs_create_variables('udtf_rm', 'x', 0.0, 1e30, 1.0, 'continuous')"
+    ).collect()
+    assert r2[0].status == "SUCCESS"
+    assert r2[0].variable_index == "x_0"
+    spark.sql("SELECT * FROM highs_remove_model('udtf_rm')").collect()
+    miss = spark.sql("SELECT * FROM highs_remove_model('udtf_rm')").collect()
+    assert miss[0].status.startswith("ERROR: Model 'udtf_rm' not found")
