@@ -436,3 +436,83 @@ def qs09_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_table(stream, table, output_mode="complete")
     return spark.table(table).orderBy("user_id", "session_start")
+
+
+@register(
+    "qs10_stream_anomaly_alerts",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, count(*) AS n0,
+             sum(CAST(value AS DECIMAL(12,2))) AS sx0,
+             sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sxx0
+      FROM events GROUP BY event_type
+    ),
+    win AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sx
+      FROM events GROUP BY window_start, event_type
+    )
+    SELECT window_start, win.event_type, n,
+           round(1e-9 + CAST(sx AS DOUBLE) / n, 4) AS win_avg,
+           round(1e-9 + (CAST(sx AS DOUBLE) / n - CAST(sx0 AS DOUBLE) / n0)
+                 / (sqrt((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / n0)
+                         / (n0 - 1)) / sqrt(n)), 4) AS z,
+           abs(round(1e-9 + (CAST(sx AS DOUBLE) / n - CAST(sx0 AS DOUBLE) / n0)
+                 / (sqrt((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / n0)
+                         / (n0 - 1)) / sqrt(n)), 4)) > 3.0 AS is_alert
+    FROM win JOIN stats ON win.event_type = stats.event_type
+    ORDER BY window_start, win.event_type
+    """,
+    category="streaming",
+    doc=(
+        "Streaming control-chart anomaly alerts: 1-hour windowed means per "
+        "event_type, z-scored in-stream against static per-type reference "
+        "moments (broadcast into each micro-batch); |z| > 3 on the window "
+        "mean's standard error flags the window. Decimal-exact Σx/Σx² "
+        "moments on both engines make the doubles bit-identical before "
+        "rounding. The static side is the once-a-day batch profile every "
+        "monitoring deployment maintains; stream state is bounded by the "
+        "watermark exactly as in qs01."
+    ),
+)
+def qs10_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.session import load_table
+
+    dec = F.col("value").cast("decimal(12,2)")
+    stats = F.broadcast(
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.col("event_type").alias("s_type"))
+        .agg(
+            F.count("*").alias("n0"),
+            F.sum(dec).alias("sx0"),
+            F.sum(dec * dec).alias("sxx0"),
+        )
+    )
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(dec).alias("sx"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sx")
+    )
+    mean0 = F.col("sx0").cast("double") / F.col("n0")
+    var0 = (
+        F.col("sxx0").cast("double")
+        - F.col("sx0").cast("double") * F.col("sx0").cast("double") / F.col("n0")
+    ) / (F.col("n0") - 1)
+    win_avg = F.col("sx").cast("double") / F.col("n")
+    z = (win_avg - mean0) / (F.sqrt(var0) / F.sqrt(F.col("n")))
+    alerts = (
+        win.join(stats, F.col("event_type") == F.col("s_type"))
+        .select(
+            "window_start",
+            "event_type",
+            "n",
+            F.round(F.lit(1e-9) + win_avg, 4).alias("win_avg"),
+            F.round(F.lit(1e-9) + z, 4).alias("z"),
+            (F.abs(F.round(F.lit(1e-9) + z, 4)) > 3.0).alias("is_alert"),
+        )
+    )
+    table = f"stream_anomaly_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(alerts, table, output_mode="complete")
+    return spark.table(table).orderBy("window_start", "event_type")
