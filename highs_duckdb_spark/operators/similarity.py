@@ -1014,8 +1014,13 @@ def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "v", rel.alias("rel"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
-    short = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= MMR_SHORTLIST
+    # Pin the shortlist (queries × MMR_SHORTLIST rows) before the pairwise
+    # self-join: both join sides would otherwise re-run the corpus scoring
+    # scan (4 corpus scans in the physical plan; tests/test_scan_audit.py).
+    short = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_SHORTLIST)
+        .localCheckpoint(eager=True)
     )
     a = short.select("query_id", F.col("neighbor_id").alias("a_id"),
                      F.col("rel").alias("rel_a"), F.col("v").alias("va"))
