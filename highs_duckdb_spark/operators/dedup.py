@@ -507,3 +507,86 @@ def d08_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CHUNK_DEDUP_TOKENS = 32
+
+
+@register(
+    "d09_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i + 1 : least(i + {CHUNK_DEDUP_TOKENS}, length(t))], ' ')) AS h
+      FROM toks, unnest(range(0, length(t), {CHUNK_DEDUP_TOKENS})) AS r(i)
+    ),
+    spread AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(1e-9 + CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS shared_ratio
+    FROM chunks c JOIN spread s ON c.h = s.h
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    category="dedup",
+    doc=(
+        f"Chunk-level (sub-document) dedup audit: split each document into "
+        f"{CHUNK_DEDUP_TOKENS}-token chunks, fingerprint each with md5, and "
+        "report per document how many of its chunks also occur in another "
+        "document — the RefinedWeb/C4-style granularity that catches "
+        "boilerplate and quoted passages whole-document dedup misses. "
+        "Scale shape: ONE corpus scan — the chunk spread (distinct-doc "
+        "count per fingerprint) is a collect_set window over the chunk "
+        "fingerprint key, not a self-join of the chunk table (which would "
+        "re-derive the chunks and re-scan the corpus); one shuffle on the "
+        "fingerprint, one on doc_id."
+    ),
+)
+def d09_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", t.alias("t"))
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_DEDUP_TOKENS)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    i + 1,
+                    F.least(F.lit(CHUNK_DEDUP_TOKENS), F.size("t") - i),
+                ),
+            )
+        ),
+    )
+    chunks = toks.select("doc_id", F.explode(chunk_hashes).alias("h"))
+    wh = Window.partitionBy("h")
+    spread = chunks.withColumn(
+        "n_docs", F.size(F.collect_set("doc_id").over(wh))
+    )
+    return (
+        spread.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("shared_ratio"),
+        )
+        .transform(present_sorted, "doc_id")
+    )

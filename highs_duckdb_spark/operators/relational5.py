@@ -724,3 +724,50 @@ def dq06_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "event_type")
     )
+
+
+@register(
+    "q125_try_functions",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS BIGINT) AS pr_num,
+           CAST(count(TRY_CAST(o_orderpriority AS INTEGER)) AS BIGINT) AS n_castable,
+           CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                           ELSE o_totalprice / (o_orderkey % 2) END) AS BIGINT) AS n_div_ok,
+           CAST(count((regexp_split_to_array(o_orderpriority, '-'))[5]) AS BIGINT) AS n_elem5,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Error-safe expression surface: try_cast (malformed string → NULL, "
+        "prefix digit → value), try_divide (÷0 → NULL, never an exception "
+        "— half the derived denominators are zero), try_element_at past "
+        "the end of an array → NULL. The oracle spells each as DuckDB's native "
+        "equivalent (TRY_CAST, guarded CASE, out-of-bounds list index). "
+        "Pure codegen over one grouped scan; at 100 TB the try_ forms are "
+        "what keeps a single malformed row from killing a 10-hour job "
+        "under ANSI mode."
+    ),
+)
+def q125_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.first(
+                F.try_element_at(parts, F.lit(1)).try_cast("int").cast("bigint")
+            ).alias("pr_num"),
+            F.count(F.col("o_orderpriority").try_cast("int")).cast("bigint").alias(
+                "n_castable"
+            ),
+            F.count(F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 2))
+            .cast("bigint")
+            .alias("n_div_ok"),
+            F.count(F.try_element_at(parts, F.lit(5))).cast("bigint").alias("n_elem5"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .transform(present_sorted, "o_orderpriority")
+    )

@@ -369,3 +369,89 @@ def v05_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("norm_ratio"),
     ).transform(present_sorted, "vec_id")
+
+
+@register(
+    "v07_cluster_separation",
+    oracle="""
+    WITH flat AS (
+      SELECT label, u.dim, u.val FROM embeddings,
+        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                        unnest(embedding::DOUBLE[]) AS val) u
+    ),
+    cent AS (
+      SELECT label AS c_label, dim, CAST(sum(val) AS DOUBLE) / count(*) AS c
+      FROM flat GROUP BY label, dim
+    ),
+    qflat AS (
+      SELECT vec_id, label, u.dim, u.val FROM embeddings,
+        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                        unnest(embedding::DOUBLE[]) AS val) u
+    ),
+    scored AS (
+      SELECT q.vec_id, q.label, c.c_label,
+             round(1e-9 + sum(q.val * c.c), 6) AS dot
+      FROM qflat q JOIN cent c ON q.dim = c.dim
+      GROUP BY q.vec_id, q.label, c.c_label
+    ),
+    margins AS (
+      SELECT vec_id, label,
+             max(CASE WHEN label = c_label THEN dot END)
+               - max(CASE WHEN label <> c_label THEN dot END) AS margin
+      FROM scored GROUP BY vec_id, label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + avg(margin), 6) AS avg_margin,
+           round(1e-9 + CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS frac_separated
+    FROM margins GROUP BY label ORDER BY label
+    """,
+    category="similarity",
+    doc=(
+        "Cluster-separation audit (silhouette-style margin): every vector's "
+        "dot product to its own label centroid minus its best other-label "
+        "centroid — the per-label average margin and the fraction of "
+        "vectors on the right side of the boundary. Dots are rounded to "
+        "6dp before the margin so the statistic is engine-stable. Scale "
+        "shape: centroids aggregate on the (label, dim) shuffle key and "
+        "the labels×dim centroid table broadcasts back into one scoring "
+        "pass — two corpus scans total, no per-pair work."
+    ),
+)
+def v07_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    flat = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("dim0", "val")
+    ).select(F.col("label").alias("c_label"), (F.col("dim0") + 1).alias("dim"), "val")
+    cent = flat.groupBy("c_label", "dim").agg(
+        (F.sum("val").cast("double") / F.count("*")).alias("c")
+    )
+    qflat = emb.select(
+        "vec_id", "label", F.posexplode(_as_double(F.col("embedding"))).alias("dim0", "val")
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "val")
+    scored = (
+        qflat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.round(F.lit(1e-9) + F.sum(F.col("val") * F.col("c")), 6).alias("dot"))
+    )
+    margins = scored.groupBy("vec_id", "label").agg(
+        (
+            F.max(F.when(F.col("label") == F.col("c_label"), F.col("dot")))
+            - F.max(F.when(F.col("label") != F.col("c_label"), F.col("dot")))
+        ).alias("margin")
+    )
+    return (
+        margins.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.lit(1e-9) + F.avg("margin"), 6).alias("avg_margin"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.when(F.col("margin") > 0, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("frac_separated"),
+        )
+        .transform(present_sorted, "label")
+    )
