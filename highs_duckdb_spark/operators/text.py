@@ -707,3 +707,130 @@ def t13_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "lang")
     )
+
+
+@register(
+    "t14_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    wn AS (
+      SELECT doc_id, c,
+             sum(c) OVER (PARTITION BY doc_id) AS n,
+             count(*) OVER (PARTITION BY doc_id) AS vocab
+      FROM cnt
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(max(vocab) AS BIGINT) AS vocab,
+           round(1e-9 + CAST(max(vocab) AS DOUBLE) / max(n), 4) AS type_token_ratio,
+           round(1e-9 + -sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6) AS entropy
+    FROM wn GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="text",
+    doc=(
+        "Per-document lexical-diversity signals: Shannon entropy of the "
+        "token histogram and the type-token ratio — low-entropy documents "
+        "are the template/boilerplate junk quality pipelines drop, "
+        "complementing t10's repetition rule (which looks at trigram "
+        "structure) with a distributional measure. One linear pipeline: "
+        "scan → (doc, token) count with map-side combine → per-doc window "
+        "totals → final grouped entropy; no self-joins, no corpus rescan."
+    ),
+)
+def t14_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    wd = Window.partitionBy("doc_id")
+    wn = cnt.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(wd).alias("n"),
+        F.count("*").over(wd).alias("vocab"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        wn.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.max("vocab").cast("bigint").alias("vocab"),
+            F.round(
+                F.lit(1e-9) + F.max("vocab").cast("double") / F.max("n"), 4
+            ).alias("type_token_ratio"),
+            F.round(F.lit(1e-9) + -F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .transform(present_sorted, "doc_id")
+    )
+
+
+@register(
+    "t15_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT tok, c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rk,
+             sum(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS total
+      FROM cnt
+    )
+    SELECT CAST(pct AS DOUBLE) AS coverage_target,
+           CAST(min(rk) AS BIGINT) AS vocab_needed
+    FROM ranked, (SELECT unnest([0.50, 0.90, 0.95, 0.99]) AS pct)
+    WHERE CAST(cum AS DOUBLE) / total >= pct
+    GROUP BY pct
+    ORDER BY pct
+    """,
+    category="text",
+    doc=(
+        "Vocabulary coverage curve: how many of the most frequent tokens "
+        "cover 50/90/95/99% of the token stream — the statistic that sizes "
+        "a tokenizer vocabulary. Token counts aggregate map-side onto the "
+        "vocabulary; the ranking windows and the coverage probe run over "
+        "vocab-sized data, so corpus volume never reaches the sort. The "
+        "global running-sum window is single-partition by nature — fine "
+        "here because its input is the vocabulary, never the corpus."
+    ),
+)
+def t15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    wo = Window.orderBy(F.desc("c"), "tok")
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    pcts = ranked.sparkSession.createDataFrame(
+        [(0.50,), (0.90,), (0.95,), (0.99,)], "pct double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum").cast("double") / F.col("total") >= F.col("pct"))
+        .groupBy(F.col("pct").cast("double").alias("coverage_target"))
+        .agg(F.min("rk").cast("bigint").alias("vocab_needed"))
+        .transform(present_sorted, "coverage_target")
+    )
