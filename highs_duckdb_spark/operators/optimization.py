@@ -392,3 +392,36 @@ def opt08_shadow_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_coefficients(spark, name, "labor", "x", 2.0)
     set_coefficients(spark, name, "labor", "y", 1.0)
     return solve_duals(spark, name).transform(present_sorted, "constraint_index")
+
+
+@register(
+    "opt09_range_constraints",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('x', 'x_0', 1.0,  0.0, 'Optimal'),
+      ('y', 'y_1', 1.0, -1.0, 'Optimal')
+    ) AS t(variable_name, variable_index, solution_value, reduced_cost, status)
+    ORDER BY variable_index
+    """,
+    category="optimization",
+    doc=(
+        "Two-sided RANGE row bounds — the reference's constraint model is "
+        "lb ≤ a·x ≤ ub with ±1e30 sentinels for one-sided rows "
+        "(src/highs_extension.cpp:35-36; example_usage.sql:26-27 uses the "
+        "sentinel form). Here both sides are finite: min x s.t. "
+        "2 ≤ x + y ≤ 4, 0 ≤ y ≤ 1, x ≥ 0 → x=1 at the range's LOWER edge "
+        "with y at its upper bound. Hand-derived duals: x basic ⇒ "
+        "band-row dual = c_x = 1, so rc_y = 0 − 1·1 = −1 (≤ 0, correct "
+        "for a variable at its upper bound in minimization). Closed-form "
+        "oracle constants."
+    ),
+)
+def opt09_range_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "q_range"
+    ModelRegistry.instance().remove_model(name)
+    create_variables(spark, name, "x", 0.0, 1e30, 1.0, "continuous")
+    create_variables(spark, name, "y", 0.0, 1.0, 0.0, "continuous")
+    create_constraints(spark, name, "band", 2.0, 4.0)  # both sides finite
+    set_coefficients(spark, name, "band", "x", 1.0)
+    set_coefficients(spark, name, "band", "y", 1.0)
+    return solve(spark, name).transform(present_sorted, "variable_index")

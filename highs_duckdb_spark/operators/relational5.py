@@ -771,3 +771,70 @@ def q125_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "o_orderpriority")
     )
+
+
+@register(
+    "dq07_fd_audit",
+    oracle="""
+    WITH cands AS (
+      SELECT 'orders' AS tbl, 'o_custkey->o_orderpriority' AS fd,
+             CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_rhs
+            FROM orders GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'orders', 'o_orderkey->o_orderstatus',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS n_rhs
+            FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey->l_returnflag',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS n_rhs
+            FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'lineitem', 'l_partkey->l_suppkey',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS n_rhs
+            FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT tbl, fd, n_lhs, n_violating,
+           CAST(n_violating = 0 AS BOOLEAN) AS holds
+    FROM cands ORDER BY tbl, fd
+    """,
+    doc=(
+        "Functional-dependency audit — schema profiling that tells a "
+        "pipeline which columns are safe dedup/partition keys: for each "
+        "candidate LHS→RHS, count LHS groups carrying more than one "
+        "distinct RHS. o_orderkey→o_orderstatus holds (key FD); the "
+        "others measure real violation counts. Each candidate is one "
+        "grouped distinct-count with map-side combine; candidates on the "
+        "same table are separate aggregations by different keys, so the "
+        "per-table scan count equals the candidate count (inherent: "
+        "different shuffle keys cannot share an exchange)."
+    ),
+)
+def dq07_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(tbl: str, lhs: str, rhs: str) -> DataFrame:
+        t = load_table(spark, tbl, sf_dir)
+        per = t.groupBy(lhs).agg(F.count_distinct(F.col(rhs)).alias("n_rhs"))
+        return per.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+        )
+    out = (
+        audit("orders", "o_custkey", "o_orderpriority")
+        .unionByName(audit("orders", "o_orderkey", "o_orderstatus"))
+        .unionByName(audit("lineitem", "l_orderkey", "l_returnflag"))
+        .unionByName(audit("lineitem", "l_partkey", "l_suppkey"))
+    )
+    return out.select(
+        "tbl", "fd", "n_lhs", "n_violating", (F.col("n_violating") == 0).alias("holds")
+    ).transform(present_sorted, "tbl", "fd")
