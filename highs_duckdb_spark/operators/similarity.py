@@ -1080,3 +1080,58 @@ def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(greedy, "query_id long, pick long, neighbor_id long, mmr double")
         .transform(present_sorted, "query_id", "pick")
     )
+
+
+@register(
+    "s10_retrieval_mrr",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+          FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id, e.label,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+           CAST(min(CASE WHEN label = query_label THEN rk END) AS BIGINT) AS hit_rank,
+           round(1e-9 + coalesce(1.0 / min(CASE WHEN label = query_label THEN rk END), 0.0), 6) AS rr
+    FROM ranked WHERE rk <= {TOP_K}
+    GROUP BY query_id, query_label
+    ORDER BY query_id
+    """,
+    category="similarity",
+    doc=(
+        f"Retrieval-quality evaluation as a query: mean-reciprocal-rank "
+        f"inputs per query over the exact top-{TOP_K} (relevant = neighbor "
+        "shares the query's label) — the eval loop of an embedding/ANN "
+        "deployment expressed in the engine itself, so quality regressions "
+        "are monitored with the same infrastructure as the data. Reuses "
+        "the s01 ranking (kernel-scored corpus scan at scale); the eval "
+        "itself runs over queries×k rows."
+    ),
+)
+def s10_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = s01_cosine_topk(spark, sf_dir)
+    qlab = F.broadcast(
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"))
+    )
+    hit = F.min(F.when(F.col("label") == F.col("query_label"), F.col("rk")))
+    return (
+        ranked.join(qlab, "query_id")
+        .groupBy("query_id", F.col("query_label").cast("bigint").alias("query_label"))
+        .agg(
+            hit.cast("bigint").alias("hit_rank"),
+            F.round(
+                F.lit(1e-9) + F.coalesce(F.lit(1.0) / hit, F.lit(0.0)), 6
+            ).alias("rr"),
+        )
+        .transform(present_sorted, "query_id")
+    )

@@ -516,3 +516,88 @@ def qs10_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"stream_anomaly_{uuid.uuid4().hex[:8]}"
     run_stream_to_table(alerts, table, output_mode="complete")
     return spark.table(table).orderBy("window_start", "event_type")
+
+
+@register(
+    "qs11_stream_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, length(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gs
+      FROM toks WHERE length(t) >= 4
+    ),
+    bench AS (
+      SELECT list_distinct(flatten(list(gs))) AS bg FROM grams WHERE doc_id % 100 = 0
+    )
+    SELECT doc_id,
+           CAST(length(list_intersect(gs, bg)) AS BIGINT) AS n_overlap,
+           length(list_intersect(gs, bg)) > 0 AS is_contaminated
+    FROM grams CROSS JOIN bench
+    WHERE doc_id % 100 <> 0
+    ORDER BY doc_id
+    """,
+    category="streaming",
+    doc=(
+        "Streaming ingest decontamination — the hygiene gate applied AT "
+        "INGEST TIME rather than in a batch sweep: each arriving document "
+        "is checked for 4-gram overlap against the held-out benchmark set "
+        "(stand-in: doc_id % 100 = 0), shipped into the stream as ONE "
+        "static row holding the distinct benchmark-gram array. The check "
+        "is completely stateless (per-row array_intersect, append mode, "
+        "no watermark, no state store) — the form that keeps a "
+        "contamination gate at line rate on a 100 TB/day firehose; the "
+        "batch replay is the oracle."
+    ),
+)
+def qs11_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from highs_duckdb_spark.session import load_table
+
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + 1),
+                F.element_at(F.col("t"), i + 2),
+                F.element_at(F.col("t"), i + 3),
+            ),
+        )
+    )
+    bench = F.broadcast(
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(t.alias("t"))
+        .filter(F.size("t") >= 4)
+        .select(F.explode(grams).alias("g"))
+        .agg(F.array_distinct(F.collect_list("g")).alias("bg"))
+    )
+    batch_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    flagged = (
+        stream.filter((F.col("doc_id") % 100 != 0))
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 4)
+        .select("doc_id", grams.alias("gs"))
+        .crossJoin(bench)
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("gs", "bg")).cast("bigint").alias("n_overlap"),
+            (F.size(F.array_intersect("gs", "bg")) > 0).alias("is_contaminated"),
+        )
+    )
+    table = f"stream_decon_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(flagged, table, output_mode="append")
+    return spark.table(table).orderBy("doc_id")
