@@ -323,3 +323,74 @@ def m05_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CAS_CHUNK_BYTES = 64
+
+
+@register(
+    "m06_blob_chunk_store",
+    oracle=f"""
+    WITH payload AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+             text
+      FROM documents
+    ),
+    chunks AS (
+      SELECT media_type,
+             md5(substr(text, i + 1, {CAS_CHUNK_BYTES})) AS h
+      FROM payload, unnest(range(0, length(text), {CAS_CHUNK_BYTES})) AS r(i)
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(count(DISTINCT h) AS BIGINT) AS distinct_chunks,
+           round(1e-9 + 1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dedup_savings
+    FROM chunks GROUP BY media_type ORDER BY media_type
+    """,
+    category="multimodal",
+    doc=(
+        f"Content-addressable blob store audit: each blob's payload is cut "
+        f"into {CAS_CHUNK_BYTES}-byte chunks, fingerprinted with md5 OVER "
+        "THE BINARY (Spark md5 accepts binary directly), and the per-media "
+        "dedup savings of a chunk store is reported — the storage-layer "
+        "counterpart of d09's corpus-text chunk dedup. The Spark side does "
+        "real byte-level work (synthesized container blob → header strip "
+        "via binary substring → binary chunking); the oracle exploits the "
+        "payload being ASCII so DuckDB's string md5 produces identical "
+        "digests. One scan, one shuffle on (media, fingerprint) with "
+        "map-side combine."
+    ),
+)
+def m06_blob_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    blobs = synthesize_blobs(docs)
+    payload = F.expr("substring(blob, 13, length(blob) - 12)")  # strip 12-byte header
+    # substring with a column start position needs expr-form; build via SQL
+    chunked = (
+        blobs.select("media_type", payload.alias("payload"))
+        .select(
+            "media_type",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, length(payload) - 1, "
+                    f"{CAS_CHUNK_BYTES}), i -> md5(substring(payload, i + 1, "
+                    f"{CAS_CHUNK_BYTES})))"
+                )
+            ).alias("h"),
+        )
+    )
+    return (
+        chunked.groupBy("media_type")
+        .agg(
+            F.count("*").cast("bigint").alias("total_chunks"),
+            F.count_distinct("h").cast("bigint").alias("distinct_chunks"),
+            F.round(
+                F.lit(1e-9)
+                + 1.0 - F.count_distinct("h").cast("double") / F.count("*"),
+                4,
+            ).alias("dedup_savings"),
+        )
+        .transform(lambda df: df.coalesce(1).sortWithinPartitions("media_type"))
+    )

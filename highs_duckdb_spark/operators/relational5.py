@@ -838,3 +838,81 @@ def dq07_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "tbl", "fd", "n_lhs", "n_violating", (F.col("n_violating") == 0).alias("holds")
     ).transform(present_sorted, "tbl", "fd")
+
+
+@register(
+    "q126_higher_moments",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(6,0)) AS cd
+      FROM events WHERE value IS NOT NULL
+    ),
+    sums AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(cd) AS s1,
+             sum(CAST(cd AS DECIMAL(18,0)) * cd) AS s2,
+             sum(CAST(cd AS DECIMAL(18,0)) * cd * cd) AS s3,
+             sum(CAST(cd AS DECIMAL(20,0)) * cd * cd * cd) AS s4
+      FROM c GROUP BY event_type
+    ),
+    mom AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS m,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM sums
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(1e-9 + m / 100, 4) AS mean_value,
+           round(1e-9 + sqrt(r2 - m * m) / 100, 4) AS stddev_pop,
+           round(1e-9 + (r3 - 3 * m * r2 + 2 * m * m * m)
+                 / (sqrt(r2 - m * m) * (r2 - m * m)), 6) AS skewness,
+           round(1e-9 + (r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m)
+                 / ((r2 - m * m) * (r2 - m * m)) - 3, 6) AS excess_kurtosis
+    FROM mom ORDER BY event_type
+    """,
+    doc=(
+        "Higher central moments (population skewness / excess kurtosis) "
+        "per event_type from DECIMAL-EXACT power sums: values are 2-dp "
+        "money-like doubles, so integer-cents powers Σc..Σc⁴ accumulate "
+        "exactly (order-independent) in both engines and the double-space "
+        "moment algebra is bit-identical — the native skewness()/"
+        "kurtosis() aggregates differ between engines in bias correction "
+        "AND merge order, which is why they are avoided. Skew/kurtosis "
+        "are scale-invariant, so cents-space equals value-space. One "
+        "grouped pass, map-side combined."
+    ),
+)
+def q126_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    cd = (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(6,0)")
+    sums = ev.select("event_type", cd.alias("cd")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cd").alias("s1"),
+        F.sum(F.col("cd") * F.col("cd")).alias("s2"),
+        F.sum(F.col("cd") * F.col("cd") * F.col("cd")).alias("s3"),
+        F.sum(F.col("cd") * F.col("cd") * F.col("cd") * F.col("cd")).alias("s4"),
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    var = r2 - m * m
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.lit(1e-9) + m / 100, 4).alias("mean_value"),
+        F.round(F.lit(1e-9) + F.sqrt(var) / 100, 4).alias("stddev_pop"),
+        F.round(
+            F.lit(1e-9) + (r3 - 3 * m * r2 + 2 * m * m * m) / (F.sqrt(var) * var), 6
+        ).alias("skewness"),
+        F.round(
+            F.lit(1e-9)
+            + (r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m) / (var * var)
+            - 3,
+            6,
+        ).alias("excess_kurtosis"),
+    ).transform(present_sorted, "event_type")
