@@ -916,3 +916,54 @@ def q126_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess_kurtosis"),
     ).transform(present_sorted, "event_type")
+
+
+@register(
+    "q127_observed_pipeline",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc=(
+        "Pipeline observability: the aggregation runs under a named "
+        "Observation (Spark's observe() metric channel), which records "
+        "input-row counts and value sums DURING the pass — zero extra "
+        "scans or actions, the production pattern for emitting data-"
+        "quality counters from ETL jobs without separate audit queries. "
+        "observe() is transparent to results, so the DuckDB oracle checks "
+        "the query output; pytest asserts the captured metrics equal the "
+        "aggregate's own answers."
+    ),
+)
+def q127_observed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    obs = Observation("q127_metrics")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("price_sum"),
+    )
+    result = (
+        observed.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("total"),
+        )
+        .transform(present_sorted, "o_orderstatus")
+    )
+    # stash the Observation on the DataFrame for tests; harmless otherwise
+    result._hds_observation = obs  # type: ignore[attr-defined]
+    return result

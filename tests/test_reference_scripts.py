@@ -109,3 +109,15 @@ def test_example_usage_verbatim(sql):
         ("x", "x_0", 0.0, 1.0, "Optimal"),
         ("y", "y_1", 1.0, 1.0, "Optimal"),
     ]
+
+
+def test_test_extension_verbatim(sql):
+    """test_extension.sql — the smoke script — completes the 4/4 set of
+    reference SQL artifacts running unchanged."""
+    udtf_store.remove_model("test_model")
+    results = [sql(s) for s in _statements(f"{REF}/test_extension.sql")]
+    assert "HiGHS version" in results[0][0][0]  # highs_version('Test') banner
+    assert "OpenSSL" in results[1][0][0]
+    solve_rows = results[-1]
+    # min x s.t. 0 <= x <= 5 (range row), x in [0,10] -> x = 0
+    assert [tuple(r) for r in solve_rows] == [("x", "x_0", 0.0, 1.0, "Optimal")]

@@ -10,6 +10,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from highs_duckdb_spark.operators.text import PAT_EMAIL, PAT_IP, PAT_PHONE
@@ -99,3 +101,16 @@ def test_weighted_sample_prefers_heavy_docs(spark):
         .collect()[0][0]
     )
     assert s_mean > c_mean
+
+
+def test_q127_observation_metrics_match_results(spark):
+    """The observe() counters captured during the pass must equal what the
+    aggregate itself reports (rows_in = Σn, price_sum = Σ totals)."""
+
+    df = QUERIES["q127_observed_pipeline"].builder(spark, SF_DIR)
+    rows = df.collect()  # triggers the single pass; metrics become available
+    m = df._hds_observation.get
+    assert m["rows_in"] == sum(r.n for r in rows)
+    assert float(m["price_sum"]) == pytest.approx(
+        sum(r.total for r in rows), abs=1e-4
+    )
