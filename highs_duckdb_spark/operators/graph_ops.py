@@ -188,3 +188,46 @@ def g03_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("node", F.col("hops").cast("bigint").alias("hops")).transform(
         present_sorted, "node"
     )
+
+
+@register(
+    "g04_degree_stats",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT n1 AS node FROM edges
+        UNION ALL
+        SELECT n2 AS node FROM edges
+      ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS example_node
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    category="graph",
+    doc=(
+        "Degree-distribution histogram of the nation trade graph — the "
+        "first thing anyone profiles before running PageRank/CC at scale "
+        "(the max-degree node decides your skew strategy). Endpoints "
+        "explode map-side (each edge contributes two rows), degrees "
+        "aggregate on the node key with map-side combine, and the "
+        "histogram runs over degree-sized data. Edge derivation is the "
+        "same checkpointed 4-way join the other graph ops share."
+    ),
+)
+def g04_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = e.select(F.col("n1").alias("node")).unionAll(
+        e.select(F.col("n2").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy(F.col("degree").cast("bigint").alias("degree"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("example_node"),
+        )
+        .transform(present_sorted, "degree")
+    )

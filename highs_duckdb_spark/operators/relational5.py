@@ -967,3 +967,62 @@ def q127_observed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stash the Observation on the DataFrame for tests; harmless otherwise
     result._hds_observation = obs  # type: ignore[attr-defined]
     return result
+
+
+@register(
+    "dq08_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, value,
+             median(value) OVER (PARTITION BY event_type) AS med
+      FROM events WHERE value IS NOT NULL
+    ),
+    mad AS (
+      SELECT event_type, value, med,
+             median(abs(value - med)) OVER (PARTITION BY event_type) AS mad
+      FROM med
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + max(med), 4) AS med,
+           round(1e-9 + max(mad), 4) AS mad,
+           CAST(sum(CASE WHEN abs(round(1e-9 + 0.6745 * (value - med) / mad, 4)) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM mad GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Robust outlier detection via the median absolute deviation "
+        "(modified z-score 0.6745·(x−med)/MAD > 3.5, the Iglewicz–Hoaglin "
+        "rule) — unlike dq01's mean/σ z-scores, MAD doesn't let the "
+        "outliers inflate their own threshold. Shape: ONE events scan and "
+        "one event_type shuffle — med and MAD are CHAINED median windows "
+        "over the same partition (no per-statistic re-aggregation or "
+        "join-back); medians interpolate identically in both engines and "
+        "the modified z is compared on its 4dp rounding so the outlier "
+        "count is engine-stable."
+    ),
+)
+def dq08_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    wt = Window.partitionBy("event_type")
+    staged = ev.select("event_type", "value").withColumn(
+        "med", F.median("value").over(wt)
+    )
+    staged = staged.withColumn("mad", F.median(F.abs(F.col("value") - F.col("med"))).over(wt))
+    rz = F.round(
+        F.lit(1e-9) + 0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 4
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.lit(1e-9) + F.max("med"), 4).alias("med"),
+            F.round(F.lit(1e-9) + F.max("mad"), 4).alias("mad"),
+            F.sum(F.when(F.abs(rz) > 3.5, 1).otherwise(0)).cast("bigint").alias(
+                "n_outliers"
+            ),
+        )
+        .transform(present_sorted, "event_type")
+    )
