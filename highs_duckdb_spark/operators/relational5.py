@@ -1026,3 +1026,64 @@ def dq08_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "event_type")
     )
+
+
+INC_CUTOFF = "1997-01-01"
+
+
+@register(
+    "q128_incremental_rollup",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_price,
+           round(1e-9 + max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Incremental view maintenance: the rollup is computed as "
+        f"PRE-CUTOFF PARTIAL ⊕ DELTA PARTIAL (cutoff {INC_CUTOFF}) — each "
+        "side carries only mergeable state (count, decimal-exact sum, "
+        "max), and AVG is derived from the merged sums, never averaged "
+        "across partials. The oracle is the one-shot full aggregate: "
+        "merge(partial(a), partial(b)) == aggregate(a ∪ b) is exactly the "
+        "contract that lets a 100 TB daily rollup absorb each day's "
+        "increment without rescanning history. Both sides aggregate "
+        "map-side; the merge runs over groups×2 rows."
+    ),
+)
+def q128_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cutoff = F.lit(INC_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("psum"),
+            F.max("o_totalprice").alias("pmax"),
+        )
+
+    hist = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").alias("total_dec"),
+            F.max("pmax").alias("max_price_raw"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.lit(1e-9) + F.col("total_dec").cast("double"), 2).alias("total"),
+        F.round(
+            F.lit(1e-9) + F.col("total_dec").cast("double") / F.col("n"), 4
+        ).alias("avg_price"),
+        F.round(F.lit(1e-9) + F.col("max_price_raw"), 2).alias("max_price"),
+    ).transform(present_sorted, "o_orderpriority")

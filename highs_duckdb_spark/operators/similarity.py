@@ -1135,3 +1135,157 @@ def s10_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "query_id")
     )
+
+
+# --- s11: IVF-PQ (coarse cells + residual product quantization) --------------
+
+IVFPQ_SHORTLIST = 10 * TOP_K
+
+
+def _train_ivfpq(emb: DataFrame) -> tuple["np.ndarray", "np.ndarray"]:
+    """Driver-side training on the deterministic bounded sample: IVF
+    centroids in L2-normalized space, then per-subspace codebooks on the
+    RESIDUALS v̂ − centroid[cell] (the FAISS IVF-PQ construction — residual
+    magnitudes are much smaller than raw coordinates, so the same code
+    budget quantizes them more finely)."""
+    sample = np.array(
+        [r["v"] for r in emb.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).collect()],
+        dtype=np.float64,
+    )
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = sample[:IVF_K].copy()
+    for _ in range(IVF_ROUNDS):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(IVF_K):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = sample - cents[d2.argmin(axis=1)]
+    dim = sample.shape[1]
+    dsub = dim // PQ_M
+    books = np.zeros((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        sub = resid[:, m * dsub : (m + 1) * dsub]
+        bk = sub[:PQ_K].copy()
+        for _ in range(PQ_ROUNDS):
+            dd = ((sub[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
+            a = dd.argmin(axis=1)
+            for j in range(PQ_K):
+                members = sub[a == j]
+                if len(members):
+                    bk[j] = members.mean(axis=0)
+        books[m] = bk
+    return cents, books
+
+
+@register(
+    "s11_ivfpq_topk",
+    oracle=None,  # approximate; recall vs exact s01 + determinism in pytest
+    category="similarity",
+    doc=(
+        "ANN top-k via IVF-PQ — the production composition of s04 and s08: "
+        f"{IVF_K} coarse cells partition the corpus, each vector stores "
+        f"only its cell id + {PQ_M}×log2({PQ_K})-bit RESIDUAL codes, "
+        f"queries probe the {IVF_NPROBE} nearest cells and score "
+        "candidates by q·centroid + ADC over the residual codebooks "
+        "(exact decomposition q·v̂ = q·c + q·r, only the PQ error is "
+        "approximate), then the ADC shortlist is re-ranked with exact "
+        "cosine. Single corpus pass, partition-local shortlists, global "
+        "merge over partitions×queries×k rows — the memory story at "
+        "100 TB: the probe touches codes, not vectors."
+    ),
+)
+def s11_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    cents, books = _train_ivfpq(emb)
+
+    import pyarrow.parquet as pq
+
+    tq = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", N_QUERIES)],
+        )
+        .sort_by("vec_id")
+    )
+    qids = tq["vec_id"].to_pylist()
+    Q = np.array([[float(x) for x in v] for v in tq["embedding"].to_pylist()])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    dsub = books.shape[2]
+    # per-query: centroid dots (nq × k) and residual ADC tables (M, K, nq)
+    qcent = Q @ cents.T
+    lut = np.einsum("qmd,mkd->mkq", Q.reshape(len(qids), PQ_M, dsub), books)
+    probed = np.argsort(-qcent, axis=1)[:, :IVF_NPROBE]  # nq × nprobe
+    cl, bl, ll = cents.tolist(), books.tolist(), lut.tolist()
+    qc_l, pr_l, qn_l = qcent.tolist(), probed.tolist(), Q.tolist()
+    qid_arr = np.asarray(qids, dtype=np.int64)
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        C = _np.asarray(cl)
+        B = _np.asarray(bl)
+        L = _np.asarray(ll)
+        QC = _np.asarray(qc_l)
+        PR = _np.asarray(pr_l)
+        QN = _np.asarray(qn_l)
+        nq = QC.shape[0]
+        c_norm2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["v"]])
+            V = V / _np.linalg.norm(V, axis=1, keepdims=True)
+            cell = (-2.0 * (V @ C.T) + c_norm2).argmin(axis=1)
+            R = (V - C[cell]).reshape(n, PQ_M, -1)
+            codes = _np.empty((n, PQ_M), dtype=_np.int64)
+            for m in range(PQ_M):
+                d2 = ((R[:, m, None, :] - B[None, m]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            adc = _np.zeros((n, nq))
+            for m in range(PQ_M):
+                adc += L[m, codes[:, m], :]
+            adc += QC[:, cell].T  # + q·centroid[cell] per (row, query)
+            nid = pdf["vec_id"].to_numpy()
+            lab = pdf["label"].to_numpy()
+            out_rows = []
+            for qi in range(nq):
+                mask = _np.isin(cell, PR[qi])
+                if not mask.any():
+                    continue
+                idx_all = _np.nonzero(mask)[0]
+                col = adc[idx_all, qi]
+                k_local = min(IVFPQ_SHORTLIST + 1, len(idx_all))
+                keep = idx_all[_np.argpartition(-col, k_local - 1)[:k_local]]
+                exact = V[keep] @ QN[qi]
+                for j, i in enumerate(keep):
+                    if nid[i] == qid_arr[qi]:
+                        continue
+                    out_rows.append(
+                        (int(qid_arr[qi]), int(nid[i]), int(lab[i]), float(exact[j]))
+                    )
+            yield _pd.DataFrame(
+                out_rows, columns=["query_id", "neighbor_id", "label", "cosine"]
+            )
+
+    local = emb.mapInPandas(
+        kernel, "query_id long, neighbor_id long, label int, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("cosine", F.round(F.lit(1e-9) + F.col("cosine"), 6))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "label", "cosine")
+        .orderBy("query_id", "rk")
+    )

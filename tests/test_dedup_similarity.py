@@ -160,3 +160,27 @@ def test_pq_codebooks_deterministic_shape(spark):
     b2 = _train_pq_codebooks(emb)
     assert b1.shape == (PQ_M, PQ_K, 64 // PQ_M)
     assert np.array_equal(b1, b2)
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ top-5 (8 cells probe-3, 8x64 residual codebooks, shortlist
+    50, exact re-rank) must recover >=80% of the exact top-5 on average
+    (measured 0.86 — misses are cells outside the probe set, the inherent
+    IVF trade-off); determinism: two runs give identical rows."""
+    from highs_duckdb_spark.operators.similarity import s11_ivfpq_topk
+
+    exact = s01_cosine_topk(spark, SF).collect()
+    approx = s11_ivfpq_topk(spark, SF).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    again = s11_ivfpq_topk(spark, SF).collect()
+    assert [tuple(r) for r in approx] == [tuple(r) for r in again]
