@@ -619,3 +619,65 @@ def p10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda df: df.orderBy("lang", "rk"))
     )
+
+
+EPOCHS = 2
+
+
+@register(
+    "p11_epoch_shuffle",
+    oracle=f"""
+    WITH epochs AS (SELECT unnest(generate_series(1, {EPOCHS})) AS epoch),
+    ordered AS (
+      SELECT epoch, doc_id, lang,
+             row_number() OVER (
+               PARTITION BY epoch
+               ORDER BY md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS position
+      FROM documents CROSS JOIN epochs
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, CAST(position AS BIGINT) AS position,
+           doc_id, lang
+    FROM ordered
+    WHERE position <= 20
+    ORDER BY epoch, position
+    """,
+    category="pipeline",
+    doc=(
+        "Per-epoch training-data ordering: each epoch's presentation order "
+        "is the rank under md5('ep<epoch>:' || doc_id) — a fresh "
+        "deterministic permutation per epoch (different epochs decorrelate, "
+        "the same epoch replays identically across runs, engines, and "
+        "cluster sizes; random() gives you neither). The head of each "
+        "epoch's order is emitted as the checkable artifact. One window "
+        "per epoch shard; at scale the hash-rank becomes the sort key of "
+        "the shard writer, not a global sort."
+    ),
+)
+def p11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    epochs = F.broadcast(
+        docs.sparkSession.range(1, EPOCHS + 1).select(F.col("id").alias("epoch"))
+    )
+    key = F.md5(
+        F.concat(
+            F.lit("ep"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("epoch").orderBy(key, "doc_id")
+    return (
+        docs.crossJoin(epochs)
+        .select("epoch", "doc_id", "lang")
+        .withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= 20)
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            F.col("position").cast("bigint").alias("position"),
+            "doc_id",
+            "lang",
+        )
+        .transform(lambda df: df.orderBy("epoch", "position"))
+    )

@@ -1087,3 +1087,52 @@ def q128_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_price"),
         F.round(F.lit(1e-9) + F.col("max_price_raw"), 2).alias("max_price"),
     ).transform(present_sorted, "o_orderpriority")
+
+
+@register(
+    "q129_numeric_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(count(*) OVER (
+             ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING
+           ) AS BIGINT) AS n_within_1k,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS trailing_1k_sum
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_totalprice, o_orderkey
+    """,
+    doc=(
+        "Numeric RANGE window frames (value-based, not row-based): for "
+        "each order, how many orders fall within ±1000 of its price and "
+        "the decimal-exact sum of the trailing 1000-wide band — the "
+        "price-banding / peer-group analytic. RANGE frames bound by "
+        "VALUE distance are the frame mode q29's time-RANGE entry covers "
+        "for timestamps; this pins the numeric form. One sort shuffle on "
+        "the ordering key."
+    ),
+)
+def q129_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 2000)
+    wboth = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    wtrail = Window.orderBy("o_totalprice").rangeBetween(-1000, Window.currentRow)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.count("*").over(wboth).cast("bigint").alias("n_within_1k"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .over(wtrail)
+                .cast("double"),
+                2,
+            ).alias("trailing_1k_sum"),
+        )
+        .transform(present_sorted, "o_totalprice", "o_orderkey")
+    )
