@@ -1136,3 +1136,89 @@ def q129_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "o_totalprice", "o_orderkey")
     )
+
+
+@register(
+    "q130_asof_join_native_oracle",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.event_id AS purchase_event_id, v.ts AS view_ts,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_since_view
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.user_id, purchase_event_id
+    """,
+    doc=(
+        "AS-OF LEFT JOIN checked against DuckDB's NATIVE `ASOF LEFT JOIN` "
+        "operator (q80's oracle replays the window formulation; here the "
+        "oracle is the engine-native implementation, so the Spark "
+        "union-and-carry rewrite is proven equivalent to the real thing, "
+        "unmatched rows and >= tie semantics included). Scale shape "
+        "unchanged: one user_id shuffle, no pairwise inequality join."
+    ),
+)
+def q130_asof_join_native_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit("p").alias("side")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"), F.lit("v").alias("side")
+    )
+    tagged = purchases.unionByName(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("side").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "view_ts",
+        F.last(F.when(F.col("side") == "v", F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("side") == "p")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            "view_ts",
+            (F.unix_timestamp("ts") - F.unix_timestamp("view_ts"))
+            .cast("bigint")
+            .alias("secs_since_view"),
+        )
+        .transform(present_sorted, "user_id", "purchase_event_id")
+    )
+
+
+@register(
+    "q131_qualify_topn",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+    """,
+    doc=(
+        "Top-N-per-group via the QUALIFY clause — DuckDB's native "
+        "window-filter syntax is the oracle; Spark (which has no QUALIFY) "
+        "expresses the identical semantics as window + filter, the "
+        "mechanical rewrite a migrating user applies. Plan: one "
+        "partitioned window, filter before any ordering."
+    ),
+)
+def q131_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .transform(present_sorted, "o_orderpriority", F.desc("o_totalprice"), "o_orderkey")
+    )
