@@ -1222,3 +1222,34 @@ def q131_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
         .transform(present_sorted, "o_orderpriority", F.desc("o_totalprice"), "o_orderkey")
     )
+
+
+@register(
+    "q132_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_orderpriority)
+           o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+    """,
+    doc=(
+        "DISTINCT ON — DuckDB/Postgres's pick-first-row-per-group "
+        "shorthand, run natively as the oracle; Spark expresses the "
+        "identical deterministic semantics with a row_number window "
+        "(rn = 1 under the same ordering). The ordering includes a unique "
+        "key so 'first' is well-defined on both engines."
+    ),
+)
+def q132_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .transform(present_sorted, "o_orderpriority")
+    )
