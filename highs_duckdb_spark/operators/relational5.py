@@ -1253,3 +1253,58 @@ def q132_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
         .transform(present_sorted, "o_orderpriority")
     )
+
+
+@register(
+    "dq09_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    cnt AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS t FROM cnt)
+    SELECT d,
+           CAST(n AS BIGINT) AS n,
+           round(1e-9 + CAST(n AS DOUBLE) / t, 6) AS observed,
+           round(1e-9 + log10(1.0 + 1.0 / d), 6) AS benford,
+           round(1e-9 + (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / d))
+                 * (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / d))
+                 / log10(1.0 + 1.0 / d), 8) AS chi2_term
+    FROM cnt CROSS JOIN tot
+    ORDER BY d
+    """,
+    doc=(
+        "Benford's-law first-digit audit on order totals — the classic "
+        "fabricated-data screen: observed first-digit shares vs the "
+        "log10(1+1/d) expectation with per-digit chi-square contributions. "
+        "First digit extracted from the DECIMAL string form (identical "
+        "canonical rendering in both engines — double formatting is not). "
+        "One scan, a 9-row aggregate, and a broadcast total."
+    ),
+)
+def dq09_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1
+    ).cast("bigint")
+    cnt = orders.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    # 9-row aggregate: the global total as a window is free here
+    wt = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(wt)
+    ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        cnt.select(
+            "d",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.lit(1e-9) + obs, 6).alias("observed"),
+            F.round(F.lit(1e-9) + ben, 6).alias("benford"),
+            F.round(F.lit(1e-9) + (obs - ben) * (obs - ben) / ben, 8).alias(
+                "chi2_term"
+            ),
+        )
+        .transform(present_sorted, "d")
+    )

@@ -1289,3 +1289,93 @@ def s11_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "neighbor_id", "label", "cosine")
         .orderBy("query_id", "rk")
     )
+
+
+# --- s12: reciprocal-rank fusion of two exact rankings -----------------------
+
+RRF_K = 60  # the standard RRF smoothing constant
+
+
+@register(
+    "s12_rrf_fusion",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine,
+             round(1e-9 + list_dot_product(q.qv, e.v), 6) AS dotp
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS r_cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY dotp DESC, neighbor_id) AS r_dot
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             round(1e-9 + 1.0 / ({RRF_K} + r_cos) + 1.0 / ({RRF_K} + r_dot), 8) AS rrf
+      FROM ranked
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, rrf FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rk
+      FROM fused)
+    WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    category="similarity",
+    doc=(
+        "Reciprocal-rank fusion (RRF, k=60) of two retrieval rankings — "
+        "cosine (direction) and raw inner product (direction × magnitude) "
+        "— the standard score-free way to combine rankers in hybrid "
+        "search. Both input rankings are exact and 6dp-rounded before "
+        "ranking, so the fused order is engine-stable; the fusion itself "
+        "is rank arithmetic over queries×corpus rows already shuffled "
+        "once per window key."
+    ),
+)
+def s12_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    cosine = F.round(
+        F.lit(1e-9)
+        + _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        6,
+    )
+    dotp = F.round(F.lit(1e-9) + _dot(F.col("qv"), F.col("v")), 6)
+    scored = emb.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine.alias("cosine"),
+        dotp.alias("dotp"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    wd = Window.partitionBy("query_id").orderBy(F.desc("dotp"), "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wc).alias("r_cos"),
+        F.row_number().over(wd).alias("r_dot"),
+    )
+    rrf = F.round(
+        F.lit(1e-9)
+        + 1.0 / (RRF_K + F.col("r_cos"))
+        + 1.0 / (RRF_K + F.col("r_dot")),
+        8,
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "neighbor_id")
+    return (
+        ranked.select("query_id", "neighbor_id", rrf.alias("rrf"))
+        .withColumn("rk", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "rrf")
+        .transform(present_sorted, "query_id", "rk")
+    )
