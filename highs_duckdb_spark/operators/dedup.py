@@ -590,3 +590,105 @@ def d09_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "doc_id")
     )
+
+
+PF_TAU_NUM, PF_TAU_DEN = 4, 5  # Jaccard threshold τ = 4/5 as an exact rational
+
+
+@register(
+    "d10_prefix_filter_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+      FROM documents WHERE doc_id < 400
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             length(list_intersect(a.s, b.s)) AS inter,
+             length(a.s) + length(b.s) - length(list_intersect(a.s, b.s)) AS uni
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(uni AS BIGINT) AS uni
+    FROM pairs
+    WHERE {PF_TAU_DEN} * inter >= {PF_TAU_NUM} * uni
+    ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+    doc=(
+        f"EXACT set-similarity join (token-set Jaccard ≥ "
+        f"{PF_TAU_NUM}/{PF_TAU_DEN}) via PREFIX FILTERING — the "
+        "PPJoin-family technique that makes exact similarity joins "
+        "tractable at scale: tokens are globally ordered rarest-first, "
+        "each document exposes only its first |s| − ⌈τ·|s|⌉ + 1 tokens, "
+        "and two sets can pass the threshold ONLY if their prefixes share "
+        "a token — so the join touches prefix-token buckets, never "
+        "all-pairs, and unlike MinHash/SimHash the result is exact (the "
+        "oracle is the all-pairs formulation). The threshold test is "
+        "integer arithmetic (den·∩ ≥ num·∪), so no float ever decides a "
+        "pair. Shuffles: token-frequency count, prefix-bucket join, "
+        "pair dedup — each keyed small."
+    ),
+)
+def d10_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # Bounded input like the other quadratic-oracle ground truths (d02):
+    # the technique is the point; the synthetic corpus's tiny vocabulary
+    # makes prefixes unselective, so candidate count approaches all-pairs
+    # here (real corpora have Zipfian vocabularies and rare-token prefixes).
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 400)
+    s = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    toks = docs.select("doc_id", s.alias("s")).localCheckpoint(eager=True)
+    # global token ordering, rarest first (ties: lexicographic) — the
+    # standard prefix-filter ordering maximizes selectivity
+    freq = (
+        toks.select(F.explode("s").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    ordered = freq.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy("f", "tok"))
+        .alias("pos"),
+    )
+    exploded = toks.select("doc_id", F.size("s").alias("n"), F.explode("s").alias("tok"))
+    with_pos = exploded.join(F.broadcast(ordered), "tok")
+    # prefix length p = n - ceil(tau*n) + 1, computed in exact integers:
+    # ceil(num*n/den) = floor((num*n + den - 1)/den)
+    p = (
+        F.col("n")
+        - F.floor((F.lit(PF_TAU_NUM) * F.col("n") + PF_TAU_DEN - 1) / PF_TAU_DEN)
+        + 1
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prefix = (
+        with_pos.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= p)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("inter"),
+            uni.cast("bigint").alias("uni"),
+        )
+        .filter(PF_TAU_DEN * F.col("inter") >= PF_TAU_NUM * F.col("uni"))
+        .transform(present_sorted, "doc_a", "doc_b")
+    )
