@@ -425,3 +425,57 @@ def opt09_range_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_coefficients(spark, name, "band", "x", 1.0)
     set_coefficients(spark, name, "band", "y", 1.0)
     return solve(spark, name).transform(present_sorted, "variable_index")
+
+
+@register(
+    "opt10_lexicographic",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('x', 'x_0',  0.0, 'stage2_min_x'),
+      ('y', 'y_1', 10.0, 'stage2_min_x')
+    ) AS t(variable_name, variable_index, solution_value, stage)
+    ORDER BY variable_index
+    """,
+    category="optimization",
+    doc=(
+        "Lexicographic (goal-priority) multi-objective optimization via "
+        "sequential solves — a capability the single-objective reference "
+        "surface composes into: stage 1 maximizes x + y under x + y ≤ 10 "
+        "(the whole facet is optimal — deliberately degenerate), then the "
+        "attained objective is FIXED as an equality constraint and stage 2 "
+        "minimizes x over the optimal facet, which is unique: x=0, y=10. "
+        "Each stage is an ordinary registry solve; the fix-and-resolve "
+        "pattern is textbook preemptive goal programming. Closed-form "
+        "oracle constants."
+    ),
+)
+def opt10_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.optim.registry import solve_model_info
+
+    name = "q_lexi"
+    reg = ModelRegistry.instance()
+    reg.remove_model(name)
+    # stage 1: max x+y  ⇔  min −x−y, s.t. x + y ≤ 10, x,y ≥ 0
+    create_variables(spark, name, "x", 0.0, 1e30, -1.0, "continuous")
+    create_variables(spark, name, "y", 0.0, 1e30, -1.0, "continuous")
+    create_constraints(spark, name, "cap", -1e30, 10.0)
+    set_coefficients(spark, name, "cap", "x", 1.0)
+    set_coefficients(spark, name, "cap", "y", 1.0)
+    with reg.mutation_lock:
+        model = reg.get_model(name)
+        rows1 = solve_model_info(model)
+    stage1_obj = sum(
+        c * r[2] for c, r in zip(model.obj_coefficients, rows1)
+    )  # −(x+y) at the stage-1 optimum
+    # stage 2: fix stage-1 attainment (x + y = attained), minimize x
+    create_constraints(spark, name, "stage1_fix", -stage1_obj, -stage1_obj)
+    set_coefficients(spark, name, "stage1_fix", "x", 1.0)
+    set_coefficients(spark, name, "stage1_fix", "y", 1.0)
+    with reg.mutation_lock:
+        model = reg.get_model(name)
+        model.obj_coefficients = [1.0, 0.0]  # min x over the optimal facet
+        rows2 = solve_model_info(model)
+    out = [(r[0], r[1], float(r[2]), "stage2_min_x") for r in rows2]
+    return spark.createDataFrame(
+        out, "variable_name string, variable_index string, solution_value double, stage string"
+    ).transform(present_sorted, "variable_index")
