@@ -834,3 +834,80 @@ def t15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rk").cast("bigint").alias("vocab_needed"))
         .transform(present_sorted, "coverage_target")
     )
+
+
+@register(
+    "t16_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_marker_hits_sql('en')} AS hits_en,
+             {_marker_hits_sql('de')} AS hits_de,
+             {_marker_hits_sql('fr')} AS hits_fr,
+             {_marker_hits_sql('es')} AS hits_es,
+             {_marker_hits_sql('zh')} AS hits_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE
+               WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_zh THEN 'en'
+               WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de >= hits_zh THEN 'de'
+               WHEN hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+               WHEN hits_es >= hits_zh THEN 'es'
+               ELSE 'zh'
+             END AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted,
+           CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY lang), 4) AS row_share
+    FROM pred
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+    category="text",
+    doc=(
+        "Language-ID evaluation as a query: the confusion matrix of t02's "
+        "heuristic classifier against the corpus's true lang labels, with "
+        "per-true-language recall shares — the quality report every "
+        "classifier deployed in a curation pipeline ships next to its "
+        "predictions. One grouped pass; the share window runs over the "
+        "langs² matrix."
+    ),
+)
+def t16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    hits = {lang: _marker_hits_spark(lang) for lang in ("en", "de", "fr", "es", "zh")}
+    scored = docs.select(
+        "lang", *[hits[k].alias(f"hits_{k}") for k in ("en", "de", "fr", "es", "zh")]
+    )
+    h = {k: F.col(f"hits_{k}") for k in ("en", "de", "fr", "es", "zh")}
+    predicted = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]) & (h["en"] >= h["zh"]),
+            "en",
+        )
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]) & (h["de"] >= h["zh"]), "de")
+        .when((h["fr"] >= h["es"]) & (h["fr"] >= h["zh"]), "fr")
+        .when(h["es"] >= h["zh"], "es")
+        .otherwise("zh")
+    )
+    wl = Window.partitionBy("lang")
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "lang",
+            "predicted",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.lit(1e-9) + F.col("n").cast("double") / F.sum("n").over(wl), 4
+            ).alias("row_share"),
+        )
+        .transform(present_sorted, "lang", "predicted")
+    )

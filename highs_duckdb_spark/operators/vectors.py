@@ -455,3 +455,57 @@ def v07_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "label")
     )
+
+
+@register(
+    "v08_norm_audit",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(count(*) AS BIGINT) AS n,
+             round(1e-9 + min(nrm), 6) AS min_norm,
+             round(1e-9 + max(nrm), 6) AS max_norm,
+             CAST(sum(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+             CAST(sum(CASE WHEN nrm >= 0.9 AND nrm <= 1.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit_like
+      FROM norms GROUP BY label
+    )
+    SELECT * FROM stats ORDER BY label
+    """,
+    category="similarity",
+    doc=(
+        "Embedding-norm audit per label: L2-norm range, near-zero "
+        "(degenerate) vectors, and the unit-norm share — the sanity check "
+        "run before any cosine-based pipeline (a zero vector makes cosine "
+        "undefined; mixed norms mean someone forgot to normalize a "
+        "shard). Norms via the same sequential fold both engines use "
+        "everywhere; one scan, one label-keyed aggregate."
+    ),
+)
+def v08_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = _as_double(F.col("embedding"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.lit(1e-9) + F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.lit(1e-9) + F.max("nrm"), 6).alias("max_norm"),
+            F.sum(F.when(F.col("nrm") < 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_degenerate"),
+            F.sum(F.when((F.col("nrm") >= 0.9) & (F.col("nrm") <= 1.1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unit_like"),
+        )
+        .transform(present_sorted, "label")
+    )
