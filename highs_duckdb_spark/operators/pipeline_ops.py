@@ -681,3 +681,70 @@ def p11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda df: df.orderBy("epoch", "position"))
     )
+
+
+@register(
+    "p12_dataset_card",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_uniq,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+    ),
+    langs AS (SELECT count(DISTINCT lang) AS n_langs FROM per_doc),
+    dups AS (
+      SELECT CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups FROM per_doc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_langs) AS BIGINT) AS n_langs,
+           CAST(max(n_exact_dups) AS BIGINT) AS n_exact_dups,
+           round(1e-9 + CAST(max(n_exact_dups) AS DOUBLE) / count(*), 6) AS dup_rate,
+           round(1e-9 + avg(CAST(n_tokens AS DOUBLE)), 4) AS mean_tokens,
+           round(1e-9 + avg(CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1)), 6) AS mean_ttr
+    FROM per_doc CROSS JOIN langs CROSS JOIN dups
+    """,
+    category="pipeline",
+    doc=(
+        "Dataset card (datasheet) summary: the one-row corpus profile a "
+        "released dataset ships with — document and token counts, "
+        "language spread, exact-duplicate rate (md5 fingerprints), and "
+        "mean lexical diversity. All per-doc features come out of ONE "
+        "projection over the scan; the distinct-fingerprint and "
+        "distinct-lang counts ride the same aggregation pass. At 100 TB "
+        "this is the job that stamps every corpus snapshot before "
+        "training reads it."
+    ),
+)
+def p12_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    low = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(low)).alias("n_uniq"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    n_dups = F.count("*") - F.count_distinct(F.col("fp"))
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count_distinct(F.col("lang")).cast("bigint").alias("n_langs"),
+        n_dups.cast("bigint").alias("n_exact_dups"),
+        F.round(F.lit(1e-9) + n_dups.cast("double") / F.count("*"), 6).alias(
+            "dup_rate"
+        ),
+        F.round(F.lit(1e-9) + F.avg(F.col("n_tokens").cast("double")), 4).alias(
+            "mean_tokens"
+        ),
+        F.round(
+            F.lit(1e-9)
+            + F.avg(
+                F.col("n_uniq").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+            ),
+            6,
+        ).alias("mean_ttr"),
+    )
