@@ -1308,3 +1308,41 @@ def dq09_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "d")
     )
+
+
+@register(
+    "q133_star_modifiers",
+    oracle="""
+    SELECT * EXCLUDE (o_comment_hash)
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             round(1e-9 + CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 2) AS price,
+             md5(o_orderpriority) AS o_comment_hash
+      FROM orders WHERE o_orderkey < 100
+    )
+    ORDER BY o_orderkey
+    """,
+    doc=(
+        "Star modifiers: DuckDB's `* EXCLUDE (col)` vs Spark 4's "
+        "`* EXCEPT (col)` — both engines run their NATIVE star-pruning "
+        "syntax over the same projection, the quality-of-life construct "
+        "migrating analysts ask about first. Column pruning means the "
+        "excluded expression never executes in either engine."
+    ),
+)
+def q133_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_comment_hash)
+        FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 round(1e-9 + CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 2) AS price,
+                 md5(o_orderpriority) AS o_comment_hash
+          FROM orders WHERE o_orderkey < 100
+        )
+        ORDER BY o_orderkey
+        """
+    )
