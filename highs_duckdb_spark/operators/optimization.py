@@ -479,3 +479,67 @@ def opt10_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "variable_name string, variable_index string, solution_value double, stage string"
     ).transform(present_sorted, "variable_index")
+
+
+@register(
+    "opt11_cost_ranging",
+    oracle="""
+    SELECT 'c_' || CAST(2 * i AS VARCHAR) AS model_name,
+           CAST(2 * i AS DOUBLE) AS unit_profit,
+           round(1e-9 + greatest(600.0, 50.0 * (2 * i) + 300.0, 75.0 * (2 * i)), 4)
+             AS max_profit
+    FROM (SELECT unnest(generate_series(2, 6)) AS i)
+    ORDER BY model_name
+    """,
+    category="optimization",
+    doc=(
+        "Objective-coefficient ranging (the other half of sensitivity "
+        "analysis, complementing opt07's RHS sweep): the production LP "
+        "max c·x + 6y s.t. x+y ≤ 100, 2x+y ≤ 150 solved for unit profits "
+        "c ∈ {4,8,12} (and the basis-switch points in between) through "
+        "the distributed bulk path. The optimum is max over the three "
+        "feasible vertices — greatest(600, 50c+300, 75c) in closed form, "
+        "which IS the oracle; at c=6 two vertices tie, so only the "
+        "(unique) objective is asserted, never the vertex."
+    ),
+)
+def opt11_cost_ranging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.optim.bulk import solve_packed
+
+    packed = spark.sql(
+        """
+        WITH g AS (SELECT explode(sequence(2, 6)) AS i),
+        m AS (SELECT 'c_' || CAST(2 * i AS STRING) AS model_name,
+                     CAST(2 * i AS DOUBLE) AS c FROM g)
+        SELECT model_name, 'v' AS kind, variable_name AS name,
+               CAST(NULL AS STRING) AS name2, 0.0 AS lower_bound,
+               1e30 AS upper_bound, obj, 'continuous' AS vtype,
+               CAST(NULL AS DOUBLE) AS coefficient, ord
+        FROM m LATERAL VIEW stack(2, 'x', -c, 0L, 'y', -6.0D, 1L) AS variable_name, obj, ord
+        UNION ALL
+        SELECT model_name, 'c', cname, CAST(NULL AS STRING), -1e30, ub,
+               CAST(NULL AS DOUBLE), CAST(NULL AS STRING),
+               CAST(NULL AS DOUBLE), ord
+        FROM m LATERAL VIEW stack(2, 'cap', 100.0D, 0L, 'labor', 150.0D, 1L) AS cname, ub, ord
+        UNION ALL
+        SELECT model_name, 'k', cname, vname,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS STRING), coeff,
+               CAST(NULL AS BIGINT)
+        FROM m LATERAL VIEW stack(4, 'cap', 'x', 1.0D, 'cap', 'y', 1.0D,
+                                     'labor', 'x', 2.0D, 'labor', 'y', 1.0D) AS cname, vname, coeff
+        """
+    )
+    sol = solve_packed(packed)
+    c = F.split_part(F.col("model_name"), F.lit("_"), F.lit(2)).cast("double")
+    profit = F.when(F.col("variable_name") == "x", c * F.col("solution_value")).otherwise(
+        6.0 * F.col("solution_value")
+    )
+    return (
+        sol.groupBy("model_name")
+        .agg(
+            F.first(c).alias("unit_profit"),
+            F.round(F.lit(1e-9) + F.sum(profit), 4).alias("max_profit"),
+        )
+        .transform(present_sorted, "model_name")
+    )
