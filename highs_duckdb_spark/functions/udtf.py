@@ -144,19 +144,14 @@ class HighsRemoveModelUDTF:
     follows the error-as-status-row contract rather than raising."""
 
     def eval(self, model_name: str):  # noqa: D102
-        import os
+        from highs_duckdb_spark.optim.udtf_store import remove_model_checked
 
-        from highs_duckdb_spark.optim.udtf_store import _paths, locked_model
-
-        with locked_model(model_name, create=False, readonly=True) as model:
-            if model is None:
-                yield (model_name, f"ERROR: Model '{model_name}' not found")
-                return
-        path, _ = _paths(model_name)
-        from highs_duckdb_spark.optim.udtf_store import remove_model
-
-        remove_model(model_name)
-        yield (model_name, "SUCCESS" if not os.path.exists(path) else "ERROR: remove failed")
+        # check + delete are ONE locked operation: a concurrent create
+        # can land before or after the removal, never inside it
+        if remove_model_checked(model_name):
+            yield (model_name, "SUCCESS")
+        else:
+            yield (model_name, f"ERROR: Model '{model_name}' not found")
 
 
 def register_table_functions(spark: SparkSession) -> None:

@@ -29,6 +29,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import ensure_shipped, load_table
 
@@ -337,6 +338,7 @@ CAS_CHUNK_BYTES = 64
                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
              text
       FROM documents
+      WHERE length(text) > 0 AND strlen(text) = length(text)
     ),
     chunks AS (
       SELECT media_type,
@@ -357,14 +359,23 @@ CAS_CHUNK_BYTES = 64
         "dedup savings of a chunk store is reported — the storage-layer "
         "counterpart of d09's corpus-text chunk dedup. The Spark side does "
         "real byte-level work (synthesized container blob → header strip "
-        "via binary substring → binary chunking); the oracle exploits the "
-        "payload being ASCII so DuckDB's string md5 produces identical "
-        "digests. One scan, one shuffle on (media, fingerprint) with "
+        "via binary substring → binary chunking); DuckDB has no blob "
+        "substring/md5, so BOTH engines restrict to documents whose text "
+        "is non-empty pure ASCII (strlen == length, i.e. bytes == chars) "
+        "— the guard that makes string chunking provably byte-identical "
+        "rather than an unchecked assumption, and keeps empty payloads "
+        "out of Spark's sequence() (whose [0, −1] bounds would error). "
+        "One scan, one shuffle on (media, fingerprint) with "
         "map-side combine."
     ),
 )
 def m06_blob_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    # Same admission guard as the oracle: non-empty, pure-ASCII payloads
+    # (octet_length == char_length). Keeps byte-chunking provably equal to
+    # the oracle's char-chunking and empty payloads out of sequence().
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    )
     blobs = synthesize_blobs(docs)
     payload = F.expr("substring(blob, 13, length(blob) - 12)")  # strip 12-byte header
     # substring with a column start position needs expr-form; build via SQL
@@ -392,5 +403,5 @@ def m06_blob_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("dedup_savings"),
         )
-        .transform(lambda df: df.coalesce(1).sortWithinPartitions("media_type"))
+        .transform(present_sorted, "media_type")
     )

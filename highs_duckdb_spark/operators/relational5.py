@@ -607,35 +607,32 @@ PSI_BINS = 10
                    / ((vmax - vmin) / {PSI_BINS}.0)) AS BIGINT)) AS bin
       FROM ev CROSS JOIN bounds
     ),
-    cnt AS (
-      SELECT event_type, period, bin, count(*) AS c
-      FROM binned GROUP BY event_type, period, bin
+    agg1 AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS c_cur
+      FROM binned GROUP BY event_type, bin
     ),
-    tot AS (
-      SELECT event_type, period, sum(c) AS t FROM cnt GROUP BY event_type, period
-    ),
-    frame AS (
-      SELECT event_type, bin
-      FROM (SELECT DISTINCT event_type FROM ev),
-           (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin)
-    ),
-    probs AS (
-      SELECT f.event_type, f.bin,
-             (coalesce(cr.c, 0) + 0.5) / (tr.t + {PSI_BINS}* 0.5) AS p_ref,
-             (coalesce(cc.c, 0) + 0.5) / (tc.t + {PSI_BINS}* 0.5) AS p_cur
-      FROM frame f
-      LEFT JOIN cnt cr ON cr.event_type = f.event_type AND cr.bin = f.bin AND cr.period = 'ref'
-      LEFT JOIN cnt cc ON cc.event_type = f.event_type AND cc.bin = f.bin AND cc.period = 'cur'
-      JOIN tot tr ON tr.event_type = f.event_type AND tr.period = 'ref'
-      JOIN tot tc ON tc.event_type = f.event_type AND tc.period = 'cur'
+    wn AS (
+      SELECT event_type, c_ref, c_cur,
+             sum(c_ref) OVER (PARTITION BY event_type) AS t_ref,
+             sum(c_cur) OVER (PARTITION BY event_type) AS t_cur,
+             count(*) OVER (PARTITION BY event_type) AS n_obs
+      FROM agg1
     )
     SELECT event_type,
-           round(1e-9 + sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
-           CAST((SELECT t FROM tot WHERE tot.event_type = probs.event_type
-                 AND period = 'ref') AS BIGINT) AS n_ref,
-           CAST((SELECT t FROM tot WHERE tot.event_type = probs.event_type
-                 AND period = 'cur') AS BIGINT) AS n_cur
-    FROM probs
+           round(1e-9
+                 + sum(((c_cur + 0.5) / (t_cur + {PSI_BINS} * 0.5)
+                        - (c_ref + 0.5) / (t_ref + {PSI_BINS} * 0.5))
+                       * ln(((c_cur + 0.5) / (t_cur + {PSI_BINS} * 0.5))
+                            / ((c_ref + 0.5) / (t_ref + {PSI_BINS} * 0.5))))
+                 + max(({PSI_BINS} - n_obs)
+                       * ((0.5 / (t_cur + {PSI_BINS} * 0.5) - 0.5 / (t_ref + {PSI_BINS} * 0.5))
+                          * ln((0.5 / (t_cur + {PSI_BINS} * 0.5))
+                               / (0.5 / (t_ref + {PSI_BINS} * 0.5))))), 6) AS psi,
+           CAST(max(t_ref) AS BIGINT) AS n_ref,
+           CAST(max(t_cur) AS BIGINT) AS n_cur
+    FROM wn
     GROUP BY event_type
     ORDER BY event_type
     """,

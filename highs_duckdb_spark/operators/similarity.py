@@ -1034,6 +1034,18 @@ def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("a_id") != F.col("b_id")))
         .select("query_id", "a_id", "rel_a", "b_id", sim.alias("sim"))
     )
+    # Self rows carry every candidate into the kernel even when it has no
+    # pair partner (a single-candidate shortlist produces ZERO pair rows,
+    # which would silently drop the query from the grouped kernel while
+    # the oracle still emits its pick 1).
+    self_rows = short.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("rel").alias("rel_a"),
+        F.lit(None).cast("long").alias("b_id"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    kernel_input = pairs.unionByName(self_rows)
 
     def greedy(pdf):
         import math
@@ -1049,7 +1061,8 @@ def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = {}
         for r in pdf.itertuples(index=False):
             rel[int(r.a_id)] = float(r.rel_a)
-            sims[(int(r.a_id), int(r.b_id))] = float(r.sim)
+            if r.b_id is not None and not pd.isna(r.b_id):
+                sims[(int(r.a_id), int(r.b_id))] = float(r.sim)
         remaining = set(rel)
         first = max(remaining, key=lambda c: (rel[c], -c))
         out = [(qid, 1, first, round6(rel[first]))]
@@ -1057,6 +1070,8 @@ def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         remaining.discard(first)
         maxsim = {c: sims[(c, first)] for c in remaining}
         for pick in range(2, MMR_K + 1):
+            if not remaining:  # shortlist smaller than K: emit fewer picks,
+                break  # exactly like the oracle's empty sel_i CTEs
             best = max(
                 remaining,
                 key=lambda c: (MMR_LAMBDA * rel[c] - MMR_MU * maxsim[c], -c),
@@ -1076,7 +1091,7 @@ def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        pairs.groupBy("query_id")
+        kernel_input.groupBy("query_id")
         .applyInPandas(greedy, "query_id long, pick long, neighbor_id long, mmr double")
         .transform(present_sorted, "query_id", "pick")
     )

@@ -517,7 +517,12 @@ def t10_trigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t11_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    sent = "</s>"  # end-of-doc sentinel; never a corpus token here
+    # End-of-doc sentinel. A NUL byte cannot appear in a token unless the
+    # raw text itself contains NUL (binary junk a text pipeline rejects
+    # upstream) — unlike a markup-ish literal such as '</s>', which DOES
+    # occur in crawled/LLM-formatted corpora and would silently merge
+    # counts with real tokens.
+    sent = "\x00"
     t = F.concat(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), F.array(F.lit(sent))
     )

@@ -217,13 +217,11 @@ def set_coefficients(
     return spark.createDataFrame([row], COEFFICIENT_RESULT_SCHEMA)
 
 
-def solve_model_info(model: HighsModelInfo) -> list[tuple[str, str, float, float, str]]:
-    """Solve one in-memory model → solution rows (plain Python, no Spark).
-
-    Shared by the driver-side :func:`solve` and the executor-side bulk path.
-    Row order = variable insertion order (reference:
-    src/highs_extension.cpp:669-685).
-    """
+def _assemble(model: HighsModelInfo):
+    """Model state → solver arrays (c, a, row_lb, row_ub, col_lb, col_ub,
+    is_int). The ONLY place the duplicate-coefficient summing rule and the
+    binary [0,1] clamp live — shared by the primal solve and the dual
+    report so the two can never assemble different matrices."""
     n = model.next_var_index
     m = model.next_constraint_index
     c = np.array(model.obj_coefficients, dtype=float)
@@ -245,6 +243,17 @@ def solve_model_info(model: HighsModelInfo) -> list[tuple[str, str, float, float
             col_ub[i] = min(1.0, col_ub[i])
         elif vt == "integer":
             is_int[i] = True
+    return c, a, row_lb, row_ub, col_lb, col_ub, is_int
+
+
+def solve_model_info(model: HighsModelInfo) -> list[tuple[str, str, float, float, str]]:
+    """Solve one in-memory model → solution rows (plain Python, no Spark).
+
+    Shared by the driver-side :func:`solve` and the executor-side bulk path.
+    Row order = variable insertion order (reference:
+    src/highs_extension.cpp:669-685).
+    """
+    c, a, row_lb, row_ub, col_lb, col_ub, is_int = _assemble(model)
 
     if is_int.any():
         res = solve_milp(c, a, row_lb, row_ub, col_lb, col_ub, is_int)
@@ -298,24 +307,7 @@ def solve_model_duals(model: HighsModelInfo) -> list[tuple[str, str, float, floa
     backfills reduced costs."""
     n = model.next_var_index
     m = model.next_constraint_index
-    c = np.array(model.obj_coefficients, dtype=float)
-    col_lb = np.array(model.var_lower_bounds, dtype=float)
-    col_ub = np.array(model.var_upper_bounds, dtype=float)
-    row_lb = np.array(model.constraint_lower_bounds, dtype=float)
-    row_ub = np.array(model.constraint_upper_bounds, dtype=float)
-    a = np.zeros((m, n))
-    for row_idx, entries in model.constraint_coefficients.items():
-        for var_idx, coeff in entries:
-            a[row_idx, var_idx] += coeff
-
-    is_int = np.zeros(n, dtype=bool)
-    for i, vt in enumerate(model.variable_types):
-        if vt == "binary":
-            is_int[i] = True
-            col_lb[i] = max(0.0, col_lb[i])
-            col_ub[i] = min(1.0, col_ub[i])
-        elif vt == "integer":
-            is_int[i] = True
+    c, a, row_lb, row_ub, col_lb, col_ub, is_int = _assemble(model)
 
     if is_int.any():
         res = solve_milp(c, a, row_lb, row_ub, col_lb, col_ub, is_int)

@@ -91,11 +91,22 @@ def locked_model(model_name: str, create: bool, readonly: bool = False):
 
 
 def remove_model(model_name: str) -> None:
+    remove_model_checked(model_name)
+
+
+def remove_model_checked(model_name: str) -> bool:
+    """Atomically remove a model; returns whether it existed.
+
+    Existence check and deletion happen under the SAME exclusive lock —
+    a check-under-one-lock / delete-under-another sequence would let a
+    concurrent create land in the window and be silently deleted."""
     path, lock_path = _paths(model_name)
     with open(lock_path, "w") as lockf:
         fcntl.flock(lockf, fcntl.LOCK_EX)
         try:
             if os.path.exists(path):
                 os.remove(path)
+                return True
+            return False
         finally:
             fcntl.flock(lockf, fcntl.LOCK_UN)

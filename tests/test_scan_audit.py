@@ -39,7 +39,6 @@ ALLOWED = {
     "opt05_solve_many_bulk": "three VALUES-table encodings derive from the same dimension scan",
     "q09_scalar_subquery_projection": "scalar + IN subqueries are semantically separate aggregates",
     "q18_bag_set_ops": "INTERSECT ALL/EXCEPT ALL operands are four distinct bag expressions",
-    "q26_funnel_conversion": None,  # fixed: single scan via chained windows
     "q82_gap_fill": "bounds + calendar + values: the gap-fill three-pass shape",
     "q88_union_all_bag_ops": "six bag-semantics operands over the same table by construction",
     "q89_tfidf_top_terms": "tf pass + df pass + totals: the textbook two-pass TF-IDF",
