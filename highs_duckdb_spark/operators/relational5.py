@@ -1343,3 +1343,85 @@ def q133_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "dq10_expectation_suite",
+    oracle="""
+    WITH checks AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        sum(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END) AS c1,
+        sum(CASE WHEN value IS NULL OR value >= 0 THEN 1 ELSE 0 END) AS c2,
+        sum(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+                 THEN 1 ELSE 0 END) AS c3,
+        sum(CASE WHEN ts >= TIMESTAMP '2020-01-01' AND ts < TIMESTAMP '2030-01-01'
+                 THEN 1 ELSE 0 END) AS c4,
+        sum(CASE WHEN user_id >= 0 THEN 1 ELSE 0 END) AS c5
+      FROM events
+    )
+    SELECT rule, n_rows, CAST(n_pass AS BIGINT) AS n_pass,
+           CAST(n_rows - n_pass AS BIGINT) AS n_fail,
+           n_pass = n_rows AS passed
+    FROM checks,
+         (VALUES ('event_id_not_null', 1), ('value_non_negative', 2),
+                 ('event_type_in_domain', 3), ('ts_in_range', 4),
+                 ('user_id_non_negative', 5)) AS r(rule, i),
+         LATERAL (SELECT CASE i WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+                               WHEN 4 THEN c4 ELSE c5 END AS n_pass) x
+    ORDER BY rule
+    """,
+    doc=(
+        "Expectation-suite validation (the Great-Expectations pattern as "
+        "a query): a declared set of rules — not-null, domain membership, "
+        "range, sign — evaluated as conditional sums in ONE pass over the "
+        "table, unpivoted to a per-rule pass/fail report. Adding a rule "
+        "adds a column to the single aggregate, never another scan; at "
+        "100 TB the suite costs exactly one map-side-combined aggregation "
+        "however many expectations it carries."
+    ),
+)
+def dq10_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    rules = [
+        ("event_id_not_null", F.col("event_id").isNotNull()),
+        ("value_non_negative", F.col("value").isNull() | (F.col("value") >= 0)),
+        (
+            "event_type_in_domain",
+            F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+        ),
+        (
+            "ts_in_range",
+            (F.col("ts") >= F.lit("2020-01-01").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2030-01-01").cast("timestamp_ntz")),
+        ),
+        ("user_id_non_negative", F.col("user_id") >= 0),
+    ]
+    agg = ev.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).alias(f"pass_{name}")
+            for name, pred in rules
+        ],
+    )
+    report = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"pass_{name}").cast("bigint").alias("n_pass"),
+                    )
+                    for name, _ in rules
+                ]
+            )
+        ).alias("r")
+    ).select(
+        "r.rule",
+        "r.n_rows",
+        "r.n_pass",
+        (F.col("r.n_rows") - F.col("r.n_pass")).cast("bigint").alias("n_fail"),
+        (F.col("r.n_pass") == F.col("r.n_rows")).alias("passed"),
+    )
+    return report.transform(present_sorted, "rule")
