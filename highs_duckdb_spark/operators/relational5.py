@@ -1425,3 +1425,61 @@ def dq10_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r.n_pass") == F.col("r.n_rows")).alias("passed"),
     )
     return report.transform(present_sorted, "rule")
+
+
+@register(
+    "q134_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE value IS NOT NULL
+    ),
+    weighted AS (
+      SELECT user_id, value,
+             CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE) / 1000000.0 AS w
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(1e-9 + sum(value * w) / sum(w), 6) AS twap,
+           round(1e-9 + avg(value), 6) AS plain_avg
+    FROM weighted
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc=(
+        "Time-weighted average (TWAP): each observation holds until the "
+        "next one, so its weight is the interval length — the correct "
+        "mean for irregularly-sampled series where the plain average "
+        "over-counts bursts (both are reported so the bias is visible). "
+        "lead() over the user timeline gives interval ends in the same "
+        "one-shuffle pass as the aggregation; microsecond-exact integer "
+        "interval lengths before the double division keep both engines "
+        "identical."
+    ),
+)
+def q134_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.unix_micros(F.lead(F.col("ts").cast("timestamp")).over(w)).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    wt = (F.col("next_us") - F.col("us")).cast("double") / 1000000.0
+    return (
+        seq.select("user_id", "value", wt.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.round(
+                F.lit(1e-9) + F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6
+            ).alias("twap"),
+            F.round(F.lit(1e-9) + F.avg("value"), 6).alias("plain_avg"),
+        )
+        .transform(present_sorted, "user_id")
+    )
