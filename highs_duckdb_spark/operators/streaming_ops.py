@@ -47,9 +47,24 @@ def qs01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "qs02_stream_sliding",
-    oracle=None,  # overlapping windows have no direct single-pass SQL analogue; validated in pytest vs batch
+    oracle="""
+    WITH starts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP) FROM events
+    )
+    SELECT window_start, count(*) AS n
+    FROM starts GROUP BY window_start ORDER BY window_start
+    """,
     category="streaming",
-    doc="2h windows sliding 1h (each event in 2 windows), streamed with watermark.",
+    doc=(
+        "2h windows sliding 1h, streamed with watermark. Overlapping "
+        "windows ARE SQL-expressible after all: an event at t belongs to "
+        "exactly the windows starting at trunc(t) and trunc(t) − 1h, so "
+        "the oracle replays the stream as a two-branch UNION ALL + "
+        "GROUP BY — upgrading this entry from a rows-only check to full "
+        "hash parity."
+    ),
 )
 def qs02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"stream_sliding_{uuid.uuid4().hex[:8]}"
