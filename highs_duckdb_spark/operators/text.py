@@ -916,3 +916,87 @@ def t16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "lang", "predicted")
     )
+
+
+@register(
+    "t17_gopher_rules",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_symbols,
+             round(1e-9 + CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1), 4)
+               AS mean_word_len
+      FROM documents
+    )
+    SELECT doc_id,
+           n_words,
+           mean_word_len,
+           round(1e-9 + n_digits / n_chars, 6) AS digit_ratio,
+           round(1e-9 + n_symbols / n_chars, 6) AS symbol_ratio,
+           n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           mean_word_len >= 3 AND mean_word_len <= 10 AS ok_word_len,
+           n_digits / n_chars <= 0.2 AS ok_digits,
+           n_symbols / n_chars <= 0.1 AS ok_symbols,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (mean_word_len >= 3 AND mean_word_len <= 10)
+             AND n_digits / n_chars <= 0.2
+             AND n_symbols / n_chars <= 0.1 AS admitted
+    FROM feat
+    ORDER BY doc_id
+    """,
+    category="text",
+    doc=(
+        "Gopher-style quality rule bundle (the published heuristic gate "
+        "family): word-count bounds, mean-word-length bounds, digit ratio, "
+        "symbol ratio — each rule reported individually plus the combined "
+        "admission verdict, so threshold tuning sees which rule fires. "
+        "Pure codegen string expressions over one scan; the boolean "
+        "columns compare on exact integer counts and 6dp-stable ratios."
+    ),
+)
+def t17_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    n_chars = F.length("text").cast("double")
+    n_digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).cast("double")
+    n_symbols = F.length(
+        F.regexp_replace(F.col("text"), r"[a-zA-Z0-9 ]", "")
+    ).cast("double")
+    mean_word_len = F.round(
+        F.lit(1e-9)
+        + F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / F.greatest(F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(1)),
+        4,
+    )
+    feat = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_digits.alias("n_digits"),
+        n_symbols.alias("n_symbols"),
+        mean_word_len.alias("mean_word_len"),
+    )
+    ok_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    ok_wl = (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+    ok_dg = F.col("n_digits") / F.col("n_chars") <= 0.2
+    ok_sy = F.col("n_symbols") / F.col("n_chars") <= 0.1
+    return feat.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        F.round(F.lit(1e-9) + F.col("n_digits") / F.col("n_chars"), 6).alias(
+            "digit_ratio"
+        ),
+        F.round(F.lit(1e-9) + F.col("n_symbols") / F.col("n_chars"), 6).alias(
+            "symbol_ratio"
+        ),
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_dg.alias("ok_digits"),
+        ok_sy.alias("ok_symbols"),
+        (ok_wc & ok_wl & ok_dg & ok_sy).alias("admitted"),
+    ).transform(present_sorted, "doc_id")
