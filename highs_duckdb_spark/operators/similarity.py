@@ -1394,3 +1394,132 @@ def s12_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "neighbor_id", "rrf")
         .transform(present_sorted, "query_id", "rk")
     )
+
+
+# --- s13: Rocchio pseudo-relevance feedback ---------------------------------
+
+ROCCHIO_BETA = 0.5  # expansion weight on the top-k centroid (alpha = 1.0)
+
+
+@register(
+    "s13_rocchio_expansion",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vn AS qn FROM emb WHERE vec_id < {N_QUERIES}),
+    scored1 AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(1e-9 + list_dot_product(q.qn, e.vn), 6) AS rel
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rk
+        FROM scored1) WHERE rk <= {TOP_K}
+    ),
+    topflat AS (
+      SELECT s.query_id, u.dim, u.val
+      FROM short s JOIN emb e ON e.vec_id = s.neighbor_id,
+           LATERAL (SELECT unnest(generate_series(1, len(e.vn))) AS dim,
+                           unnest(e.vn) AS val) u
+    ),
+    cent AS (
+      SELECT query_id, dim, sum(val) / count(*) AS c
+      FROM topflat GROUP BY query_id, dim
+    ),
+    qflat AS (
+      SELECT q.query_id, u.dim, u.val
+      FROM q, LATERAL (SELECT unnest(generate_series(1, len(q.qn))) AS dim,
+                              unnest(q.qn) AS val) u
+    ),
+    qprime AS (
+      SELECT qf.query_id, qf.dim, qf.val + {ROCCHIO_BETA} * c.c AS qp
+      FROM qflat qf JOIN cent c ON c.query_id = qf.query_id AND c.dim = qf.dim
+    ),
+    corpusflat AS (
+      SELECT e.vec_id, u.dim, u.val
+      FROM emb e, LATERAL (SELECT unnest(generate_series(1, len(e.vn))) AS dim,
+                                  unnest(e.vn) AS val) u
+    ),
+    rescored AS (
+      SELECT p.query_id, cf.vec_id AS neighbor_id,
+             round(1e-9 + sum(cf.val * p.qp), 6) AS score
+      FROM corpusflat cf JOIN qprime p ON p.dim = cf.dim
+      WHERE cf.vec_id <> p.query_id
+      GROUP BY p.query_id, cf.vec_id
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+      FROM rescored) WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    category="similarity",
+    doc=(
+        "Rocchio pseudo-relevance feedback (query expansion): retrieve the "
+        f"exact top-{TOP_K}, move each query toward their centroid "
+        f"(q' = q̂ + {ROCCHIO_BETA}·centroid, all unit-normalized inputs), "
+        "and re-retrieve with the expanded vector — the classic two-round "
+        "IR loop that pulls in near-misses the literal query vector "
+        "ranked low. Scale shape: two corpus passes (retrieve, rescore) "
+        "with the per-query expansion math over queries×dim rows in "
+        "between; final scores are 6dp-rounded so the second-round "
+        "ranking is engine-stable."
+    ),
+)
+def s13_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_raw = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    vn = F.transform(F.col("v"), lambda x: x / _norm(F.col("v")))
+    emb = emb_raw.select("vec_id", vn.alias("vn")).localCheckpoint(eager=True)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("vn").alias("qn")
+        )
+    )
+    rel = F.round(F.lit(1e-9) + _dot(F.col("qn"), F.col("vn")), 6)
+    scored1 = emb.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), rel.alias("rel")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
+    short = (
+        scored1.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    topflat = (
+        short.join(emb, short.neighbor_id == emb.vec_id)
+        .select("query_id", F.posexplode("vn").alias("dim0", "val"))
+        .select("query_id", (F.col("dim0") + 1).alias("dim"), "val")
+    )
+    cent = topflat.groupBy("query_id", "dim").agg(
+        (F.sum("val") / F.count("*")).alias("c")
+    )
+    qflat = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.posexplode("vn").alias("dim0", "val"))
+        .select("query_id", (F.col("dim0") + 1).alias("dim"), "val")
+    )
+    qprime = qflat.join(cent, ["query_id", "dim"]).select(
+        "query_id", "dim", (F.col("val") + ROCCHIO_BETA * F.col("c")).alias("qp")
+    )
+    corpusflat = emb.select(
+        "vec_id", F.posexplode("vn").alias("dim0", "val")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    rescored = (
+        corpusflat.join(F.broadcast(qprime), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.lit(1e-9) + F.sum(F.col("val") * F.col("qp")), 6).alias("score"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "score")
+        .transform(present_sorted, "query_id", "rk")
+    )
