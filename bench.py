@@ -74,10 +74,12 @@ def main() -> None:
     # is worth far more than one scheduling round there.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    # a few hundred MB across ≤4 post-shuffle partitions: task-scheduling
-    # overhead beats parallelism at this size (8 → 4 measured slightly
-    # better through run-to-run noise); thousands on a real cluster
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # a few hundred MB across 2 post-shuffle partitions: task-scheduling
+    # overhead beats parallelism at this size (8 → 4 → 2 measured
+    # monotonically better, ~6.4-8.0s vs ~8.3s total at 4; 1 regresses —
+    # the reduce stage loses its last bit of overlap); thousands on a
+    # real cluster
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     # sf0.1 parquet files are ~1-11 MB, so the 128 MB default split size
     # makes every scan a single task; 2 MB splits scan row groups in
     # parallel (measured ~12% over the headline set). At real scale files
