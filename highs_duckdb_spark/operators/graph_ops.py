@@ -231,3 +231,72 @@ def g04_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "degree")
     )
+
+
+@register(
+    "g05_jaccard_link_prediction",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    adj AS (SELECT n1 AS src, n2 AS dst FROM edges UNION ALL SELECT n2, n1 FROM edges),
+    deg AS (SELECT src AS node, count(*) AS d FROM adj GROUP BY src),
+    common AS (
+      SELECT a1.dst AS a, a2.dst AS b, count(*) AS n_common
+      FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT c.a, c.b, c.n_common FROM common c
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.n1 = c.a AND e.n2 = c.b))
+    SELECT c.a, c.b, CAST(c.n_common AS BIGINT) AS n_common,
+           round(1e-9 + CAST(c.n_common AS DOUBLE) / (da.d + db.d - c.n_common), 6)
+             AS jaccard
+    FROM cand c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+    ORDER BY a, b
+    """,
+    category="graph",
+    doc=(
+        "Neighborhood-Jaccard link prediction on the nation trade graph: "
+        "for every NON-adjacent vertex pair sharing ≥1 neighbor, "
+        "|Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| — the classic common-neighbors "
+        "recommender score. Distributed shape: one wedge self-join on the "
+        "shared middle vertex (the same shuffle g02's triangles use), "
+        "anti-join against the edge list to keep only predicted links, "
+        "degree table joined in; the checkpointed edge list is built once "
+        "for all graph ops. Integer counts + one rounded division, so both "
+        "engines agree exactly."
+    ),
+)
+def g05_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    adj = e.select(F.col("n1").alias("src"), F.col("n2").alias("dst")).unionAll(
+        e.select(F.col("n2").alias("src"), F.col("n1").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    a1 = adj.select(F.col("src").alias("mid"), F.col("dst").alias("a"))
+    a2 = adj.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
+    common = (
+        a1.join(a2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cand = common.join(
+        e, (common.a == e.n1) & (common.b == e.n2), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.lit(1e-9)
+                + F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .transform(present_sorted, "a", "b")
+    )

@@ -342,3 +342,102 @@ def q140_bucketed_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("*") - 1).alias("n_nearby"))
         .transform(present_sorted, "event_id")
     )
+
+
+@register(
+    "q141_running_distinct_users",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events)
+    SELECT event_id, event_type,
+           CAST(sum(is_first) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_users_so_far
+    FROM flagged ORDER BY event_type, ts, event_id
+    """,
+    doc=(
+        "Running COUNT(DISTINCT user) per event type — a windowed distinct "
+        "aggregate neither engine supports directly; both run the classic "
+        "rewrite: flag each (type, user)'s first occurrence with one "
+        "window, running-sum the flags with a second. Two key-partitioned "
+        "window shuffles, no distinct-state accumulation — the rewrite is "
+        "what makes the operator feasible at 100 TB, where a per-row "
+        "distinct set would be unbounded state."
+    ),
+)
+def q141_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return (
+        flagged.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.sum("is_first").over(w_run).cast("bigint").alias("distinct_users_so_far"),
+        )
+        .orderBy("event_type", "ts", "event_id")
+        .drop("ts")
+    )
+
+
+@register(
+    "q142_sequence_pattern_funnel",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(length(regexp_extract_all(
+                  string_agg(left(event_type, 1), '' ORDER BY ts, event_id),
+                  'vcp')) AS BIGINT) AS n_vcp
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc=(
+        "MATCH_RECOGNIZE-style sequence pattern count: per user, the "
+        "time-ordered event-initial string (view/click/purchase/signup/"
+        "error have distinct initials) is scanned for non-overlapping "
+        "'view→click→purchase' runs. Spark builds the ordered string "
+        "inside the aggregate (array_sort of (ts, event_id, initial) "
+        "structs — no window pass needed) and counts with regexp_count; "
+        "DuckDB uses ordered string_agg + regexp_extract_all. One shuffle "
+        "on user_id; per-user state is the session string, bounded by "
+        "per-key history like any sessionization."
+    ),
+)
+def q142_sequence_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("i"),
+                    )
+                )
+            ),
+            lambda x: x["i"],
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.regexp_count(seq, F.lit("vcp")).cast("bigint").alias("n_vcp"),
+        )
+        .transform(present_sorted, "user_id")
+    )

@@ -616,3 +616,115 @@ def qs11_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"stream_decon_{uuid.uuid4().hex[:8]}"
     run_stream_to_table(flagged, table, output_mode="append")
     return spark.table(table).orderBy("doc_id")
+
+
+@register(
+    "qs12_stream_scd2",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_id, ts, value
+      FROM events WHERE event_type = 'signup' OR event_type = 'purchase'
+    )
+    SELECT user_id,
+           event_id,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to,
+           round(1e-9 + value, 4) AS state_value,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+    category="streaming",
+    doc=(
+        "Streaming SCD2 maintenance: the q78 change feed replayed as 4 "
+        "micro-batches (foreachBatch CDC sink into a versioned parquet "
+        "history, like qs08). The batches are split on event_id, NOT time, "
+        "so changes arrive arbitrarily late relative to each other — the "
+        "merge is late-data-correct by reconciling per affected key: rows "
+        "for users untouched by the batch pass through byte-for-byte; rows "
+        "for touched users are re-derived from (their existing history's "
+        "change points ∪ the batch's changes) with one lead() window. "
+        "Per-batch work is bounded by the touched keys' history, the "
+        "pass-through is a key-partitioned anti join, and the result "
+        "equals the one-shot batch SCD2 (q78's oracle) for ANY arrival "
+        "order."
+    ),
+)
+def qs12_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from highs_duckdb_spark.session import load_table
+
+    ch = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_id", "ts", "value")
+    )
+    src_dir = tempfile.mkdtemp(prefix="hds_qs12_src_")
+    # deterministic 4-way split on event_id: every micro-batch interleaves
+    # users and times (out-of-order arrival is the point of the test)
+    ch.repartition(4, F.col("event_id") % 4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    target_root = tempfile.mkdtemp(prefix="hds_qs12_tgt_")
+    state = {"path": None, "ver": 0}
+
+    def merge_scd2(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_ch = batch_df.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.lit(1e-9) + F.col("value"), 4).alias("state_value"),
+        )
+        if state["path"] is None:
+            combined = batch_ch
+            passthrough = None
+        else:
+            tgt = s.read.parquet(state["path"])
+            touched = batch_ch.select("user_id").distinct()
+            passthrough = tgt.join(touched, "user_id", "left_anti")
+            # history rows of touched users, reduced back to change points
+            old_changes = tgt.join(touched, "user_id", "left_semi").select(
+                "user_id",
+                "event_id",
+                F.col("valid_from").alias("ts"),
+                "state_value",
+            )
+            combined = old_changes.unionByName(batch_ch)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        nxt = F.lead("ts").over(w)
+        rebuilt = combined.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            "state_value",
+            nxt.isNull().alias("is_current"),
+        )
+        merged = rebuilt if passthrough is None else passthrough.unionByName(rebuilt)
+        new_path = os.path.join(target_root, f"v{state['ver']}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+        state["ver"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(merge_scd2)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/hds_ckpt_qs12_{_uuid.uuid4().hex}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["path"]).orderBy(
+        "user_id", "valid_from", "event_id"
+    )
