@@ -692,3 +692,66 @@ def d10_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(PF_TAU_DEN * F.col("inter") >= PF_TAU_NUM * F.col("uni"))
         .transform(present_sorted, "doc_a", "doc_b")
     )
+
+
+@register(
+    "d11_containment_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN length(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, length(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 300)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_src, b.doc_id AS doc_super,
+             CAST(length(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+             CAST(length(a.shingles) AS BIGINT) AS n_src
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    )
+    SELECT doc_src, doc_super, inter, n_src,
+           round(1e-9 + CAST(inter AS DOUBLE) / n_src, 6) AS containment
+    FROM pairs
+    WHERE inter * 2 >= n_src
+    ORDER BY doc_src, doc_super
+    """,
+    category="dedup",
+    doc=(
+        "Directed shingle-containment pairs |A∩B| / |A| ≥ 0.5 — the "
+        "asymmetric twin of d02's Jaccard, the right metric for quote / "
+        "subset duplication where a short document is swallowed by a long "
+        "one (Jaccard stays small, containment hits 1). Integer-exact "
+        "threshold (2·∩ ≥ |A|, no float compare); bounded to the same "
+        "pair universe as d02 — at scale the candidate generation is the "
+        "d10 prefix-filter join, which bounds containment the same way it "
+        "bounds Jaccard."
+    ),
+)
+def d11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_src"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_super"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
+    return (
+        a.join(b, F.col("doc_src") != F.col("doc_super"))
+        .select(
+            "doc_src",
+            "doc_super",
+            inter.alias("inter"),
+            F.size("sh_a").cast("bigint").alias("n_src"),
+        )
+        .filter(F.col("inter") * 2 >= F.col("n_src"))
+        .select(
+            "doc_src",
+            "doc_super",
+            "inter",
+            "n_src",
+            F.round(
+                F.lit(1e-9) + F.col("inter").cast("double") / F.col("n_src"), 6
+            ).alias("containment"),
+        )
+        .orderBy("doc_src", "doc_super")
+    )

@@ -1,0 +1,142 @@
+"""Round-2 additions: equi-width histogram with CDF, and a snapshot diff
+(table-version CDC classification) — both oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from highs_duckdb_spark.functions.money import cents
+from highs_duckdb_spark.functions.presentation import present_sorted
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.strategy import fact_hint
+from highs_duckdb_spark.session import load_table
+
+N_BUCKETS = 20
+
+
+@register(
+    "q143_equiwidth_histogram",
+    oracle=f"""
+    WITH bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+    bucketed AS (
+      SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / {N_BUCKETS})) AS BIGINT),
+                   {N_BUCKETS - 1}) AS bucket
+      FROM orders CROSS JOIN bounds),
+    counts AS (SELECT bucket, count(*) AS cnt FROM bucketed GROUP BY bucket)
+    SELECT bucket, cnt,
+           CAST(sum(cnt) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+           round(1e-9 + CAST(sum(cnt) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(sum(cnt) OVER () AS DOUBLE), 6) AS cdf
+    FROM counts ORDER BY bucket
+    """,
+    doc=(
+        f"Equi-width {N_BUCKETS}-bucket histogram of order totals with the "
+        "empirical CDF: one min/max pass broadcast into the bucketing scan, "
+        "one bucket-keyed count with map-side combine, then cumulative "
+        "windows over the bucket-count table only (20 rows at any data "
+        "size). Bucket edges are the identical double arithmetic in both "
+        "engines, and counts stay integer through the CDF division."
+    ),
+)
+def q143_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / N_BUCKETS)
+        ).cast("bigint"),
+        F.lit(N_BUCKETS - 1),
+    )
+    counts = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        counts.select(
+            "bucket",
+            "cnt",
+            F.sum("cnt").over(w_cum).cast("bigint").alias("cum_cnt"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum("cnt").over(w_cum).cast("double")
+                / F.sum("cnt").over(w_all).cast("double"),
+                6,
+            ).alias("cdf"),
+        )
+        .transform(present_sorted, "bucket")
+    )
+
+
+@register(
+    "q144_snapshot_diff",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 7 <> 0),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    diff AS (
+      SELECT CASE WHEN v0.o_orderkey IS NULL THEN 'added'
+                  WHEN v1.o_orderkey IS NULL THEN 'deleted'
+                  WHEN v0.price <> v1.price THEN 'modified'
+                  ELSE 'unchanged' END AS change_type,
+             coalesce(v1.price, 0) - coalesce(v0.price, 0) AS delta
+      FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey)
+    SELECT change_type, count(*) AS n,
+           round(1e-9 + CAST(sum(CAST(floor(delta*100 + 0.5) AS BIGINT)) AS DOUBLE)/100, 2)
+             AS total_delta
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+    doc=(
+        "Snapshot diff (time-travel CDC classification): two derived table "
+        "versions are reconciled with one co-partitioned FULL OUTER join on "
+        "the key and each row classified added / deleted / modified / "
+        "unchanged, with the exact net value delta per class (integer "
+        "cents). This is the lakehouse table_changes() pattern; at 100 TB "
+        "the join is the only shuffle and AQE handles version-skew. Both "
+        "snapshots derive deterministically from the orders table so the "
+        "oracle runs the identical reconciliation."
+    ),
+)
+def q144_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    v0 = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k0"), F.col("o_totalprice").alias("p0")
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k1"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("p1"),
+    )
+    change = (
+        F.when(F.col("k0").isNull(), "added")
+        .when(F.col("k1").isNull(), "deleted")
+        .when(F.col("p0") != F.col("p1"), "modified")
+        .otherwise("unchanged")
+    )
+    delta = F.coalesce(F.col("p1"), F.lit(0.0)) - F.coalesce(F.col("p0"), F.lit(0.0))
+    return (
+        v0.join(fact_hint(v1, sf_dir), F.col("k0") == F.col("k1"), "full_outer")
+        .select(change.alias("change_type"), delta.alias("delta"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.lit(1e-9) + F.sum(cents(F.col("delta"))).cast("double") / 100, 2
+            ).alias("total_delta"),
+        )
+        .transform(present_sorted, "change_type")
+    )

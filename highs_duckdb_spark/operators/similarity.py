@@ -1523,3 +1523,60 @@ def s13_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "neighbor_id", "score")
         .transform(present_sorted, "query_id", "rk")
     )
+
+
+@register(
+    "s14_recall_at_k",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+          FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id, e.label,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(min(query_label) AS BIGINT) AS query_label,
+           CAST(sum(CASE WHEN label = query_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_label,
+           CAST(max(CASE WHEN label = query_label THEN 1 ELSE 0 END) = 1 AS BOOLEAN)
+             AS hit,
+           round(1e-9 + CAST(sum(CASE WHEN label = query_label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {TOP_K}, 6) AS recall_at_k
+    FROM ranked WHERE rk <= {TOP_K}
+    GROUP BY query_id ORDER BY query_id
+    """,
+    category="similarity",
+    doc=(
+        "Retrieval-quality recall@k on the s01 exact ranking: per query, "
+        "the fraction of the top-k whose label matches the query's label, "
+        "plus the any-hit flag — the standard eval twin of s10's MRR. The "
+        "eval itself aggregates queries×k rows; the corpus is touched only "
+        "by the shared top-k scan."
+    ),
+)
+def s14_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = s01_cosine_topk(spark, sf_dir)
+    qlab = F.broadcast(
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"))
+    )
+    same = F.sum(F.when(F.col("label") == F.col("query_label"), 1).otherwise(0))
+    return (
+        ranked.join(qlab, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.min("query_label").cast("bigint").alias("query_label"),
+            same.cast("bigint").alias("n_same_label"),
+            (F.max(F.when(F.col("label") == F.col("query_label"), 1).otherwise(0)) == 1)
+            .alias("hit"),
+            F.round(F.lit(1e-9) + same.cast("double") / TOP_K, 6).alias("recall_at_k"),
+        )
+        .transform(present_sorted, "query_id")
+    )
