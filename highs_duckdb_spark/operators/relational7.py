@@ -140,3 +140,52 @@ def q144_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "change_type")
     )
+
+
+@register(
+    "q145_groups_frame",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, CAST(ts AS DATE) AS day,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS vc,
+             dense_rank() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS grp
+      FROM events)
+    SELECT user_id, event_id,
+           round(1e-9 + CAST(sum(vc) OVER w AS DOUBLE)/100, 2) AS grp_sum,
+           CAST(count(*) OVER w AS BIGINT) AS grp_n
+    FROM g
+    WINDOW w AS (PARTITION BY user_id ORDER BY grp
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    ORDER BY user_id, event_id
+    """,
+    doc=(
+        "GROUPS-mode window frame (sum/count over the previous, current, "
+        "and next ORDER-BY tie group — here: per-user adjacent calendar "
+        "days) via the standard rewrite neither engine needs native GROUPS "
+        "support for: dense_rank() numbers the tie groups, then a numeric "
+        "RANGE frame of ±1 on the rank IS the GROUPS frame. Two windows "
+        "over one user-keyed shuffle; integer-cents sums keep both engines "
+        "bit-identical."
+    ),
+)
+def q145_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w_rank = Window.partitionBy("user_id").orderBy(F.col("ts").cast("date"))
+    g = ev.select(
+        "user_id",
+        "event_id",
+        cents("value").alias("vc"),
+        F.dense_rank().over(w_rank).alias("grp"),
+    )
+    w = Window.partitionBy("user_id").orderBy("grp").rangeBetween(-1, 1)
+    return (
+        g.select(
+            "user_id",
+            "event_id",
+            F.round(F.lit(1e-9) + F.sum("vc").over(w).cast("double") / 100, 2).alias(
+                "grp_sum"
+            ),
+            F.count("*").over(w).cast("bigint").alias("grp_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -728,3 +728,47 @@ def qs12_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state["path"]).orderBy(
         "user_id", "valid_from", "event_id"
     )
+
+
+@register(
+    "qs13_stream_complete_topk",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             round(1e-9 + CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS total_value
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events, total_value
+    FROM totals ORDER BY total_value DESC, user_id LIMIT 5
+    """,
+    category="streaming",
+    doc=(
+        "Streaming leaderboard: running per-user totals maintained by the "
+        "streaming aggregation state store (complete output mode), top-5 "
+        "read from the final snapshot — the live-dashboard pattern. Exact "
+        "decimal accumulation makes the streamed totals equal the batch "
+        "aggregate bit-for-bit, so the oracle is the plain batch top-5; "
+        "ranking ties break on user_id. State is one row per user (keyed "
+        "aggregate), never per event."
+    ),
+)
+def qs13_stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    totals = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+    )
+    table = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(totals, table, "complete")
+    snap = spark.table(table)
+    return (
+        snap.select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.lit(1e-9) + F.col("sum_value").cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(5)
+    )
