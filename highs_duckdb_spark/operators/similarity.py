@@ -127,15 +127,33 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos = dot / (qn[None, :] * nv[:, None])
             nid = pdf["vec_id"].to_numpy()
             lab = pdf["label"].to_numpy()
-            out = pd.DataFrame(
+            # Emit only per-batch top-k candidates (plus a margin) instead of
+            # the full m × nq cross product: the global top-k (ranked on the
+            # ROUNDED cosine downstream) is a subset of each batch's top-k by
+            # raw cosine widened by 2e-6 — rounding to 6dp moves a value by
+            # ≤ 5e-7+1e-9, so a row more than 2e-6 of raw cosine below the
+            # batch's k-th best rounds strictly below ≥ k rows and can never
+            # enter the rounded top-k. Cuts the window input from corpus×nq
+            # rows to ~k×nq per batch — the same local-topk idea as s05, but
+            # exactness-preserving under the rounded comparator.
+            keep = np.zeros((m, nq), dtype=bool)
+            for qi in range(nq):
+                col = cos[:, qi].copy()
+                col[nid == qid_arr[qi]] = -np.inf  # self-match excluded
+                if m > TOP_K:
+                    kth = np.partition(col, -TOP_K)[-TOP_K]
+                    keep[:, qi] = col >= kth - 2e-6
+                else:
+                    keep[:, qi] = col > -np.inf
+            ri, qi2 = np.nonzero(keep)
+            yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qid_arr[None, :], m, axis=0).ravel(),
-                    "neighbor_id": np.repeat(nid, nq),
-                    "label": np.repeat(lab, nq),
-                    "cosine_raw": cos.ravel(),
+                    "query_id": qid_arr[qi2],
+                    "neighbor_id": nid[ri],
+                    "label": lab[ri],
+                    "cosine_raw": cos[ri, qi2],
                 }
             )
-            yield out[out["query_id"] != out["neighbor_id"]]
 
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
     scored = emb.mapInPandas(
