@@ -543,3 +543,66 @@ def opt11_cost_ranging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "model_name")
     )
+
+
+@register(
+    "opt12_elastic_feasibility_repair",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('base_model', 'status', 'Infeasible', 0.0),
+      ('repair',     'c1',     'Optimal',    6.0),
+      ('repair',     'c2',     'Optimal',    0.0),
+      ('repair',     'total',  'Optimal',    6.0)
+    ) AS t(step, item, status, violation)
+    ORDER BY step, item
+    """,
+    category="optimization",
+    doc=(
+        "Elastic-programming feasibility repair (the practical answer to "
+        "'why is my model infeasible'): the base model (x+y ≥ 10 AND "
+        "x+y ≤ 4, x,y ≥ 0) solves Infeasible; the elastic relaxation adds "
+        "a weighted slack per constraint (weights 1 and 2 — chosen so the "
+        "minimum-penalty repair is UNIQUE: relaxing c1 by 6 costs 6, any "
+        "mix touching c2 costs u+2 > 6) and reports the per-constraint "
+        "violation needed to restore feasibility. Composed entirely from "
+        "the reference's registry surface (create/solve); the oracle is "
+        "the closed-form unique optimum."
+    ),
+)
+def opt12_elastic_feasibility_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, elastic = "q_opt12_base", "q_opt12_elastic"
+    reg = ModelRegistry.instance()
+    reg.remove_model(base)
+    reg.remove_model(elastic)
+
+    # base: x,y >= 0; c1: x+y >= 10; c2: x+y <= 4  -> Infeasible
+    for m in (base, elastic):
+        create_variables(spark, m, "x", 0.0, 1e30, 0.0, "continuous")
+        create_variables(spark, m, "y", 0.0, 1e30, 0.0, "continuous")
+        create_constraints(spark, m, "c1", 10.0, 1e30)
+        create_constraints(spark, m, "c2", -1e30, 4.0)
+        set_coefficients(spark, m, "c1", "x", 1.0)
+        set_coefficients(spark, m, "c1", "y", 1.0)
+        set_coefficients(spark, m, "c2", "x", 1.0)
+        set_coefficients(spark, m, "c2", "y", 1.0)
+    base_rows = solve(spark, base).collect()
+    base_status = base_rows[0]["status"]
+
+    # elastic: add one weighted slack per constraint (s1 relaxes the >=,
+    # s2 relaxes the <=); minimize the weighted total violation
+    create_variables(spark, elastic, "s1", 0.0, 1e30, 1.0, "continuous")
+    create_variables(spark, elastic, "s2", 0.0, 1e30, 2.0, "continuous")
+    set_coefficients(spark, elastic, "c1", "s1", 1.0)
+    set_coefficients(spark, elastic, "c2", "s2", -1.0)
+    rows = solve(spark, elastic).collect()
+    sol = {r["variable_name"]: r["solution_value"] for r in rows}
+    status = rows[0]["status"]
+    out = [
+        ("base_model", "status", base_status, 0.0),
+        ("repair", "c1", status, float(sol["s1"])),
+        ("repair", "c2", status, float(sol["s2"])),
+        ("repair", "total", status, float(sol["s1"] + sol["s2"])),
+    ]
+    return spark.createDataFrame(
+        out, "step string, item string, status string, violation double"
+    ).orderBy("step", "item")

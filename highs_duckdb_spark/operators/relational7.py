@@ -189,3 +189,31 @@ def q145_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q146_listagg_distinct",
+    oracle="""
+    SELECT p_brand,
+           string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types,
+           CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc=(
+        "LISTAGG(DISTINCT ... ORDER BY ...): DuckDB runs its native ordered "
+        "distinct string_agg; Spark has no DISTINCT in string aggregation, "
+        "so the equivalent is collect_set → array_sort → array_join — "
+        "set-dedup happens map-side in the aggregate buffer, the sort "
+        "touches only the per-group distinct values."
+    ),
+)
+def q146_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("p_type")), ",").alias("types"),
+            F.count_distinct("p_type").cast("bigint").alias("n_types"),
+        )
+        .transform(present_sorted, "p_brand")
+    )

@@ -509,3 +509,71 @@ def v08_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "label")
     )
+
+
+@register(
+    "v09_centroid_similarity_matrix",
+    oracle="""
+    WITH flat AS (
+      SELECT label, u.dim, u.val FROM embeddings,
+        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                        unnest(embedding::DOUBLE[]) AS val) u
+    ),
+    cent AS (
+      SELECT label, dim, CAST(sum(val) AS DOUBLE) / count(*) AS c
+      FROM flat GROUP BY label, dim
+    ),
+    norms AS (SELECT label, sum(c*c) AS n2 FROM cent GROUP BY label),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+           round(1e-9 + dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS centroid_cosine
+    FROM dots JOIN norms na ON na.label = label_a JOIN norms nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """,
+    category="similarity",
+    doc=(
+        "Inter-class separation report: pairwise cosine between label "
+        "centroids — the labels×labels summary that tells you which "
+        "classes an embedding space confuses (complements v07's "
+        "within-vs-across margins). The centroid table is computed once "
+        "on the (label, dim) shuffle key and locally checkpointed before "
+        "its three references (two join sides + norms); everything "
+        "downstream runs over labels×dims rows, never the corpus."
+    ),
+)
+def v09_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    flat = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "val")
+    cent = (
+        flat.groupBy("label", "dim")
+        .agg((F.sum("val").cast("double") / F.count("*")).alias("c"))
+        .localCheckpoint(eager=True)  # referenced 3x below: never rescan the corpus
+    )
+    norms = cent.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            F.col("label_a").cast("bigint").alias("label_a"),
+            F.col("label_b").cast("bigint").alias("label_b"),
+            F.round(
+                F.lit(1e-9) + F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6
+            ).alias("centroid_cosine"),
+        )
+        .transform(present_sorted, "label_a", "label_b")
+    )
