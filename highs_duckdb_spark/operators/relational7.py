@@ -217,3 +217,116 @@ def q146_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "p_brand")
     )
+
+
+@register(
+    "q147_seasonal_index",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, isodow(ts) AS dow,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    per_dow AS (
+      SELECT event_type, dow, count(*) AS n, sum(vc) AS s
+      FROM base GROUP BY event_type, dow),
+    per_type AS (
+      SELECT event_type, sum(n) AS n_all, sum(s) AS s_all
+      FROM per_dow GROUP BY event_type)
+    SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow, CAST(d.n AS BIGINT) AS n,
+           round(1e-9 + (CAST(d.s AS DOUBLE) / (100*d.n))
+                 / (CAST(t.s_all AS DOUBLE) / (100*t.n_all)), 6) AS seasonal_index
+    FROM per_dow d JOIN per_type t USING (event_type)
+    ORDER BY event_type, dow
+    """,
+    doc=(
+        "Day-of-week seasonal index per event type (dow average value over "
+        "the type's overall average — the classic ratio-to-moving-average "
+        "seasonality profile, simplified to a stable-period index). "
+        "Integer-cents sums keep both engines bit-identical through the "
+        "two divisions; ISO day numbering (Spark weekday()+1 == DuckDB "
+        "isodow). One grouped pass, the index math runs over types×7 rows."
+    ),
+)
+def q147_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        (F.weekday(F.col("ts").cast("timestamp")) + 1).alias("dow"),
+        cents("value").alias("vc"),
+    )
+    per_dow = base.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.sum("vc").alias("s")
+    )
+    per_type = per_dow.groupBy("event_type").agg(
+        F.sum("n").alias("n_all"), F.sum("s").alias("s_all")
+    )
+    return (
+        per_dow.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.lit(1e-9)
+                + (F.col("s").cast("double") / (100 * F.col("n")))
+                / (F.col("s_all").cast("double") / (100 * F.col("n_all"))),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .transform(present_sorted, "event_type", "dow")
+    )
+
+
+@register(
+    "dq12_gap_detection",
+    oracle="""
+    WITH hours AS (
+      SELECT DISTINCT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+      FROM events),
+    gaps AS (
+      SELECT event_type,
+             h - lag(h) OVER (PARTITION BY event_type ORDER BY h) - 1 AS gap
+      FROM hours)
+    SELECT event_type,
+           CAST(count(*) + 1 AS BIGINT) AS hours_present,
+           CAST(coalesce(sum(gap), 0) AS BIGINT) AS hours_missing,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap_hours
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    category="quality",
+    doc=(
+        "Missing-data run detection per event type at hourly granularity: "
+        "distinct observed hours, lag() the previous hour to size each gap "
+        "(gaps-and-islands), report total missing hours and the longest "
+        "outage between first and last observation. The window runs over "
+        "the DISTINCT (type, hour) table — hours-cardinality data, not the "
+        "fact table — and integer hour indices keep both engines exact."
+    ),
+)
+def dq12_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hours = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(date_trunc('hour', cast(ts as timestamp)) as timestamp))"
+                " div 3600000000"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    gaps = hours.select(
+        "event_type", (F.col("h") - F.lag("h").over(w) - 1).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            (F.count("*") + 1).cast("bigint").alias("hours_present"),
+            F.coalesce(F.sum("gap"), F.lit(0)).cast("bigint").alias("hours_missing"),
+            F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias("longest_gap_hours"),
+        )
+        .transform(present_sorted, "event_type")
+    )

@@ -286,3 +286,52 @@ def dq11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "token")
     )
+
+
+@register(
+    "t20_encoding_audit",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT)
+             AS n_control,
+           CAST(length(regexp_extract_all(text, '\\x{FFFD}')) AS BIGINT) AS n_replacement,
+           CAST(length(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS BIGINT) AS n_non_ascii,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           (length(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) = 0
+            AND length(regexp_extract_all(text, '\\x{FFFD}')) = 0) AS clean
+    FROM documents ORDER BY doc_id
+    """,
+    category="text",
+    doc=(
+        "Encoding/mojibake audit — the ingest screen that catches broken "
+        "decodes before they poison a training corpus: per document, counts "
+        "of C0 control characters (minus tab/newline/CR), U+FFFD "
+        "replacement characters (the signature of a wrong-charset decode), "
+        "and non-ASCII code points, plus a clean verdict. Pure codegen "
+        "regexp over one scan; the patterns are written in the Java∩RE2 "
+        "dialect (hex classes + \\x{...}) so both engines match identical "
+        "code points."
+    ),
+)
+def t20_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    def n_matches(pat: str):
+        # count = chars removed when every match (all single-char classes
+        # here) is deleted — the strip-and-diff idiom is pure codegen
+        return F.length(F.col("text")) - F.length(
+            F.regexp_replace(F.col("text"), pat, "")
+        )
+    ctrl = n_matches(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    repl = n_matches("�")
+    nonascii = n_matches(r"[^\x00-\x7F]")
+    return (
+        docs.select(
+            "doc_id",
+            ctrl.cast("bigint").alias("n_control"),
+            repl.cast("bigint").alias("n_replacement"),
+            nonascii.cast("bigint").alias("n_non_ascii"),
+            F.length("text").cast("bigint").alias("n_chars"),
+            ((ctrl == 0) & (repl == 0)).alias("clean"),
+        )
+        .orderBy("doc_id")
+    )

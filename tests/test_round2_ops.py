@@ -309,3 +309,47 @@ def test_stream_scd2_equals_batch(spark):
     batch = [tuple(r) for r in q78_scd2_history(spark, SF_DIR).collect()]
     streamed = [tuple(r) for r in qs12_stream_scd2(spark, SF_DIR).collect()]
     assert batch == streamed
+
+
+# ---------------------------------------------------------------------------
+# t20 encoding audit: the corpus is clean ASCII, so pin the detection
+# kernel on adversarial strings against DuckDB's regexp on the same text
+# ---------------------------------------------------------------------------
+
+
+def test_encoding_audit_kernel_on_mojibake(spark):
+    import pyspark.sql.functions as F
+
+    samples = [
+        (0, "plain ascii text"),
+        (1, "bad\x00byte and\x1fcontrol"),
+        (2, "repl � char � twice"),
+        (3, "café naïve 中文"),
+        (4, "tab\tand\nnewline kept clean"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+
+    def n_matches(pat):
+        return F.length(F.col("text")) - F.length(
+            F.regexp_replace(F.col("text"), pat, "")
+        )
+
+    got = {
+        r["doc_id"]: (r["c"], r["r"], r["na"])
+        for r in df.select(
+            "doc_id",
+            n_matches(r"[\x00-\x08\x0B\x0C\x0E-\x1F]").alias("c"),
+            n_matches("�").alias("r"),
+            n_matches(r"[^\x00-\x7F]").alias("na"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in samples:
+        c, r, na = con.execute(
+            """SELECT length(regexp_extract_all(?, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')),
+                      length(regexp_extract_all(?, '\\x{FFFD}')),
+                      length(regexp_extract_all(?, '[^\\x00-\\x7F]'))""",
+            [text, text, text],
+        ).fetchone()
+        assert got[doc_id] == (c, r, na), (doc_id, got[doc_id], (c, r, na))
+    assert got[1][0] == 2 and got[2][1] == 2 and got[3][2] == 4 and got[4] == (0, 0, 0)
