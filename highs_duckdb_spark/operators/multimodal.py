@@ -405,3 +405,47 @@ def m06_blob_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "media_type")
     )
+
+
+@register(
+    "m07_header_parse_codegen",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id % 640 + 16) AS BIGINT) AS total_width,
+           CAST(sum(doc_id % 480 + 16) AS BIGINT) AS total_height,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_payload_bytes,
+           CAST(count(*) AS BIGINT) AS n_valid_magic
+    FROM documents GROUP BY media_type ORDER BY media_type
+    """,
+    category="multimodal",
+    doc=(
+        "Binary header parsing entirely in whole-stage codegen — the "
+        "Python-free twin of m01's mapInPandas parser: magic check via a "
+        "binary-literal substring compare, big-endian uint32 width/height "
+        "decoded with hex/conv byte arithmetic, payload size from "
+        "length(blob)-12, aggregated per media type. At 100 TB this is the "
+        "header-level corpus profile (or filter) you run BEFORE paying for "
+        "Python decode workers; the oracle recomputes every field from the "
+        "deterministic blob-synthesis rule. Texts are ASCII so "
+        "strlen(text) == payload byte length."
+    ),
+)
+def m07_header_parse_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    blobs = synthesize_blobs(docs)
+    width = F.conv(F.hex(F.substring(F.col("blob"), 5, 4)), 16, 10).cast("bigint")
+    height = F.conv(F.hex(F.substring(F.col("blob"), 9, 4)), 16, 10).cast("bigint")
+    valid = F.substring(F.col("blob"), 1, 4) == F.lit(MAGIC)
+    return (
+        blobs.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(width).alias("total_width"),
+            F.sum(height).alias("total_height"),
+            F.sum(F.length("blob") - 12).cast("bigint").alias("total_payload_bytes"),
+            F.sum(valid.cast("int")).cast("bigint").alias("n_valid_magic"),
+        )
+        .transform(present_sorted, "media_type")
+    )

@@ -330,3 +330,116 @@ def dq12_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "event_type")
     )
+
+
+@register(
+    "q148_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY o_orderpriority, month)
+    SELECT o_orderpriority, month,
+           round(1e-9 + CAST(rev_c AS DOUBLE)/100, 2) AS revenue,
+           round(1e-9 + (CAST(rev_c AS DOUBLE)
+                 - CAST(lag(rev_c) OVER w AS DOUBLE))
+                 / CAST(lag(rev_c) OVER w AS DOUBLE), 6) AS mom_growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+    ORDER BY o_orderpriority, month
+    """,
+    doc=(
+        "Month-over-month growth per order priority — the standard "
+        "period-over-period reporting window. The lag() runs over the "
+        "monthly aggregate (priorities × months rows), never the fact "
+        "table; integer-cents revenue keeps both engines exact through "
+        "the growth division (first month NULL on both sides)."
+    ),
+)
+def q148_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return (
+        monthly.select(
+            "o_orderpriority",
+            "month",
+            F.round(F.lit(1e-9) + F.col("rev_c").cast("double") / 100, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.lit(1e-9)
+                + (F.col("rev_c").cast("double") - prev.cast("double"))
+                / prev.cast("double"),
+                6,
+            ).alias("mom_growth"),
+        )
+        .transform(present_sorted, "o_orderpriority", "month")
+    )
+
+
+@register(
+    "q150_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, isodow(ts) AS dow, count(*) AS obs
+      FROM events GROUP BY event_type, dow),
+    margins AS (
+      SELECT c.*, sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+             sum(obs) OVER (PARTITION BY dow) AS col_tot,
+             sum(obs) OVER () AS n
+      FROM cells c),
+    terms AS (
+      SELECT event_type,
+             pow(CAST(obs AS DOUBLE)
+                 - CAST(row_tot AS DOUBLE)*CAST(col_tot AS DOUBLE)/CAST(n AS DOUBLE), 2)
+               / (CAST(row_tot AS DOUBLE)*CAST(col_tot AS DOUBLE)/CAST(n AS DOUBLE)) AS t
+      FROM margins)
+    SELECT event_type, round(1e-9 + sum(t), 6) AS chi2_contrib,
+           CAST(6 AS BIGINT) AS dof_per_row
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Chi-square independence screen (event type × ISO day-of-week "
+        "contingency table): per-type contribution to the χ² statistic "
+        "against the independence expectation row·col/N. All margins come "
+        "from windows over the types×7 cell table — the fact table is "
+        "scanned once for the counts; observed/expected stay integer-"
+        "derived doubles identical in both engines. Complements dq09's "
+        "Benford screen with a two-way categorical test."
+    ),
+)
+def q150_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        "event_type", (F.weekday(F.col("ts").cast("timestamp")) + 1).alias("dow")
+    ).agg(F.count("*").alias("obs"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    margins = cells.select(
+        "event_type",
+        "obs",
+        F.sum("obs").over(w_row).alias("row_tot"),
+        F.sum("obs").over(w_col).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("n"),
+    )
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    t = F.pow(F.col("obs").cast("double") - exp, 2) / exp
+    return (
+        margins.select("event_type", t.alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.lit(1e-9) + F.sum("t"), 6).alias("chi2_contrib"),
+            F.lit(6).cast("bigint").alias("dof_per_row"),
+        )
+        .transform(present_sorted, "event_type")
+    )
