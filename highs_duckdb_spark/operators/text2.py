@@ -335,3 +335,85 @@ def t20_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t21_winnowing_match",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 300),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END AS g
+      FROM base),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(g, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+      FROM grams),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4
+               THEN list_distinct([list_min(h[i:i+3]) FOR i IN range(1, len(h) - 2)])
+               ELSE [list_min(h)] END AS fps
+      FROM hashes),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+    doc=(
+        "Winnowing fingerprint matching (the MOSS local-fingerprinting "
+        "algorithm): positional word-3-gram hashes, minimum of every "
+        "4-hash sliding window selected as a fingerprint — winnowing "
+        "guarantees any shared run of ≥ 6 tokens yields a shared "
+        "fingerprint, unlike global MinHash which can miss local overlap "
+        "in long documents. Matching pairs share ≥ 2 selected prints via "
+        "a fingerprint-keyed bucket join (the same no-all-pairs shape as "
+        "d03's LSH). Engine-neutral hashing: conv(substr(md5, 1, 8), 16) "
+        "== DuckDB ('0x'||substr(md5,1,8))::BIGINT, all JVM/SQL-native — "
+        "no Python in either path."
+    ),
+)
+def t21_winnowing_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    gram_at = lambda i: F.concat_ws(
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    grams = F.when(
+        n >= 3, F.transform(F.sequence(F.lit(1), n - 2), gram_at)
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    h = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    )
+    base = docs.select("doc_id", h.alias("h"))
+    nh = F.size(F.col("h"))
+    fps = F.when(
+        nh >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nh - 3),
+                lambda i: F.array_min(F.slice(F.col("h"), i, 4)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(F.col("h"))))
+    fp = base.select("doc_id", F.explode(fps).alias("fp"))
+    a = fp.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_a"))
+    b = fp.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .transform(present_sorted, "doc_a", "doc_b")
+    )
