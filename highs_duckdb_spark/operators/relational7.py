@@ -443,3 +443,58 @@ def q150_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "event_type")
     )
+
+
+@register(
+    "q151_point_in_time_join",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'signup' OR event_type = 'purchase'),
+    hist AS (
+      SELECT user_id, event_id AS state_event_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             round(1e-9 + value, 4) AS state_value
+      FROM ch),
+    clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.user_id, c.event_id, h.state_event_id, h.state_value
+    FROM clicks c JOIN hist h
+      ON c.user_id = h.user_id AND c.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+    ORDER BY c.user_id, c.event_id
+    """,
+    doc=(
+        "Point-in-time (feature-store) join: each click event is enriched "
+        "with the SCD2 state row valid AT its event time — the "
+        "leakage-free feature lookup every training pipeline needs "
+        "(joining current state would leak the future). The history comes "
+        "from the q78 build (one lead() window); the lookup is a "
+        "co-partitioned equi-join on the entity key with the validity "
+        "interval as a post-join filter — each event matches at most one "
+        "history row, no inequality-join nested loop. One shuffle on "
+        "user_id for each side at 100 TB, AQE skew-armed."
+    ),
+)
+def q151_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ch = ev.filter(F.col("event_type").isin("signup", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ch.select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_id").alias("state_event_id"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.round(F.lit(1e-9) + F.col("value"), 4).alias("state_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    return (
+        clicks.join(fact_hint(hist, sf_dir), clicks.user_id == hist.h_user)
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("user_id", "event_id", "state_event_id", "state_value")
+        .transform(present_sorted, "user_id", "event_id")
+    )

@@ -1598,3 +1598,99 @@ def s14_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "query_id")
     )
+
+
+@register(
+    "s15_maxsim_label_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.label,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN emb e ON e.vec_id <> q.query_id),
+    best AS (SELECT query_id, CAST(label AS BIGINT) AS label, max(cosine) AS max_sim
+             FROM scored GROUP BY query_id, label),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY max_sim DESC, label) AS rk FROM best)
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, label, max_sim
+    FROM ranked WHERE rk <= 3
+    ORDER BY query_id, rk
+    """,
+    category="similarity",
+    doc=(
+        "MaxSim late-interaction retrieval (the ColBERT scoring shape): "
+        "each label is a multi-vector document whose members are its "
+        "embeddings; a query's score against a label is the MAXIMUM "
+        "member cosine, labels ranked by that score. Runs on the same "
+        "bit-exact scoring kernel discipline as s01 (rounded cosines make "
+        "the max and the ranking engine-stable); the max-per-(query,label) "
+        "aggregate is map-side combined, so the shuffle carries "
+        "queries×labels rows, never the corpus."
+    ),
+)
+def s15_maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reuse s01's pruning-free scoring shape but aggregate per label: the
+    # kernel emits the per-batch max per (query, label) — an associative
+    # partial aggregate, so the combine is exact
+    import pyarrow.parquet as pq
+
+    tq = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", N_QUERIES)],
+        )
+        .sort_by("vec_id")
+    )
+    qids = tq["vec_id"].to_pylist()
+    qvecs = [[float(x) for x in v] for v in tq["embedding"].to_pylist()]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qvecs, dtype=np.float64)
+        nq, dim = Q.shape
+        qn = np.zeros(nq)
+        for j in range(dim):
+            qn += Q[:, j] * Q[:, j]
+        qn = np.sqrt(qn)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            dot = np.zeros((m, nq))
+            for j in range(dim):
+                dot += V[:, j : j + 1] * Q[None, :, j][0]
+            nv = np.zeros(m)
+            for j in range(dim):
+                nv += V[:, j] * V[:, j]
+            nv = np.sqrt(nv)
+            cos = np.round(1e-9 + dot / (qn[None, :] * nv[:, None]), 6)
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            lab = pdf["label"].to_numpy(dtype=np.int64)
+            rows = []
+            for qi in range(nq):
+                col = cos[:, qi].copy()
+                col[nid == qid_arr[qi]] = -np.inf
+                for lb in np.unique(lab):
+                    mask = lab == lb
+                    mx = col[mask].max()
+                    if np.isfinite(mx):
+                        rows.append((int(qid_arr[qi]), int(lb), float(mx)))
+            yield pd.DataFrame(rows, columns=["query_id", "label", "part_max"])
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
+    partials = emb.mapInPandas(kernel, "query_id long, label long, part_max double")
+    best = partials.groupBy("query_id", "label").agg(F.max("part_max").alias("max_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("max_sim"), F.asc("label"))
+    return (
+        best.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "rk", "label", "max_sim")
+        .transform(present_sorted, "query_id", "rk")
+    )
