@@ -498,3 +498,154 @@ def q151_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "state_event_id", "state_value")
         .transform(present_sorted, "user_id", "event_id")
     )
+
+
+@register(
+    "q152_multitouch_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT user_id, event_id AS c_id, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+    touch AS (
+      SELECT p.user_id, p.p_id, p.value, c.c_id
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+       AND c.c_ts > p.p_ts - INTERVAL 6 HOUR),
+    credit AS (
+      SELECT user_id, p_id, c_id,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS vc,
+             count(*) OVER (PARTITION BY p_id) AS n_touch
+      FROM touch)
+    SELECT user_id, CAST(count(DISTINCT c_id) AS BIGINT) AS n_touching_clicks,
+           round(1e-9 + sum(CAST(vc AS DOUBLE) / (100 * n_touch)), 4) AS attributed_value
+    FROM credit GROUP BY user_id ORDER BY user_id
+    """,
+    doc=(
+        "Linear multi-touch attribution: each purchase's value splits "
+        "equally across the user's clicks in the 6-hour lookback window; "
+        "per user, the distinct touching clicks and their total attributed "
+        "value. The purchase↔click pairing is a co-partitioned equi-join "
+        "on user_id with the lookback as a post-join filter (per-user "
+        "event counts bound the fanout), touch counts come from one window "
+        "over the touch table. Integer-cents value; identical division "
+        "terms on both engines."
+    ),
+)
+def q152_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        cents("value").alias("vc"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touch = purchases.join(
+        fact_hint(clicks, sf_dir), purchases.p_user == clicks.c_user
+    ).filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 6 HOUR"))
+    )
+    w = Window.partitionBy("p_id")
+    credit = touch.select(
+        F.col("p_user").alias("user_id"),
+        "p_id",
+        "c_id",
+        "vc",
+        F.count("*").over(w).alias("n_touch"),
+    )
+    return (
+        credit.groupBy("user_id")
+        .agg(
+            F.count_distinct("c_id").cast("bigint").alias("n_touching_clicks"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("vc").cast("double") / (100 * F.col("n_touch"))),
+                4,
+            ).alias("attributed_value"),
+        )
+        .transform(present_sorted, "user_id")
+    )
+
+
+_GRID_R = 0.02  # radius; also the grid cell width
+
+
+@register(
+    "q153_grid_spatial_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+      FROM pts a JOIN pts b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(1e-9 + sqrt(d2), 6) AS dist
+    FROM pairs WHERE d2 <= {_GRID_R * _GRID_R}
+    ORDER BY id_a, id_b
+    """,
+    doc=(
+        "2-D radius join via uniform grid bucketing (points: the first two "
+        "embedding dims): each left point explodes to its 3×3 cell "
+        "neighborhood at cell width = radius, the join is a co-partitioned "
+        "equi-join on the cell, and the exact squared-distance filter runs "
+        "after — every qualifying pair's cells differ by ≤1 per axis "
+        "(floor(u)−floor(v) ≤ 1 whenever u−v ≤ 1), and each pair collides "
+        "in exactly one exploded cell, so no dedup. The oracle is the "
+        "naive quadratic join; at 100 TB the grid shape replaces a "
+        "nested-loop spatial join with one shuffle, the 2-D twin of "
+        "q140's time-band bucketing."
+    ),
+)
+def q153_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    cx = F.floor(F.col("x") / _GRID_R).cast("bigint")
+    cy = F.floor(F.col("y") / _GRID_R).cast("bigint")
+    left = pts.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(cx - 1, cx + 1),
+                    lambda i: F.transform(
+                        F.sequence(cy - 1, cy + 1),
+                        lambda j: F.struct(i.alias("cx"), j.alias("cy")),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    ).select("id_a", "xa", "ya", "cell.cx", "cell.cy")
+    right = pts.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d2.alias("d2"))
+        .filter(F.col("d2") <= _GRID_R * _GRID_R)
+        .select(
+            "id_a", "id_b", F.round(F.lit(1e-9) + F.sqrt("d2"), 6).alias("dist")
+        )
+        .transform(present_sorted, "id_a", "id_b")
+    )
