@@ -649,3 +649,140 @@ def q153_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "id_a", "id_b")
     )
+
+
+@register(
+    "q154_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st,
+           CAST(row_number() OVER (ORDER BY nullif(o_orderstatus, 'O') NULLS FIRST,
+                                   o_orderkey) AS BIGINT) AS rn_nulls_first
+    FROM orders
+    ORDER BY st NULLS LAST, o_orderkey
+    LIMIT 200
+    """,
+    doc=(
+        "Explicit NULLS FIRST / NULLS LAST ordering parity: the same "
+        "nullable key is ranked nulls-first and presented nulls-last, "
+        "pinning that both engines agree on both placements (Spark "
+        "defaults nulls-first for ASC, DuckDB nulls-last — the explicit "
+        "modifiers are the only portable spelling). Deterministic via the "
+        "orderkey tiebreak; top-k keeps the output bounded."
+    ),
+)
+def q154_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    st = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    w = Window.orderBy(st.asc_nulls_first(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey",
+            st.alias("st"),
+            F.row_number().over(w).cast("bigint").alias("rn_nulls_first"),
+        )
+        .orderBy(F.col("st").asc_nulls_last(), F.col("o_orderkey"))
+        .limit(200)
+    )
+
+
+@register(
+    "q155_month_arithmetic_edges",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+                  WHERE day(o_orderdate) >= 28)
+    SELECT d,
+           CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+           CAST(d + INTERVAL 13 MONTH AS DATE) AS plus_13m,
+           CAST(d - INTERVAL 1 MONTH AS DATE) AS minus_1m,
+           CAST(last_day(d) AS DATE) AS eom,
+           (d = last_day(d)) AS is_eom
+    FROM days ORDER BY d
+    """,
+    doc=(
+        "Calendar-month arithmetic on the clamp-sensitive edge days "
+        "(day ≥ 28): ±1 and +13 months (leap-year + year-cross), last_day, "
+        "end-of-month detection. Pins that Spark's add_months and DuckDB's "
+        "INTERVAL MONTH share the exact same semantics — clamp to the "
+        "target month's last day, NO end-of-month stickiness (Jan 31 + 1 "
+        "month = Feb 29, but Feb 29 + 1 month = Mar 29) — verified on the "
+        "full edge matrix before this query was declared."
+    ),
+)
+def q155_month_arithmetic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    days = (
+        orders.select(F.col("o_orderdate").cast("date").alias("d"))
+        .filter(F.dayofmonth("d") >= 28)
+        .distinct()
+    )
+    return (
+        days.select(
+            "d",
+            F.add_months("d", 1).alias("plus_1m"),
+            F.add_months("d", 13).alias("plus_13m"),
+            F.add_months("d", -1).alias("minus_1m"),
+            F.last_day("d").alias("eom"),
+            (F.col("d") == F.last_day("d")).alias("is_eom"),
+        )
+        .transform(present_sorted, "d")
+    )
+
+
+@register(
+    "q156_compaction_maintenance",
+    oracle="""
+    SELECT event_type, count(*) AS rows_out,
+           CAST(sum(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT)
+                AS BIGINT) AS content_checksum,
+           CAST(1 AS BIGINT) AS files_after
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    category="sources",
+    doc=(
+        "Small-files compaction (lakehouse table maintenance): the events "
+        "table is first written hive-partitioned by event_type from 8 "
+        "hash-spread tasks (8 small files per partition — the classic "
+        "streaming-ingest debris), then compacted by repartitioning on the "
+        "partition column so each partition is rewritten by exactly one "
+        "task (1 file). The query returns the post-compaction state: row "
+        "counts, an engine-neutral md5-based content checksum, and the "
+        "observed file count per partition — the oracle recomputes "
+        "rows/checksum from the source table and pins files_after = 1, so "
+        "the compaction is proven lossless, not assumed."
+    ),
+)
+def q156_compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    raw_dir = tempfile.mkdtemp(prefix="hds_q156_raw_")
+    ev.repartition(8, F.col("event_id")).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(raw_dir)
+    compact_dir = tempfile.mkdtemp(prefix="hds_q156_compact_")
+    (
+        spark.read.parquet(raw_dir)
+        .repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(compact_dir)
+    )
+    # input_file_name() is non-deterministic to Catalyst: project it into a
+    # plain column BEFORE aggregating
+    back = spark.read.parquet(compact_dir).select(
+        "event_id", "event_type", F.input_file_name().alias("fname")
+    )
+    checksum = F.sum(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("rows_out"),
+            checksum.cast("bigint").alias("content_checksum"),
+            F.count_distinct("fname").cast("bigint").alias("files_after"),
+        )
+        .transform(present_sorted, "event_type")
+    )
