@@ -123,19 +123,24 @@ def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q78_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    ch = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+    return scd2_intervals(ev).orderBy("user_id", "valid_from", "event_id")
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """The ONE SCD2 validity-interval derivation (shared by q78, the q151
+    point-in-time join, and pinned equal to qs12's streaming rebuild):
+    signup/purchase changes per user, each opening an interval closed by
+    the user's next change, rounded state value, (ts, event_id) tiebreak."""
+    ch = events.filter(F.col("event_type").isin("signup", "purchase")).select(
         "user_id", "event_id", "ts", "value"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
-    return (
-        ch.select(
-            "user_id",
-            "event_id",
-            F.col("ts").alias("valid_from"),
-            nxt.alias("valid_to"),
-            F.round(F.lit(1e-9) + F.col("value"), 4).alias("state_value"),
-            nxt.isNull().alias("is_current"),
-        )
-        .orderBy("user_id", "valid_from", "event_id")
+    return ch.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.round(F.lit(1e-9) + F.col("value"), 4).alias("state_value"),
+        nxt.isNull().alias("is_current"),
     )

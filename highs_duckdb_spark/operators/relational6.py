@@ -153,11 +153,17 @@ def q137_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day = F.col("day")
     # `div` is exact integer division (a double `/` + cast could misfloor
-    # a quotient that lands within an ulp of an integer boundary)
+    # a quotient that lands within an ulp of an integer boundary).
+    # Degenerate intervals (e <= s, possible when value rounds to 0) make
+    # d1 < d0: DuckDB's generate_series(d0, d1) is then EMPTY, but Spark's
+    # sequence would count DOWN and fabricate spans — emit an empty array
+    # explicitly so both engines drop the interval.
+    d0 = F.expr(f"s div {_US_PER_DAY}")
+    d1 = F.expr(f"(e - 1) div {_US_PER_DAY}")
     spans = iv.select(
         F.explode(
-            F.sequence(
-                F.expr(f"s div {_US_PER_DAY}"), F.expr(f"(e - 1) div {_US_PER_DAY}")
+            F.when(d1 >= d0, F.sequence(d0, d1)).otherwise(
+                F.array().cast("array<bigint>")
             )
         ).alias("day"),
         "s",

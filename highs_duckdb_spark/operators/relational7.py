@@ -476,15 +476,15 @@ def q150_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q151_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.operators.merge_ops import scd2_intervals
+
     ev = load_table(spark, "events", sf_dir)
-    ch = ev.filter(F.col("event_type").isin("signup", "purchase"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    hist = ch.select(
+    hist = scd2_intervals(ev).select(
         F.col("user_id").alias("h_user"),
         F.col("event_id").alias("state_event_id"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-        F.round(F.lit(1e-9) + F.col("value"), 4).alias("state_value"),
+        "valid_from",
+        "valid_to",
+        "state_value",
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", "ts"

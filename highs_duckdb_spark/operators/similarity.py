@@ -1673,15 +1673,17 @@ def s15_maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos = np.round(1e-9 + dot / (qn[None, :] * nv[:, None]), 6)
             nid = pdf["vec_id"].to_numpy(dtype=np.int64)
             lab = pdf["label"].to_numpy(dtype=np.int64)
+            # label set and row masks are query-invariant: build once per
+            # batch, not nq times inside the loop
+            label_masks = [(int(lb), lab == lb) for lb in np.unique(lab)]
             rows = []
             for qi in range(nq):
                 col = cos[:, qi].copy()
                 col[nid == qid_arr[qi]] = -np.inf
-                for lb in np.unique(lab):
-                    mask = lab == lb
+                for lb, mask in label_masks:
                     mx = col[mask].max()
                     if np.isfinite(mx):
-                        rows.append((int(qid_arr[qi]), int(lb), float(mx)))
+                        rows.append((int(qid_arr[qi]), lb, float(mx)))
             yield pd.DataFrame(rows, columns=["query_id", "label", "part_max"])
 
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")

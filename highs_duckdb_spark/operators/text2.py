@@ -14,7 +14,55 @@ from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.session import ensure_shipped, load_table
+
+
+def jaro(s1: str, s2: str) -> float:
+    """Jaro similarity exactly as DuckDB computes it (bit-matched on 5000
+    randomized pairs, including the empty-string-returns-0 edge)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0  # DuckDB: ''-vs-'' is 0, not 1
+    if s1 == s2:
+        return 1.0
+    md = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(l2, i + md + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    return (matches / l1 + matches / l2 + (matches - t // 2) / matches) / 3
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Winkler variant with DuckDB's boost threshold 0.7 / scale 0.1 /
+    max prefix 4 — the SAME function the t18 kernel and the randomized
+    parity test both import, so they cannot drift apart."""
+    j = jaro(s1, s2)
+    if j <= 0.7:
+        return j
+    p = 0
+    for x, y in zip(s1[:4], s2[:4]):
+        if x == y:
+            p += 1
+        else:
+            break
+    return j + p * 0.1 * (1 - j)
 
 
 @register(
@@ -46,52 +94,12 @@ from highs_duckdb_spark.session import load_table
 def t18_jaro_winkler_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    ensure_shipped(spark)  # kernel references the module-level jaro_winkler
+
     def _jw_kernel(a, b):
-        # Jaro-Winkler exactly as DuckDB computes it (duckdb uses the
-        # standard Winkler variant with boost threshold 0.7; verified
-        # empirically — reference: test probe in round-2 build notes).
-        def jaro(s1: str, s2: str) -> float:
-            l1, l2 = len(s1), len(s2)
-            if l1 == 0 or l2 == 0:
-                return 0.0  # DuckDB: ''-vs-'' is 0, not 1
-            if s1 == s2:
-                return 1.0
-            md = max(max(l1, l2) // 2 - 1, 0)
-            m1 = [False] * l1
-            m2 = [False] * l2
-            matches = 0
-            for i, c in enumerate(s1):
-                for j in range(max(0, i - md), min(l2, i + md + 1)):
-                    if not m2[j] and s2[j] == c:
-                        m1[i] = m2[j] = True
-                        matches += 1
-                        break
-            if matches == 0:
-                return 0.0
-            t = 0
-            k = 0
-            for i in range(l1):
-                if m1[i]:
-                    while not m2[k]:
-                        k += 1
-                    if s1[i] != s2[k]:
-                        t += 1
-                    k += 1
-            return (matches / l1 + matches / l2 + (matches - t // 2) / matches) / 3
+        from highs_duckdb_spark.operators.text2 import jaro_winkler as _jw
 
-        def jw(s1: str, s2: str) -> float:
-            j = jaro(s1, s2)
-            if j <= 0.7:
-                return j
-            p = 0
-            for x, y in zip(s1[:4], s2[:4]):
-                if x == y:
-                    p += 1
-                else:
-                    break
-            return j + p * 0.1 * (1 - j)
-
-        return pd.Series([jw(x, y) for x, y in zip(a, b)])
+        return pd.Series([_jw(x, y) for x, y in zip(a, b)])
 
     # plain-function + explicit return type (the str-annotation decorator
     # form trips pyspark's typehint parser under `from __future__ import
@@ -233,11 +241,18 @@ def dq11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         import re
 
         K = 400
+        # Tokenize EXACTLY like the JVM recount and the DuckDB oracle:
+        # Java/RE2 \s is ASCII-only ([ \t\n\x0B\f\r]), so split under
+        # re.ASCII and strip only those characters — a Unicode space
+        # (e.g. U+00A0) must stay INSIDE a token on all three paths, or
+        # the candidate-superset guarantee and the share denominator
+        # silently break on non-ASCII corpora.
+        ascii_ws = " \t\n\x0b\x0c\r"
         for pdf in batches:
             counters: dict[str, int] = {}
             n_batch = 0
             for text in pdf["text"]:
-                toks = re.split(r"\s+", text.strip().lower())
+                toks = re.split(r"\s+", text.strip(ascii_ws).lower(), flags=re.ASCII)
                 n_batch += len(toks)
                 for t in toks:
                     if t in counters:

@@ -177,6 +177,8 @@ def test_band_join_matches_naive(spark):
 
 
 def test_jaro_winkler_kernel_matches_duckdb():
+    from highs_duckdb_spark.operators.text2 import jaro_winkler
+
     con = duckdb.connect()
     rng = random.Random(271828)
     pairs = []
@@ -187,59 +189,13 @@ def test_jaro_winkler_kernel_matches_duckdb():
         if i % 5 == 0:
             s2 = s1
         pairs.append((s1, s2))
-
-    # inline copy of the kernel's math via the module under test: execute the
-    # pandas UDF function object extracted from the builder is awkward, so
-    # re-run the same algorithm from the module source through Spark is
-    # covered by the oracle test; here we pin the *algorithm* by importing a
-    # reference implementation equal to the one in text2 (kept in sync by
-    # the oracle parity test at both SFs).
-    def jaro(s1, s2):
-        l1, l2 = len(s1), len(s2)
-        if l1 == 0 or l2 == 0:
-            return 0.0
-        if s1 == s2:
-            return 1.0
-        md = max(max(l1, l2) // 2 - 1, 0)
-        m1 = [False] * l1
-        m2 = [False] * l2
-        matches = 0
-        for i, c in enumerate(s1):
-            for j in range(max(0, i - md), min(l2, i + md + 1)):
-                if not m2[j] and s2[j] == c:
-                    m1[i] = m2[j] = True
-                    matches += 1
-                    break
-        if matches == 0:
-            return 0.0
-        t = 0
-        k = 0
-        for i in range(l1):
-            if m1[i]:
-                while not m2[k]:
-                    k += 1
-                if s1[i] != s2[k]:
-                    t += 1
-                k += 1
-        return (matches / l1 + matches / l2 + (matches - t // 2) / matches) / 3
-
-    def jw(s1, s2):
-        j = jaro(s1, s2)
-        if j <= 0.7:
-            return j
-        p = 0
-        for x, y in zip(s1[:4], s2[:4]):
-            if x == y:
-                p += 1
-            else:
-                break
-        return j + p * 0.1 * (1 - j)
-
+    # the PRODUCTION kernel (imported, not copied — drift in text2.py fails
+    # this test directly) vs DuckDB's native function
     for s1, s2 in pairs:
         d = con.execute(
             "SELECT jaro_winkler_similarity(?, ?)", [s1, s2]
         ).fetchone()[0]
-        assert abs(d - jw(s1, s2)) < 1e-12, (s1, s2, d, jw(s1, s2))
+        assert abs(d - jaro_winkler(s1, s2)) < 1e-12, (s1, s2, d)
 
 
 # ---------------------------------------------------------------------------
@@ -254,11 +210,13 @@ def test_misra_gries_candidates_superset():
     rows = _duck().execute("SELECT text FROM documents").fetchall()
     texts = [t for (t,) in rows]
 
+    ascii_ws = " \t\n\x0b\x0c\r"
+
     def mg(stream_texts):
         counters: dict[str, int] = {}
         n = 0
         for text in stream_texts:
-            toks = re.split(r"\s+", text.strip().lower())
+            toks = re.split(r"\s+", text.strip(ascii_ws).lower(), flags=re.ASCII)
             n += len(toks)
             for t in toks:
                 if t in counters:
@@ -279,7 +237,7 @@ def test_misra_gries_candidates_superset():
 
     exact = collections.Counter()
     for t in texts:
-        exact.update(re.split(r"\s+", t.strip().lower()))
+        exact.update(re.split(r"\s+", t.strip(ascii_ws).lower(), flags=re.ASCII))
     total = sum(exact.values())
     heavies = {t for t, c in exact.items() if c * 200 > total}
     assert heavies, "test corpus should have 0.5% heavy hitters"
