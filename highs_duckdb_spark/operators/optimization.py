@@ -606,3 +606,70 @@ def opt12_elastic_feasibility_repair(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.createDataFrame(
         out, "step string, item string, status string, violation double"
     ).orderBy("step", "item")
+
+
+@register(
+    "opt13_rhs_ranging",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('golden_inactive', 'c1', 7.0, 2.0,  1e30),
+      ('golden_inactive', 'c2', 9.0, 1.0,  1e30),
+      ('both_active',     'c1', 7.0, 3.0, 18.0),
+      ('both_active',     'c2', 9.0, 3.5, 21.0)
+    ) AS t(model, constraint_name, rhs, rhs_lo, rhs_hi)
+    ORDER BY model, constraint_name
+    """,
+    category="optimization",
+    doc=(
+        "RHS ranging — the classic LP sensitivity report (HiGHS exposes it "
+        "as getRanging; the reference extension never registers it): for "
+        "each constraint, the interval its bound can move over while the "
+        "optimal BASIS (and dual solution) stays optimal, computed from "
+        "the final basis inverse (xB + B⁻¹e_r·δ ≥ 0). Two models pin both "
+        "regimes against hand-derived closed forms: the reference golden "
+        "LP, whose rows are slack at the optimum (lo = rhs − slack, hi "
+        "unbounded), and a max x+y variant with both rows binding (vertex "
+        "algebra gives [3,18] and [3.5,21]). Complements opt07's re-solve "
+        "sweep and opt11's cost ranging with the basis-invariance report."
+    ),
+)
+def opt13_rhs_ranging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.optim.registry import _assemble
+    from highs_duckdb_spark.optim.simplex import rhs_ranging, solve_lp
+
+    reg = ModelRegistry.instance()
+    specs = {"golden_inactive": [1.0, 1.0, 0.0], "both_active": [-1.0, -1.0, 1.0]}
+    out: list[tuple[str, str, float, float, float]] = []
+    for mname, (cx, cy, ylb_zero) in specs.items():
+        model = f"q_opt13_{mname}"
+        reg.remove_model(model)
+        create_variables(spark, model, "x", 0.0, 1e30, cx, "continuous")
+        create_variables(spark, model, "y", 0.0 if ylb_zero else 1.0, 1e30, cy, "continuous")
+        create_constraints(spark, model, "c1", -1e30, 7.0)
+        create_constraints(spark, model, "c2", -1e30, 9.0)
+        set_coefficients(spark, model, "c1", "x", 1.0)
+        set_coefficients(spark, model, "c1", "y", 2.0)
+        set_coefficients(spark, model, "c2", "x", 3.0)
+        set_coefficients(spark, model, "c2", "y", 1.0)
+        info = reg.get_model(model)
+        c, a, row_lb, row_ub, col_lb, col_ub, _ = _assemble(info)
+        res = solve_lp(c, a, row_lb, row_ub, col_lb, col_ub)
+        ranges = rhs_ranging(res)
+        for i, cname in enumerate(info.constraint_names):
+            lo_off, hi_off = ranges.get(i, (float("-inf"), float("inf")))
+            rhs = float(row_ub[i])
+            lo = rhs + lo_off if lo_off != float("-inf") else -1e30
+            hi = rhs + hi_off if hi_off != float("inf") else 1e30
+            out.append(
+                (
+                    mname,
+                    cname,
+                    float(rhs),
+                    float(round(1e-9 + lo, 6)) if lo > -1e30 else -1e30,
+                    float(round(1e-9 + hi, 6)) if hi < 1e30 else 1e30,
+                )
+            )
+    return spark.createDataFrame(
+        out,
+        "model string, constraint_name string, rhs double, rhs_lo double, rhs_hi double",
+    ).orderBy("model", "constraint_name")

@@ -46,6 +46,9 @@ class LPResult:
     reduced_costs: np.ndarray = field(default_factory=lambda: np.zeros(0))
     objective: float = 0.0
     row_duals: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    #: (xB, Binv, row_src_kept) of the final optimal basis — populated only
+    #: by solve_lp on an Optimal finish; consumed by rhs_ranging.
+    basis_info: tuple | None = None
 
 
 def _clean_bound(b: float, default: float) -> float:
@@ -346,7 +349,54 @@ def solve_lp(
             y[src] += sign * yv
     reduced = c - a_dense.T @ y if a_dense.size else c.copy()
     reduced[np.abs(reduced) < 1e-11] = 0.0
-    return LPResult("Optimal", x, reduced, float(c @ x), y)
+    try:
+        binv = np.linalg.inv(B)
+    except np.linalg.LinAlgError:
+        binv = None
+    info = (xB, binv, row_src_kept) if binv is not None else None
+    return LPResult("Optimal", x, reduced, float(c @ x), y, basis_info=info)
+
+
+def rhs_ranging(res: LPResult) -> dict[int, tuple[float, float]]:
+    """Textbook RHS ranging from the optimal basis: for each structural row,
+    the interval of its (single finite) bound over which the final basis —
+    and therefore the dual solution — stays optimal.
+
+    The classic sensitivity report HiGHS exposes as ``getRanging`` but the
+    reference extension never registers. Changing a standard-form row's rhs
+    by δ moves the basic solution to ``xB + (B⁻¹ e_r) δ``; the basis stays
+    primal-feasible while every component stays ≥ 0, which yields the δ
+    interval; the sign recorded at standard-form construction maps δ back
+    to the ORIGINAL bound's direction. Rows that appear as two standard
+    rows (finite range rows) get the intersection over both; rows dropped
+    as redundant or bound-rows (src −1) are skipped.
+
+    Returns {original_row_index: (lo, hi)} with ±inf for unbounded sides,
+    as OFFSETS applied to the row's current finite bound.
+    """
+    if res.status != "Optimal" or res.basis_info is None:
+        return {}
+    xB, binv, row_src_kept = res.basis_info
+    out: dict[int, tuple[float, float]] = {}
+    for r, (src, sign) in enumerate(row_src_kept):
+        if src < 0:
+            continue  # variable-bound row, not a structural constraint
+        d = binv[:, r]
+        lo, hi = -np.inf, np.inf
+        for j in range(len(xB)):
+            if d[j] > _TOL:
+                lo = max(lo, -xB[j] / d[j])
+            elif d[j] < -_TOL:
+                hi = min(hi, -xB[j] / d[j])
+        # δ is in std-b units; std b = sign·(bound − adjust), so the
+        # original-bound offset interval is sign·[lo, hi] (order-corrected)
+        a, b = sign * lo, sign * hi
+        lo_o, hi_o = (a, b) if a <= b else (b, a)
+        if src in out:  # finite range row: both sides must stay feasible
+            plo, phi = out[src]
+            lo_o, hi_o = max(plo, lo_o), min(phi, hi_o)
+        out[src] = (lo_o, hi_o)
+    return out
 
 
 def solve_milp(

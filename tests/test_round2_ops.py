@@ -311,3 +311,36 @@ def test_encoding_audit_kernel_on_mojibake(spark):
         ).fetchone()
         assert got[doc_id] == (c, r, na), (doc_id, got[doc_id], (c, r, na))
     assert got[1][0] == 2 and got[2][1] == 2 and got[3][2] == 4 and got[4] == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# opt13 RHS ranging: duals invariant inside the range, changed outside
+# ---------------------------------------------------------------------------
+
+
+def test_rhs_ranging_basis_invariance():
+    import numpy as np
+
+    from highs_duckdb_spark.optim.simplex import rhs_ranging, solve_lp
+
+    c = [-1.0, -1.0]
+    a = [[1.0, 2.0], [3.0, 1.0]]
+    base = solve_lp(c, a, [-1e30, -1e30], [7.0, 9.0], [0.0, 0.0], [1e30, 1e30])
+    ranges = rhs_ranging(base)
+    assert base.status == "Optimal"
+    for i, rhs in enumerate([7.0, 9.0]):
+        lo_off, hi_off = ranges[i]
+        lo, hi = rhs + lo_off, rhs + hi_off
+        for probe in (lo + 1e-6, (lo + hi) / 2, hi - 1e-6):  # inside: duals equal
+            ub = [7.0, 9.0]
+            ub[i] = probe
+            r = solve_lp(c, a, [-1e30, -1e30], ub, [0.0, 0.0], [1e30, 1e30])
+            assert r.status == "Optimal"
+            assert np.allclose(r.row_duals, base.row_duals, atol=1e-7), (i, probe)
+        for probe in (lo - 0.5, hi + 0.5):  # outside: dual solution changes
+            ub = [7.0, 9.0]
+            ub[i] = probe
+            r = solve_lp(c, a, [-1e30, -1e30], ub, [0.0, 0.0], [1e30, 1e30])
+            assert r.status != "Optimal" or not np.allclose(
+                r.row_duals, base.row_duals, atol=1e-7
+            ), (i, probe)
