@@ -673,3 +673,73 @@ def opt13_rhs_ranging(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "model string, constraint_name string, rhs double, rhs_lo double, rhs_hi double",
     ).orderBy("model", "constraint_name")
+
+
+@register(
+    "opt14_unique_optimum_certificate",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('golden_unique',  'Optimal', true),
+      ('edge_multiple',  'Optimal', false)
+    ) AS t(model, status, certified_unique)
+    ORDER BY model
+    """,
+    category="optimization",
+    doc=(
+        "Alternate-optima certificate: after an Optimal solve, the vertex "
+        "is CERTIFIED unique when every at-bound variable has a strictly "
+        "nonzero reduced cost and every binding constraint a strictly "
+        "nonzero dual (a sufficient condition — zero reduced cost on a "
+        "movable nonbasic direction is exactly how an optimal edge "
+        "arises). Pinned on the reference golden LP (unique: reduced "
+        "costs 1, 1) and on min −x−2y over the same rows, whose optimum "
+        "is the entire c1 edge (objective ∥ constraint ⇒ zero dual "
+        "signal). Degenerate-but-unique optima deliberately report false "
+        "— the certificate never overclaims."
+    ),
+)
+def opt14_unique_optimum_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.optim.registry import _assemble
+    from highs_duckdb_spark.optim.simplex import solve_lp
+
+    reg = ModelRegistry.instance()
+    specs = {
+        "golden_unique": ([1.0, 1.0], 1.0),   # min x+y, y >= 1
+        "edge_multiple": ([-1.0, -2.0], 0.0), # min -x-2y: optimum = whole c1 edge
+    }
+    out = []
+    tol = 1e-9
+    for mname, ((cx, cy), ylb) in specs.items():
+        model = f"q_opt14_{mname}"
+        reg.remove_model(model)
+        create_variables(spark, model, "x", 0.0, 1e30, cx, "continuous")
+        create_variables(spark, model, "y", ylb, 1e30, cy, "continuous")
+        create_constraints(spark, model, "c1", -1e30, 7.0)
+        create_constraints(spark, model, "c2", -1e30, 9.0)
+        set_coefficients(spark, model, "c1", "x", 1.0)
+        set_coefficients(spark, model, "c1", "y", 2.0)
+        set_coefficients(spark, model, "c2", "x", 3.0)
+        set_coefficients(spark, model, "c2", "y", 1.0)
+        info = reg.get_model(model)
+        c, a, row_lb, row_ub, col_lb, col_ub, _ = _assemble(info)
+        res = solve_lp(c, a, row_lb, row_ub, col_lb, col_ub)
+        unique = res.status == "Optimal"
+        if unique:
+            import numpy as np
+
+            ax = a @ res.x if a.size else np.zeros(0)
+            for j in range(len(c)):
+                at_lb = np.isfinite(col_lb[j]) and abs(res.x[j] - col_lb[j]) <= 1e-7
+                at_ub = np.isfinite(col_ub[j]) and abs(res.x[j] - col_ub[j]) <= 1e-7
+                if (at_lb or at_ub) and abs(res.reduced_costs[j]) <= tol:
+                    unique = False
+            for i in range(len(row_ub)):
+                binding = (
+                    np.isfinite(row_ub[i]) and abs(ax[i] - row_ub[i]) <= 1e-7
+                ) or (np.isfinite(row_lb[i]) and abs(ax[i] - row_lb[i]) <= 1e-7)
+                if binding and abs(res.row_duals[i]) <= tol:
+                    unique = False
+        out.append((mname, res.status, bool(unique)))
+    return spark.createDataFrame(
+        out, "model string, status string, certified_unique boolean"
+    ).orderBy("model")

@@ -1696,3 +1696,69 @@ def s15_maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "label", "max_sim")
         .transform(present_sorted, "query_id", "rk")
     )
+
+
+@register(
+    "s16_knn_classifier_eval",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
+          FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id, e.label,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN emb e ON e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored),
+    votes AS (
+      SELECT query_id, true_label, label, count(*) AS n_votes
+      FROM ranked WHERE rk <= {TOP_K}
+      GROUP BY query_id, true_label, label),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY n_votes DESC, label) AS vr
+      FROM votes)
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(label AS BIGINT) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           (label = true_label) AS correct
+    FROM best WHERE vr = 1
+    ORDER BY query_id
+    """,
+    category="similarity",
+    doc=(
+        "k-NN classification eval: each query's label predicted by "
+        "majority vote over its exact top-k neighbors (s01's ranking; "
+        "vote ties break on the smaller label), reported against the true "
+        "label — the standard embedding-quality probe on top of the "
+        "shared scoring kernel. The vote/argmax stages run over "
+        "queries×labels rows only."
+    ),
+)
+def s16_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = s01_cosine_topk(spark, sf_dir)
+    qlab = F.broadcast(
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    )
+    votes = (
+        ranked.join(qlab, "query_id")
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("label").cast("bigint").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+        .transform(present_sorted, "query_id")
+    )

@@ -772,3 +772,56 @@ def qs13_stream_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), F.asc("user_id"))
         .limit(5)
     )
+
+
+@register(
+    "qs14_stream_pit_enrichment",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'signup' OR event_type = 'purchase'),
+    hist AS (
+      SELECT user_id, event_id AS state_event_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             round(1e-9 + value, 4) AS state_value
+      FROM ch),
+    clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.user_id, c.event_id, h.state_event_id, h.state_value
+    FROM clicks c JOIN hist h
+      ON c.user_id = h.user_id AND c.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+    ORDER BY c.user_id, c.event_id
+    """,
+    category="streaming",
+    doc=(
+        "Streaming point-in-time enrichment — the online twin of the q151 "
+        "feature-store join: the click stream joins per micro-batch "
+        "against the STATIC SCD2 dimension (built once via the shared "
+        "scd2_intervals derivation), matching each event to the state row "
+        "valid AT its event time. Stream-static joins re-evaluate the "
+        "static side per batch, so a dimension refresh between batches is "
+        "picked up automatically; the validity interval rides as a "
+        "non-equi post-condition on the user-keyed equi-join."
+    ),
+)
+def qs14_stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.operators.merge_ops import scd2_intervals
+    from highs_duckdb_spark.session import load_table
+
+    hist = scd2_intervals(load_table(spark, "events", sf_dir)).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_id").alias("state_event_id"),
+        "valid_from",
+        "valid_to",
+        "state_value",
+    )
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    joined = clicks.join(hist, clicks.user_id == hist.h_user).filter(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    ).select("user_id", "event_id", "state_event_id", "state_value")
+    table = f"stream_pit_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(joined, table, "append")
+    return spark.table(table).orderBy("user_id", "event_id")
