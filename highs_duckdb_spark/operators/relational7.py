@@ -786,3 +786,203 @@ def q156_compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "event_type")
     )
+
+
+@register(
+    "q157_resettable_running_total",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, event_id, ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+      FROM events)
+    SELECT user_id, event_id,
+           round(1e-9 + CAST(sum(vc) OVER (PARTITION BY user_id, epoch
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100, 2)
+             AS running_since_signup
+    FROM seg ORDER BY user_id, event_id
+    """,
+    doc=(
+        "Running total that RESETS at each marker event (value accumulated "
+        "per user since their last signup) — the conditional-accumulator "
+        "pattern SQL has no native operator for: a running count of the "
+        "marker rows numbers the epochs, then the cumulative sum runs "
+        "inside the (user, epoch) partition. Two windows over one user "
+        "shuffle; integer-cents exact."
+    ),
+)
+def q157_resettable_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w_epoch = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        cents("value").alias("vc"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .over(w_epoch)
+        .alias("epoch"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        seg.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.lit(1e-9) + F.sum("vc").over(w_run).cast("double") / 100, 2
+            ).alias("running_since_signup"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q159_funnel_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    sess AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s),
+    lat AS (
+      SELECT user_id, sid, event_id, us, event_type,
+             min(CASE WHEN event_type = 'click' THEN us END)
+               OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_us
+      FROM sess)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(min(us - first_click_us) AS BIGINT) AS min_latency_us,
+           CAST(max(us - first_click_us) AS BIGINT) AS max_latency_us
+    FROM lat WHERE event_type = 'purchase' AND first_click_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc=(
+        "Conversion latency inside 30-minute sessions: per purchase, the "
+        "microsecond gap since the session's first preceding click "
+        "(running conditional MIN inside the gap-sessionized partition), "
+        "aggregated per user. Composes the q59 sessionization with the "
+        "funnel-timing question product analytics actually asks; three "
+        "windows over one user-keyed shuffle, exact integer µs throughout."
+    ),
+)
+def q159_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts = F.col("ts").cast("timestamp")
+    # gap test in exact µs (a seconds-truncating cast could disagree with
+    # the oracle's INTERVAL comparison on sub-second boundaries)
+    us = F.unix_micros(ts)
+    brk = F.when(us - F.lag(us).over(w_ord) > 1800 * 1_000_000, 1).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        us.alias("us"),
+        brk.alias("brk"),
+    )
+    sess = s.withColumn(
+        "sid", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    w_sess = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lat = sess.withColumn(
+        "first_click_us",
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).over(w_sess),
+    )
+    return (
+        lat.filter(
+            (F.col("event_type") == "purchase") & F.col("first_click_us").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.min(F.col("us") - F.col("first_click_us"))
+            .cast("bigint")
+            .alias("min_latency_us"),
+            F.max(F.col("us") - F.col("first_click_us"))
+            .cast("bigint")
+            .alias("max_latency_us"),
+        )
+        .transform(present_sorted, "user_id")
+    )
+
+
+@register(
+    "q160_decile_lift",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey,
+             coalesce(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)), 0) AS sc
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey),
+    ranked AS (SELECT *, ntile(10) OVER (ORDER BY sc DESC, c_custkey) AS decile
+               FROM spend),
+    agg AS (SELECT decile, count(*) AS n, sum(sc) AS s FROM ranked GROUP BY decile)
+    SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n_customers,
+           round(1e-9 + CAST(s AS DOUBLE)/100, 2) AS decile_spend,
+           round(1e-9 + CAST(sum(s) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(sum(s) OVER () AS DOUBLE), 6) AS cum_share
+    FROM agg ORDER BY decile
+    """,
+    doc=(
+        "Decile lift / gains table: customers ranked by lifetime spend "
+        "(orderless customers included at 0 via the outer join), split "
+        "into spend-ordered deciles, each reporting its spend and the "
+        "cumulative share — the classic marketing-analytics lift chart. "
+        "The global ntile runs over customer-cardinality aggregated rows "
+        "with a deterministic (spend, custkey) order; cumulative windows "
+        "run over 10 decile rows. Integer-cents exact through both "
+        "divisions."
+    ),
+)
+def q160_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)).alias("sc"))
+    )
+    ranked = spend.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("sc"), F.asc("c_custkey")))
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("sc").alias("s")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        agg.select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(F.lit(1e-9) + F.col("s").cast("double") / 100, 2).alias(
+                "decile_spend"
+            ),
+            F.round(
+                F.lit(1e-9)
+                + F.sum("s").over(w_cum).cast("double")
+                / F.sum("s").over(w_all).cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .transform(present_sorted, "decile")
+    )
