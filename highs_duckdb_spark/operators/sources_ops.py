@@ -325,3 +325,66 @@ def q67_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2.write.mode("overwrite").parquet(path + "/b=2")
     back = spark.read.option("mergeSchema", "true").parquet(path + "/b=1", path + "/b=2")
     return back.select("nationkey", "n_name", "batch_tag").orderBy("nationkey")
+
+
+@register(
+    "q161_csv_malformed_modes",
+    oracle="""
+    WITH base AS (SELECT event_id, event_id % 10 = 3 AS corrupt FROM events)
+    SELECT 'dropmalformed' AS mode,
+           CAST(count(*) FILTER (WHERE NOT corrupt) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_null_value,
+           CAST(sum(event_id) FILTER (WHERE NOT corrupt) AS BIGINT) AS id_sum
+    FROM base
+    UNION ALL
+    SELECT 'permissive',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE corrupt) AS BIGINT),
+           CAST(sum(event_id) AS BIGINT)
+    FROM base
+    ORDER BY mode
+    """,
+    category="sources",
+    doc=(
+        "Malformed-record handling on CSV ingest — the operational reality "
+        "of file-based pipelines: a CSV is written with every event_id ≡ 3 "
+        "(mod 10) row carrying an unparseable value field, then read under "
+        "PERMISSIVE (row kept, bad field nulled) and DROPMALFORMED (row "
+        "discarded). The oracle derives both modes' row counts, null "
+        "counts, and id sums from the injection rule alone, so the reader "
+        "semantics are checked against ground truth, not against "
+        "themselves."
+    ),
+)
+def q161_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from highs_duckdb_spark.session import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    path = tempfile.mkdtemp(prefix="hds_q161_csv_")
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.when(F.col("event_id") % 10 == 3, F.lit("not-a-double")).otherwise(
+                F.col("value").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = "event_id long, value double"
+    rows = []
+    for mode in ("dropmalformed", "permissive"):
+        df = spark.read.schema(schema).option("mode", mode.upper()).csv(path)
+        agg = df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+            F.sum("event_id").alias("id_sum"),
+        ).collect()[0]
+        rows.append(
+            (mode, int(agg["n_rows"]), int(agg["n_null_value"]), int(agg["id_sum"]))
+        )
+    return spark.createDataFrame(
+        rows, "mode string, n_rows bigint, n_null_value bigint, id_sum bigint"
+    ).orderBy("mode")

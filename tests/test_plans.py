@@ -448,3 +448,29 @@ def test_p09_pipeline_two_shuffles(spark):
     assert "PushedFilters" in plan and "n_chars" in plan.split("PushedFilters", 1)[1][:200], (
         plan[:3000]
     )
+
+
+def test_bucketed_band_and_grid_joins_are_equi_joins(spark):
+    """q140/q153 replace inequality joins with bucketed equi-joins: the
+    physical plan must contain NO nested-loop/cartesian operator — that is
+    the entire point of the bucketing at 100 TB."""
+    from highs_duckdb_spark.operators.relational6 import q140_bucketed_band_join
+    from highs_duckdb_spark.operators.relational7 import q153_grid_spatial_join
+    from highs_duckdb_spark.plans.audit import formatted_plan
+
+    for builder in (q140_bucketed_band_join, q153_grid_spatial_join):
+        plan = formatted_plan(builder(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, builder.__name__
+        assert "CartesianProduct" not in plan, builder.__name__
+
+
+def test_q151_pit_join_is_equi_join(spark):
+    """The point-in-time join must be an equi-join on the entity key with
+    the validity interval as a post-join filter — not an interval
+    nested-loop."""
+    from highs_duckdb_spark.operators.relational7 import q151_point_in_time_join
+    from highs_duckdb_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(q151_point_in_time_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
