@@ -957,8 +957,10 @@ def q159_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q160_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
+    # orders is fact-scale: co-partitioned join (never a static broadcast —
+    # the registry-wide audit enforces this for every query)
     spend = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        cust.join(fact_hint(orders, sf_dir), cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)).alias("sc"))
     )
