@@ -388,3 +388,65 @@ def q161_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "mode string, n_rows bigint, n_null_value bigint, id_sum bigint"
     ).orderBy("mode")
+
+
+@register(
+    "q162_federated_format_join",
+    oracle="""
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    category="sources",
+    doc=(
+        "Federated multi-format join in ONE plan: the parquet fact "
+        "(lineitem) joins a parquet dim (supplier), a CSV dim (nation, "
+        "round-tripped through the CSV writer/reader with an explicit "
+        "schema), and a JSON dim (region, through the JSON line "
+        "writer/reader) — the lakehouse reality where reference data "
+        "arrives in whatever format the producer chose. Catalyst treats "
+        "all three scans uniformly (pushdown/pruning per format); dims "
+        "broadcast, and the result is pinned to the all-parquet oracle so "
+        "the format round-trips are proven lossless inside the join "
+        "itself."
+    ),
+)
+def q162_federated_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from highs_duckdb_spark.functions.money import cents, money_sum
+    from highs_duckdb_spark.session import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey", "l_extendedprice")
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation_src = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    region_src = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+
+    csv_dir = tempfile.mkdtemp(prefix="hds_q162_csv_")
+    nation_src.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    nation = (
+        spark.read.schema("n_nationkey long, n_regionkey long")
+        .option("header", "true")
+        .csv(csv_dir)
+    )
+    json_dir = tempfile.mkdtemp(prefix="hds_q162_json_")
+    region_src.write.mode("overwrite").json(json_dir)
+    region = spark.read.schema("r_regionkey long, r_name string").json(json_dir)
+
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            money_sum(cents("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("r_name")
+    )
