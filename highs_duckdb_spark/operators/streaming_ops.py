@@ -906,3 +906,74 @@ def qs15_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window_start").cast("timestamp").alias("window_start"), "n")
         .orderBy("window_start")
     )
+
+
+@register(
+    "qs16_stream_dead_letter_split",
+    oracle="""
+    WITH classified AS (
+      SELECT event_id, value, event_id % 10 = 3 AS bad FROM events)
+    SELECT 'clean' AS sink,
+           CAST(count(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) FILTER (WHERE NOT bad) AS BIGINT) AS id_sum
+    FROM classified
+    UNION ALL
+    SELECT 'quarantine',
+           CAST(count(*) FILTER (WHERE bad) AS BIGINT),
+           CAST(sum(event_id) FILTER (WHERE bad) AS BIGINT)
+    FROM classified
+    ORDER BY sink
+    """,
+    category="streaming",
+    doc=(
+        "Dead-letter-queue routing: one foreachBatch sink splits every "
+        "micro-batch into a clean parquet sink and a quarantine parquet "
+        "sink on a validation predicate (here the deterministic "
+        "event_id ≡ 3 (mod 10) rule, standing in for schema/quality "
+        "checks) — the standard ingest pattern that never drops data, "
+        "only reroutes it. Both sinks' row counts and id sums are checked "
+        "against the rule itself; each batch writes both outputs from one "
+        "pass over the batch DataFrame."
+    ),
+)
+def qs16_stream_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from highs_duckdb_spark.session import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    src_dir = tempfile.mkdtemp(prefix="hds_qs16_src_")
+    ev.repartition(4, F.col("event_id") % 4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    clean_dir = tempfile.mkdtemp(prefix="hds_qs16_clean_")
+    quar_dir = tempfile.mkdtemp(prefix="hds_qs16_quar_")
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        bad = F.col("event_id") % 10 == 3
+        batch_df.filter(~bad).write.mode("append").parquet(clean_dir)
+        batch_df.filter(bad).write.mode("append").parquet(quar_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/hds_ckpt_qs16_{_uuid.uuid4().hex}")
+        .start()
+    )
+    q.awaitTermination()
+    out = []
+    for sink, path in (("clean", clean_dir), ("quarantine", quar_dir)):
+        agg = spark.read.parquet(path).agg(
+            F.count("*").alias("n"), F.sum("event_id").alias("s")
+        ).collect()[0]
+        out.append((sink, int(agg["n"]), int(agg["s"])))
+    return spark.createDataFrame(
+        out, "sink string, n_rows bigint, id_sum bigint"
+    ).orderBy("sink")
