@@ -988,3 +988,89 @@ def q160_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "decile")
     )
+
+
+@register(
+    "q163_scalar_conformance",
+    oracle="""
+    SELECT o_orderkey,
+           round(1e-9 + sin(o_totalprice / 100000), 6) AS f_sin,
+           round(1e-9 + cos(o_totalprice / 100000), 6) AS f_cos,
+           round(1e-9 + atan2(o_totalprice, o_orderkey + 1), 6) AS f_atan2,
+           round(1e-9 + ln(o_totalprice), 6) AS f_ln,
+           round(1e-9 + log10(o_totalprice), 6) AS f_log10,
+           round(1e-9 + exp(o_totalprice / 1000000), 6) AS f_exp,
+           round(1e-9 + sqrt(o_totalprice), 6) AS f_sqrt,
+           round(1e-9 + cbrt(o_totalprice), 6) AS f_cbrt,
+           CAST(abs(o_orderkey - 500) AS BIGINT) AS f_abs,
+           CAST(sign(o_orderkey - 500) AS BIGINT) AS f_sign,
+           CAST(o_orderkey % 97 AS BIGINT) AS f_mod,
+           CAST(xor(o_orderkey, 255) AS BIGINT) AS f_xor,
+           CAST(o_orderkey & 4095 AS BIGINT) AS f_and,
+           CAST(o_orderkey | 16 AS BIGINT) AS f_or,
+           ascii(o_orderstatus) AS f_ascii,
+           chr(65 + CAST(o_orderkey % 26 AS INTEGER)) AS f_chr,
+           repeat(o_orderstatus, 3) AS f_repeat,
+           reverse(o_orderpriority) AS f_reverse,
+           lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS f_lpad,
+           translate(o_orderpriority, '-', '_') AS f_translate,
+           CAST(levenshtein(o_orderpriority, '1-URGENT') AS BIGINT) AS f_lev,
+           md5(CAST(o_orderkey AS VARCHAR)) AS f_md5,
+           CAST(greatest(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3) AS BIGINT)
+             AS f_greatest,
+           CAST(least(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3) AS BIGINT)
+             AS f_least,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS f_floor,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS f_ceil
+    FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
+    """,
+    doc=(
+        "Scalar-function conformance suite: 26 built-ins — trig/log/exp "
+        "roots, integer abs/sign/mod, bitwise xor/and/or, string "
+        "ascii/chr/repeat/reverse/lpad/translate/levenshtein/md5, "
+        "greatest/least, floor/ceil — evaluated over the same rows on "
+        "both engines in one projection. Transcendentals follow the "
+        "rounding convention; everything else is exact. The wide-but-"
+        "cheap shape keeps the suite a pure codegen pass over a pruned "
+        "100-key scan."
+    ),
+)
+def q163_scalar_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 100)
+    k = F.col("o_orderkey")
+    tp = F.col("o_totalprice")
+    r6 = lambda c: F.round(F.lit(1e-9) + c, 6)
+    return (
+        orders.select(
+            "o_orderkey",
+            r6(F.sin(tp / 100000)).alias("f_sin"),
+            r6(F.cos(tp / 100000)).alias("f_cos"),
+            r6(F.atan2(tp, k + 1)).alias("f_atan2"),
+            r6(F.log(tp)).alias("f_ln"),
+            r6(F.log10(tp)).alias("f_log10"),
+            r6(F.exp(tp / 1000000)).alias("f_exp"),
+            r6(F.sqrt(tp)).alias("f_sqrt"),
+            r6(F.cbrt(tp)).alias("f_cbrt"),
+            F.abs(k - 500).cast("bigint").alias("f_abs"),
+            F.signum(k - 500).cast("bigint").alias("f_sign"),
+            (k % 97).cast("bigint").alias("f_mod"),
+            F.expr("o_orderkey ^ 255").cast("bigint").alias("f_xor"),
+            F.expr("o_orderkey & 4095").cast("bigint").alias("f_and"),
+            F.expr("o_orderkey | 16").cast("bigint").alias("f_or"),
+            F.ascii("o_orderstatus").alias("f_ascii"),
+            F.expr("char(65 + CAST(o_orderkey % 26 AS INT))").alias("f_chr"),
+            F.repeat("o_orderstatus", 3).alias("f_repeat"),
+            F.reverse("o_orderpriority").alias("f_reverse"),
+            F.lpad(k.cast("string"), 8, "0").alias("f_lpad"),
+            F.translate("o_orderpriority", "-", "_").alias("f_translate"),
+            F.levenshtein("o_orderpriority", F.lit("1-URGENT"))
+            .cast("bigint")
+            .alias("f_lev"),
+            F.md5(k.cast("string")).alias("f_md5"),
+            F.greatest(k % 7, k % 5, k % 3).cast("bigint").alias("f_greatest"),
+            F.least(k % 7, k % 5, k % 3).cast("bigint").alias("f_least"),
+            F.floor(tp / 1000).cast("bigint").alias("f_floor"),
+            F.ceil(tp / 1000).cast("bigint").alias("f_ceil"),
+        )
+        .transform(present_sorted, "o_orderkey")
+    )
