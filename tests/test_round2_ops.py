@@ -344,3 +344,57 @@ def test_rhs_ranging_basis_invariance():
             assert r.status != "Optimal" or not np.allclose(
                 r.row_duals, base.row_duals, atol=1e-7
             ), (i, probe)
+
+
+# ---------------------------------------------------------------------------
+# rhs_ranging property: on random solvable LPs, duals are invariant at
+# interior probes of every reported range
+# ---------------------------------------------------------------------------
+
+
+def test_rhs_ranging_property_random_lps():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from highs_duckdb_spark.optim.simplex import rhs_ranging, solve_lp
+
+    coef = st.integers(min_value=-3, max_value=3)
+
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    @given(
+        c=st.lists(coef, min_size=2, max_size=3),
+        rows=st.lists(
+            st.tuples(st.lists(coef, min_size=3, max_size=3), st.integers(1, 12)),
+            min_size=1,
+            max_size=3,
+        ),
+    )
+    def check(c, rows):
+        n = len(c)
+        a = [r[0][:n] for r in rows]
+        ub = [float(r[1]) for r in rows]
+        lb = [-1e30] * len(rows)
+        res = solve_lp(c, a, lb, ub, [0.0] * n, [5.0] * n)
+        if res.status != "Optimal":
+            return
+        ranges = rhs_ranging(res)
+        for i, (lo_off, hi_off) in ranges.items():
+            lo = ub[i] + max(lo_off, -50.0)
+            hi = ub[i] + min(hi_off, 50.0)
+            if hi - lo < 1e-6:
+                continue  # degenerate range: probing is numerically moot
+            mid = (lo + hi) / 2
+            ub2 = list(ub)
+            ub2[i] = mid
+            r2 = solve_lp(c, a, lb, ub2, [0.0] * n, [5.0] * n)
+            assert r2.status == "Optimal", (c, a, ub, i, mid)
+            assert np.allclose(r2.row_duals, res.row_duals, atol=1e-6), (
+                c,
+                a,
+                ub,
+                i,
+                mid,
+            )
+
+    check()
