@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
@@ -755,3 +755,84 @@ def d11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_src", "doc_super")
     )
+
+
+@register(
+    "d12_dedup_cascade",
+    oracle="""
+    WITH scope AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    exact AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                ORDER BY doc_id) AS rn
+      FROM scope),
+    after_exact AS (SELECT s.doc_id, s.text FROM scope s
+                    JOIN exact e ON s.doc_id = e.doc_id WHERE e.rn = 1),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM after_exact)),
+    near_dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 2
+            >= (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)))),
+    n0 AS (SELECT count(*) AS c FROM scope),
+    n1 AS (SELECT count(*) AS c FROM after_exact),
+    n2 AS (SELECT count(*) AS c FROM near_dup)
+    SELECT 'stage1_exact' AS stage, CAST(n0.c AS BIGINT) AS docs_in,
+           CAST(n0.c - n1.c AS BIGINT) AS removed, CAST(n1.c AS BIGINT) AS docs_out
+    FROM n0, n1
+    UNION ALL
+    SELECT 'stage2_near', CAST(n1.c AS BIGINT), CAST(n2.c AS BIGINT),
+           CAST(n1.c - n2.c AS BIGINT)
+    FROM n1, n2
+    ORDER BY stage
+    """,
+    category="dedup",
+    doc=(
+        "Production dedup CASCADE, cheapest signal first: stage 1 removes "
+        "exact duplicates (md5 keep-first — a 16-byte shuffle), stage 2 "
+        "removes near-duplicates among the survivors (Jaccard ≥ 0.5 with "
+        "the integer-exact 2·∩ ≥ ∪ threshold, keep-smaller-id), reporting "
+        "per-stage in/removed/out counts — the funnel report every corpus "
+        "pipeline publishes. Staging matters at 100 TB because the exact "
+        "pass shrinks the candidate space BEFORE the expensive similarity "
+        "stage (where d03's LSH replaces this bounded all-pairs check)."
+    ),
+)
+def d12_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    scope = docs.select("doc_id", "text").localCheckpoint(eager=True)
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    after_exact = (
+        scope.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)  # reused by shingling AND the counts
+    )
+    sh = after_exact.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    uni = F.size("sa") + F.size("sb") - inter
+    near = (
+        a.join(b, F.col("da") < F.col("db"))
+        .filter(inter * 2 >= uni)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    n0 = scope.count()
+    n1 = after_exact.count()
+    n2 = near.count()
+    rows = [
+        ("stage1_exact", n0, n0 - n1, n1),
+        ("stage2_near", n1, n2, n1 - n2),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, docs_in bigint, removed bigint, docs_out bigint"
+    ).orderBy("stage")

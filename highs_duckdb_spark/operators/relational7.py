@@ -1074,3 +1074,81 @@ def q163_scalar_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "o_orderkey")
     )
+
+
+@register(
+    "dq13_catalog_key_audit",
+    oracle="""
+    SELECT 'customer' AS tbl, count(*) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct_pk,
+           (count(*) = count(DISTINCT c_custkey)) AS pk_unique,
+           CAST(count(*) - count(c_custkey) AS BIGINT) AS n_null_pk
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem', count(*),
+           CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           (count(*) = count(DISTINCT (l_orderkey, l_linenumber))),
+           CAST(count(*) - count(l_orderkey) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'nation', count(*), CAST(count(DISTINCT n_nationkey) AS BIGINT),
+           (count(*) = count(DISTINCT n_nationkey)),
+           CAST(count(*) - count(n_nationkey) AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT 'orders', count(*), CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           (count(*) = count(DISTINCT o_orderkey)),
+           CAST(count(*) - count(o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'part', count(*), CAST(count(DISTINCT p_partkey) AS BIGINT),
+           (count(*) = count(DISTINCT p_partkey)),
+           CAST(count(*) - count(p_partkey) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'region', count(*), CAST(count(DISTINCT r_regionkey) AS BIGINT),
+           (count(*) = count(DISTINCT r_regionkey)),
+           CAST(count(*) - count(r_regionkey) AS BIGINT)
+    FROM region
+    UNION ALL
+    SELECT 'supplier', count(*), CAST(count(DISTINCT s_suppkey) AS BIGINT),
+           (count(*) = count(DISTINCT s_suppkey)),
+           CAST(count(*) - count(s_suppkey) AS BIGINT)
+    FROM supplier
+    ORDER BY tbl
+    """,
+    category="quality",
+    doc=(
+        "Catalog-wide primary-key audit in one query: every relational "
+        "table's row count, distinct-PK count (the lineitem PK is the "
+        "composite (orderkey, linenumber)), uniqueness verdict, and "
+        "null-key count — the constraint check a warehouse without "
+        "enforced constraints must run itself. Each branch is one "
+        "aggregate over its own scan; the union is planning-time glue, "
+        "so the audit parallelizes per table."
+    ),
+)
+def dq13_catalog_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(tbl: str, pk_cols: list[str]):
+        df = load_table(spark, tbl, sf_dir)
+        pk = F.struct(*pk_cols) if len(pk_cols) > 1 else F.col(pk_cols[0])
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").alias("n_rows"),
+            F.count_distinct(pk).cast("bigint").alias("n_distinct_pk"),
+            (F.count("*") == F.count_distinct(pk)).alias("pk_unique"),
+            (F.count("*") - F.count(pk_cols[0])).cast("bigint").alias("n_null_pk"),
+        )
+    parts = [
+        audit("customer", ["c_custkey"]),
+        audit("lineitem", ["l_orderkey", "l_linenumber"]),
+        audit("nation", ["n_nationkey"]),
+        audit("orders", ["o_orderkey"]),
+        audit("part", ["p_partkey"]),
+        audit("region", ["r_regionkey"]),
+        audit("supplier", ["s_suppkey"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.transform(present_sorted, "tbl")
