@@ -799,3 +799,93 @@ def p13_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "shard")
     )
+
+
+@register(
+    "p14_contamination_aware_split",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+      FROM toks, unnest(range(1, length(t) - 2)) AS r(i) WHERE length(t) >= 4),
+    bench_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM grams WHERE doc_id % 100 <> 0
+        AND g IN (SELECT g FROM bench_grams)),
+    assigned AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 100 = 0 THEN 'benchmark'
+                  WHEN c.doc_id IS NOT NULL THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             (c.doc_id IS NOT NULL) AS contaminated
+      FROM documents d LEFT JOIN contaminated c USING (doc_id))
+    SELECT split, contaminated, CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY split, contaminated ORDER BY split, contaminated
+    """,
+    category="pipeline",
+    doc=(
+        "Contamination-aware train/val/test split: p02's deterministic md5 "
+        "buckets, with one extra rule — any document sharing a 4-gram with "
+        "the held-out benchmark (d08's broadcast contamination check) is "
+        "FORCED into train, so eval splits can never contain "
+        "benchmark-overlapping text regardless of where its hash bucket "
+        "landed. The output proves it: contaminated=true appears only "
+        "under train. Same scale shape as d08 (benchmark grams broadcast, "
+        "corpus never shuffles for the check) plus one hash-bucket "
+        "projection."
+    ),
+)
+def p14_contamination_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 4,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(t, i),
+                        F.element_at(t, i + 1),
+                        F.element_at(t, i + 2),
+                        F.element_at(t, i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bench_grams = grams.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = docs.join(F.broadcast(contaminated), "doc_id", "left").select(
+        F.when(F.col("doc_id") % 100 == 0, "benchmark")
+        .when(F.col("is_cont"), "train")
+        .when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.coalesce(F.col("is_cont"), F.lit(False)).alias("contaminated"),
+    )
+    return (
+        assigned.groupBy("split", "contaminated")
+        .agg(F.count("*").alias("n_docs"))
+        .transform(present_sorted, "split", "contaminated")
+    )

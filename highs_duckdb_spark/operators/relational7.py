@@ -1152,3 +1152,46 @@ def dq13_catalog_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.transform(present_sorted, "tbl")
+
+
+@register(
+    "q165_moving_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(1e-9 + median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_median
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc=(
+        "Moving median over a trailing 5-row frame, proven against "
+        "DuckDB's NATIVE windowed median: Spark has no median window "
+        "function, so the frame's value list is collected, sorted, and "
+        "indexed — odd frames take the middle element exactly, even "
+        "frames (the partition's first rows) average the two middles, "
+        "matching DuckDB's interpolation on identical doubles. Bounded "
+        "frame ⇒ bounded per-row state; one user-keyed shuffle."
+    ),
+)
+def q165_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    frame = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(frame))
+    n = F.size(vals)
+    odd = F.element_at(vals, ((n + 1) / F.lit(2)).cast("int"))
+    even = (
+        F.element_at(vals, (n / F.lit(2)).cast("int"))
+        + F.element_at(vals, (n / F.lit(2)).cast("int") + 1)
+    ) / 2
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.lit(1e-9) + med, 4).alias("mov_median"),
+        )
+        .orderBy("user_id", "event_id")
+        .drop("ts")
+    )
