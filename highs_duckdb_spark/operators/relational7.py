@@ -1195,3 +1195,89 @@ def q165_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_id")
         .drop("ts")
     )
+
+
+@register(
+    "dq14_seasonal_adjusted_anomalies",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, isodow(ts) AS dow,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    win AS (
+      SELECT event_type, event_id, vc,
+             sum(vc) OVER (PARTITION BY event_type, dow) AS sum_dow,
+             count(*) OVER (PARTITION BY event_type, dow) AS n_dow,
+             sum(vc) OVER (PARTITION BY event_type) AS sum_all,
+             count(*) OVER (PARTITION BY event_type) AS n_all
+      FROM base),
+    adj AS (
+      SELECT event_type, event_id,
+             CAST(vc AS DOUBLE)
+             / ((CAST(sum_dow AS DOUBLE) / n_dow) / (CAST(sum_all AS DOUBLE) / n_all))
+               AS av
+      FROM win),
+    stats AS (
+      SELECT event_type, event_id, av,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(av) OVER (PARTITION BY event_type) AS s,
+             sum(av*av) OVER (PARTITION BY event_type) AS s2
+      FROM adj)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_anomalies
+    FROM stats
+    WHERE abs(av - s/n) > 3 * sqrt(greatest(s2/n - (s/n)*(s/n), 0))
+    GROUP BY event_type ORDER BY event_type
+    """,
+    category="quality",
+    doc=(
+        "Seasonally-adjusted anomaly detection: each value is deflated by "
+        "its (type, ISO-dow) seasonal index before the 3σ screen, so a "
+        "normal Saturday spike is not an anomaly and a quiet-day outlier "
+        "is — the composition of q147's index with dq01's z-score that "
+        "plain control charts get wrong on seasonal data. The index is "
+        "exact (integer window sums make it the same double on both "
+        "engines); the fact table is scanned once with all margins as "
+        "windows."
+    ),
+)
+def dq14_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        (F.weekday(F.col("ts").cast("timestamp")) + 1).alias("dow"),
+        cents("value").alias("vc"),
+    )
+    w_td = Window.partitionBy("event_type", "dow")
+    w_t = Window.partitionBy("event_type")
+    win = base.select(
+        "event_type",
+        "event_id",
+        "vc",
+        F.sum("vc").over(w_td).alias("sum_dow"),
+        F.count("*").over(w_td).alias("n_dow"),
+        F.sum("vc").over(w_t).alias("sum_all"),
+        F.count("*").over(w_t).alias("n_all"),
+    )
+    av = F.col("vc").cast("double") / (
+        (F.col("sum_dow").cast("double") / F.col("n_dow"))
+        / (F.col("sum_all").cast("double") / F.col("n_all"))
+    )
+    adj = win.select("event_type", "event_id", av.alias("av"))
+    stats = adj.select(
+        "event_type",
+        "av",
+        F.count("*").over(w_t).alias("n"),
+        F.sum("av").over(w_t).alias("s"),
+        F.sum(F.col("av") * F.col("av")).over(w_t).alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    )
+    return (
+        stats.filter(F.abs(F.col("av") - mean) > 3 * sigma)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_anomalies"))
+        .transform(present_sorted, "event_type")
+    )

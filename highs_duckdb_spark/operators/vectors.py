@@ -577,3 +577,52 @@ def v09_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .transform(present_sorted, "label_a", "label_b")
     )
+
+
+@register(
+    "v10_distance_histogram",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT round(1e-9 + list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cos
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+    b AS (SELECT least(greatest(CAST(floor((cos + 1.0) / 0.1) AS BIGINT), 0), 19)
+            AS bucket FROM pairs)
+    SELECT bucket, count(*) AS n_pairs FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    category="similarity",
+    doc=(
+        "Pairwise cosine-distribution histogram (the hubness / collapse "
+        "diagnostic: a healthy embedding space shows a broad unimodal "
+        "spread, a collapsed one piles into the top buckets): all vector "
+        "pairs' cosines, rounded with the shared convention then bucketed "
+        "into 20 bins over [−1, 1]. The corpus is bounded (the embeddings "
+        "table is fixed-size at every SF) so the all-pairs form is the "
+        "exact oracle; at real scale the same histogram is estimated from "
+        "a hash-sampled pair subset with identical bucketing."
+    ),
+)
+def v10_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=True)  # self-joined: never recompute the cast
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    cos = F.round(
+        F.lit(1e-9)
+        + _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+        6,
+    )
+    bucket = F.least(
+        F.greatest(F.floor((cos + 1.0) / 0.1).cast("bigint"), F.lit(0)), F.lit(19)
+    )
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .transform(present_sorted, "bucket")
+    )
