@@ -432,3 +432,62 @@ def t21_winnowing_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
         .transform(present_sorted, "doc_a", "doc_b")
     )
+
+
+@register(
+    "t22_token_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    per_doc AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY token, doc_id),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    stats AS (
+      SELECT token, sum(c) AS s, sum(c*c) AS s2, count(*) AS docs_with
+      FROM per_doc GROUP BY token),
+    top AS (SELECT * FROM stats ORDER BY s DESC, token LIMIT 20)
+    SELECT token, CAST(s AS BIGINT) AS total_count,
+           CAST(docs_with AS BIGINT) AS docs_with,
+           round(1e-9 + (CAST(s2 AS DOUBLE)/n_docs
+                 - (CAST(s AS DOUBLE)/n_docs)*(CAST(s AS DOUBLE)/n_docs))
+                 / (CAST(s AS DOUBLE)/n_docs), 6) AS vmr
+    FROM top, nd ORDER BY total_count DESC, token
+    """,
+    category="text",
+    doc=(
+        "Token burstiness (variance-to-mean ratio of per-document counts, "
+        "zero-count docs included via the global doc count): VMR ≈ 1 is "
+        "Poisson-like function words, VMR ≫ 1 is bursty topical terms — "
+        "the dispersion statistic behind tf-idf's df intuition and a "
+        "stopword-detection signal. Integer Σc/Σc² power sums make both "
+        "engines exact before the final rounded ratio; the VMR math runs "
+        "over vocab-sized aggregates, and only the top-20 by count are "
+        "reported (TakeOrderedAndProject, no global sort)."
+    ),
+)
+def t22_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("c"))
+    stats = per_doc.groupBy("token").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.count("*").alias("docs_with"),
+    )
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    top = stats.orderBy(F.desc("s"), F.asc("token")).limit(20)
+    mean = F.col("s").cast("double") / F.col("n_docs")
+    vmr = (F.col("s2").cast("double") / F.col("n_docs") - mean * mean) / mean
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            F.col("s").cast("bigint").alias("total_count"),
+            F.col("docs_with").cast("bigint").alias("docs_with"),
+            F.round(F.lit(1e-9) + vmr, 6).alias("vmr"),
+        )
+        .transform(present_sorted, F.desc("total_count"), "token")
+    )
