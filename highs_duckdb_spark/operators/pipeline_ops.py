@@ -861,7 +861,9 @@ def p14_contamination_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
-    )
+    ).localCheckpoint(eager=True)  # bench grams + contamination probe both
+    # derive from this one corpus pass; without the pin Spark re-runs the
+    # explode subtree per reference (scan-audit enforced)
     bench_grams = grams.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
     contaminated = (
         grams.filter(F.col("doc_id") % 100 != 0)
