@@ -362,3 +362,66 @@ def g06_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "a", "b")
     )
+
+
+@register(
+    "g07_clustering_coefficient",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    adj AS (SELECT n1 AS src, n2 AS dst FROM edges UNION ALL SELECT n2, n1 FROM edges),
+    deg AS (SELECT src AS node, count(*) AS d FROM adj GROUP BY src),
+    tri AS (
+      SELECT v.node, count(*) AS t FROM (
+        SELECT e1.n1 AS a, e1.n2 AS b, e2.n2 AS c
+        FROM edges e1 JOIN edges e2 ON e2.n1 = e1.n2
+        JOIN edges e3 ON e3.n1 = e1.n1 AND e3.n2 = e2.n2) tris,
+      LATERAL (SELECT unnest([tris.a, tris.b, tris.c]) AS node) v
+      GROUP BY v.node)
+    SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+           round(1e-9 + CASE WHEN d.d >= 2
+                 THEN 2.0 * coalesce(t.t, 0) / (d.d * (d.d - 1)) ELSE 0 END, 6)
+             AS clustering
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    ORDER BY d.node
+    """,
+    category="graph",
+    doc=(
+        "Local clustering coefficient per vertex: 2·Δ(v) / (deg·(deg−1)) — "
+        "how close each node's neighborhood is to a clique, the standard "
+        "small-world statistic. Triangles come from g02's ordered-vertex "
+        "enumeration (each triangle credits its three corners via one "
+        "explode), degrees from the adjacency count; everything after the "
+        "wedge join runs over node-cardinality data. Integer counts "
+        "through the rounded ratio."
+    ),
+)
+def g07_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    adj = e.select(F.col("n1").alias("src"), F.col("n2").alias("dst")).unionAll(
+        e.select(F.col("n2").alias("src"), F.col("n1").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    e1 = e.select(F.col("n1").alias("a"), F.col("n2").alias("b"))
+    e2 = e.select(F.col("n1").alias("b"), F.col("n2").alias("c"))
+    e3 = e.select(F.col("n1").alias("a"), F.col("n2").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    tri = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    clustering = F.when(
+        F.col("d") >= 2,
+        2.0 * F.coalesce(F.col("t"), F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(F.broadcast(tri), "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(F.lit(1e-9) + clustering, 6).alias("clustering"),
+        )
+        .transform(present_sorted, "node")
+    )

@@ -1281,3 +1281,51 @@ def dq14_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count("*").alias("n_anomalies"))
         .transform(present_sorted, "event_type")
     )
+
+
+@register(
+    "q167_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trans AS (SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL
+              GROUP BY cur, nxt)
+    SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+           round(1e-9 + CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+    FROM trans ORDER BY cur, nxt
+    """,
+    doc=(
+        "First-order Markov transition matrix of user event sequences: "
+        "lead() pairs each event with its successor inside the user "
+        "timeline, transitions aggregate to types×types counts, and row "
+        "normalization runs as a window over that tiny matrix — the "
+        "behavioral model behind next-action prediction and funnel "
+        "drop-off analysis. One user shuffle; integer counts through the "
+        "rounded probability."
+    ),
+)
+def q167_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    w_row = Window.partitionBy("cur")
+    return (
+        trans.select(
+            "cur",
+            "nxt",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.lit(1e-9)
+                + F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"),
+                6,
+            ).alias("p"),
+        )
+        .transform(present_sorted, "cur", "nxt")
+    )
