@@ -1329,3 +1329,70 @@ def q167_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "cur", "nxt")
     )
+
+
+@register(
+    "q168_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT c_custkey,
+             max(o_orderdate) AS last_order,
+             count(o_orderkey) AS freq,
+             coalesce(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)), 0) AS monet
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey),
+    active AS (SELECT * FROM rfm WHERE freq > 0),
+    scored AS (
+      SELECT c_custkey,
+             ntile(5) OVER (ORDER BY last_order DESC, c_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, c_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monet DESC, c_custkey) AS m_score
+      FROM active)
+    SELECT r_score, f_score, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(m_score) AS BIGINT) AS best_m, CAST(max(m_score) AS BIGINT) AS worst_m
+    FROM scored GROUP BY r_score, f_score ORDER BY r_score, f_score
+    """,
+    doc=(
+        "RFM segmentation (recency / frequency / monetary quintiles): "
+        "per-customer aggregates from one co-partitioned orders join, "
+        "three ntile(5) rankings with custkey tiebreaks, reported as the "
+        "R×F segment grid with the monetary-score spread — the classic "
+        "CRM segmentation. The quintile windows run over the "
+        "customer-cardinality aggregate, never the fact table."
+    ),
+)
+def q168_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    rfm = (
+        cust.join(fact_hint(orders, sf_dir), cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("o_orderkey").alias("freq"),
+            F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)).alias("monet"),
+        )
+        .filter(F.col("freq") > 0)
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("c_custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.desc("freq"), F.asc("c_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.desc("monet"), F.asc("c_custkey")))
+    scored = rfm.select(
+        "c_custkey", r.alias("r_score"), f.alias("f_score"), m.alias("m_score")
+    )
+    return (
+        scored.groupBy("r_score", "f_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("m_score").cast("bigint").alias("best_m"),
+            F.max("m_score").cast("bigint").alias("worst_m"),
+        )
+        .select(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            "n_customers",
+            "best_m",
+            "worst_m",
+        )
+        .transform(present_sorted, "r_score", "f_score")
+    )

@@ -491,3 +491,81 @@ def t22_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, F.desc("total_count"), "token")
     )
+
+
+@register(
+    "t23_js_divergence_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    st AS (SELECT source, token, count(*) AS n_st FROM tok GROUP BY source, token),
+    vocab AS (SELECT token FROM st GROUP BY token),
+    src_tot AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY source),
+    v AS (SELECT count(*) AS nv FROM vocab),
+    grid AS (
+      SELECT s.source, s.n_s, vb.token, coalesce(st.n_st, 0) AS n_st, v.nv
+      FROM src_tot s CROSS JOIN vocab vb CROSS JOIN v
+      LEFT JOIN st ON st.source = s.source AND st.token = vb.token),
+    p AS (SELECT source, token, (n_st + 0.5) / (n_s + 0.5*nv) AS p FROM grid),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.p AS pa, b.p AS pb, (a.p + b.p)/2 AS m
+      FROM p a JOIN p b ON a.token = b.token AND a.source < b.source)
+    SELECT src_a, src_b,
+           round(1e-9 + sum(0.5*pa*ln(pa/m) + 0.5*pb*ln(pb/m)), 6) AS js_nats
+    FROM pairs GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+    category="text",
+    doc=(
+        "Pairwise Jensen-Shannon divergence matrix between sources' "
+        "smoothed unigram distributions — the SYMMETRIC, bounded "
+        "companion to t19's vs-corpus KL, the right metric for clustering "
+        "sources by vocabulary. Same marginals-of-one-aggregate shape: "
+        "one (source, token) corpus count, the smoothed distribution "
+        "grid over sources × vocab, and the pair join + JS sum over "
+        "sources² × vocab rows — never the corpus."
+    ),
+)
+def t23_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count("*").alias("n_st"))
+        .localCheckpoint(eager=True)  # one corpus scan; marginals derive
+    )
+    vocab = st.select("token").distinct()
+    src_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    nv = vocab.agg(F.count("*").alias("nv"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(nv))
+        .join(st, ["source", "token"], "left")
+        .withColumn("n_st", F.coalesce(F.col("n_st"), F.lit(0)))
+    )
+    p = grid.select(
+        "source",
+        "token",
+        ((F.col("n_st") + 0.5) / (F.col("n_s") + 0.5 * F.col("nv"))).alias("p"),
+    )
+    a = p.select(
+        F.col("source").alias("src_a"), "token", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("src_b"), "token", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col("pb") * F.log(
+        F.col("pb") / m
+    )
+    return (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.lit(1e-9) + F.sum(term), 6).alias("js_nats"))
+        .transform(present_sorted, "src_a", "src_b")
+    )
