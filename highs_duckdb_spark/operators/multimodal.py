@@ -449,3 +449,59 @@ def m07_header_parse_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "media_type")
     )
+
+
+@register(
+    "m08_duplicate_frames",
+    oracle="""
+    WITH vids AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+    frames AS (
+      SELECT doc_id, i AS frame_no, md5(substr(text, (i-1)*16 + 1, 16)) AS fhash
+      FROM vids, unnest(range(1, CAST(ceil(length(text)/16.0) AS BIGINT) + 1)) AS r(i)
+      WHERE length(substr(text, (i-1)*16 + 1, 16)) = 16),
+    dups AS (
+      SELECT fhash, count(*) AS n_frames, count(DISTINCT doc_id) AS n_videos
+      FROM frames GROUP BY fhash
+      HAVING count(DISTINCT doc_id) > 1)
+    SELECT fhash, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_videos AS BIGINT) AS n_videos
+    FROM dups ORDER BY fhash
+    """,
+    category="multimodal",
+    doc=(
+        "Cross-video duplicate-frame detection: each 'video' document's "
+        "payload is cut into fixed 16-byte frames (the m03 frame-sampling "
+        "grid), frames are content-hashed, and hashes appearing in more "
+        "than one video are reported — the shot/segment-level dedup a "
+        "video corpus needs where document-level hashing sees nothing. "
+        "Pure codegen (substring + md5 + grouped count, no Python); the "
+        "frame hash is the shuffle key so no all-pairs comparison forms, "
+        "the same bucket-join scale shape as d09's text chunks."
+    ),
+)
+def m08_duplicate_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 2)
+    n_frames = F.ceil(F.length("text") / 16.0).cast("int")
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n_frames)).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.md5(F.expr("substr(text, (i-1)*16 + 1, 16)")).alias("fhash"),
+        F.length(F.expr("substr(text, (i-1)*16 + 1, 16)")).alias("flen"),
+    ).filter(F.col("flen") == 16)
+    return (
+        frames.groupBy("fhash")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.count_distinct("doc_id").alias("n_videos"),
+        )
+        .filter(F.col("n_videos") > 1)
+        .select(
+            "fhash",
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            F.col("n_videos").cast("bigint").alias("n_videos"),
+        )
+        .transform(present_sorted, "fhash")
+    )

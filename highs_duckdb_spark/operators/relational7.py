@@ -1396,3 +1396,66 @@ def q168_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "r_score", "f_score")
     )
+
+
+@register(
+    "q169_hierarchical_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name, n_name,
+             sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS rc
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT r_name, n_name,
+           round(1e-9 + CAST(rc AS DOUBLE)/100, 2) AS revenue,
+           round(1e-9 + CAST(rc AS DOUBLE)
+                 / CAST(sum(rc) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+             AS share_of_region,
+           round(1e-9 + CAST(rc AS DOUBLE) / CAST(sum(rc) OVER () AS DOUBLE), 6)
+             AS share_of_total
+    FROM rev ORDER BY r_name, n_name
+    """,
+    doc=(
+        "Hierarchical share-of-parent report: nation revenue as a share of "
+        "its region AND of the grand total — the two-level ratio-to-report "
+        "every drill-down dashboard needs (q27 covers one level). One "
+        "fact aggregation on the dim keys; both share windows run over "
+        "the region×nation aggregate; exact integer cents make both "
+        "engines agree through the divisions."
+    ),
+)
+def q169_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents("l_extendedprice")).alias("rc"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return (
+        rev.select(
+            "r_name",
+            "n_name",
+            F.round(F.lit(1e-9) + F.col("rc").cast("double") / 100, 2).alias("revenue"),
+            F.round(
+                F.lit(1e-9)
+                + F.col("rc").cast("double") / F.sum("rc").over(w_region).cast("double"),
+                6,
+            ).alias("share_of_region"),
+            F.round(
+                F.lit(1e-9)
+                + F.col("rc").cast("double") / F.sum("rc").over(w_all).cast("double"),
+                6,
+            ).alias("share_of_total"),
+        )
+        .transform(present_sorted, "r_name", "n_name")
+    )
