@@ -1459,3 +1459,54 @@ def q169_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "r_name", "n_name")
     )
+
+
+@register(
+    "q170_compounding_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS rc
+      FROM orders GROUP BY month),
+    factors AS (
+      SELECT month,
+             CAST(rc AS DOUBLE) / CAST(lag(rc) OVER (ORDER BY month) AS DOUBLE) AS f
+      FROM monthly)
+    SELECT month,
+           round(1e-9 + 100 * exp(sum(ln(f)) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+             AS index_base100
+    FROM factors WHERE f IS NOT NULL
+    ORDER BY month
+    """,
+    doc=(
+        "Compounding growth index (base 100): monthly revenue ratios "
+        "chained into a cumulative product via the exp-of-summed-logs "
+        "rewrite — SQL's missing PRODUCT() aggregate, expressible because "
+        "revenue factors are strictly positive. Exact integer-cents "
+        "revenues make the ratios identical doubles; all windows run over "
+        "the months-cardinality aggregate."
+    ),
+)
+def q170_compounding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(cents("o_totalprice")).alias("rc"))
+    w = Window.orderBy("month")
+    factors = monthly.select(
+        "month",
+        (
+            F.col("rc").cast("double") / F.lag("rc").over(w).cast("double")
+        ).alias("f"),
+    ).filter(F.col("f").isNotNull())
+    w_cum = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        factors.select(
+            "month",
+            F.round(
+                F.lit(1e-9) + 100 * F.exp(F.sum(F.log("f")).over(w_cum)), 4
+            ).alias("index_base100"),
+        )
+        .transform(present_sorted, "month")
+    )

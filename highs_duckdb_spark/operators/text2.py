@@ -569,3 +569,122 @@ def t23_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.lit(1e-9) + F.sum(term), 6).alias("js_nats"))
         .transform(present_sorted, "src_a", "src_b")
     )
+
+
+@register(
+    "dq15_split_leakage_audit",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 300),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END AS g
+      FROM base),
+    hashes AS (SELECT doc_id,
+                      list_transform(g, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+               FROM grams),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4
+               THEN list_distinct([list_min(h[i:i+3]) FOR i IN range(1, len(h) - 2)])
+               ELSE [list_min(h)] END AS fps
+      FROM hashes),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM base),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    leaks AS (
+      SELECT p.n_shared, sa.split AS split_a, sb.split AS split_b
+      FROM pairs p JOIN assigned sa ON sa.doc_id = p.doc_a
+                   JOIN assigned sb ON sb.doc_id = p.doc_b
+      WHERE sa.split <> sb.split)
+    SELECT least(split_a, split_b) AS split_1, greatest(split_a, split_b) AS split_2,
+           CAST(count(*) AS BIGINT) AS n_leaked_pairs,
+           CAST(max(n_shared) AS BIGINT) AS worst_overlap
+    FROM leaks GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    category="quality",
+    doc=(
+        "Split-leakage audit on NEAR-duplicates: document pairs sharing "
+        "≥ 2 winnowed fingerprints (t21's exact MOSS rule) whose members "
+        "landed in DIFFERENT p02 hash splits — the leakage hash-based "
+        "splitting cannot prevent, reported per split pair with the worst "
+        "overlap depth. Exact duplicates would be caught by d01; this is "
+        "the harder, quieter leak. Same fingerprint bucket join as t21 "
+        "plus two broadcast split lookups."
+    ),
+)
+def dq15_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    gram_at = lambda i: F.concat_ws(
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+    )
+    grams = F.when(
+        n >= 3, F.transform(F.sequence(F.lit(1), n - 2), gram_at)
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    h = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    )
+    base = docs.select("doc_id", h.alias("h")).localCheckpoint(eager=True)
+    nh = F.size(F.col("h"))
+    fps = F.when(
+        nh >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nh - 3),
+                lambda i: F.array_min(F.slice(F.col("h"), i, 4)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(F.col("h"))))
+    fp = base.select("doc_id", F.explode(fps).alias("fp"))
+    a = fp.select("fp", F.col("doc_id").alias("doc_a"))
+    b = fp.select("fp", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    assigned = docs.select("doc_id", split.alias("split"))
+    sa = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_1"),
+            F.greatest("split_a", "split_b").alias("split_2"),
+        )
+        .agg(
+            F.count("*").alias("n_leaked_pairs"),
+            F.max("n_shared").cast("bigint").alias("worst_overlap"),
+        )
+        .transform(present_sorted, "split_1", "split_2")
+    )
