@@ -977,3 +977,68 @@ def qs16_stream_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         out, "sink string, n_rows bigint, id_sum bigint"
     ).orderBy("sink")
+
+
+@register(
+    "qs17_stream_stream_left_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                  - INTERVAL 2 HOUR AS w),
+    matched AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM c JOIN p ON c.user_id = p.user_id
+                   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR),
+    unmatched AS (
+      SELECT c.user_id, c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+      FROM c, wm
+      WHERE c.event_id NOT IN (SELECT click_id FROM matched)
+        AND c.ts + INTERVAL 2 HOUR <= wm.w)
+    SELECT user_id, click_id, purchase_id FROM matched
+    UNION ALL
+    SELECT user_id, click_id, purchase_id FROM unmatched
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    category="streaming",
+    doc=(
+        "Watermarked LEFT OUTER stream-stream join — the semantics inner "
+        "joins hide: a click's null-extended row may only be emitted once "
+        "the joint watermark proves no purchase can still arrive inside "
+        "its 2-hour horizon, so clicks near the end of the stream stay "
+        "withheld forever. The oracle models that exactly: matched pairs "
+        "plus unmatched clicks whose window closed under the final joint "
+        "watermark min(max click ts, max purchase ts) − 2 h (validated "
+        "empirically; no event aligns with the watermark boundary at "
+        "either graded SF). State stays bounded by the watermark + "
+        "interval horizon on both sides."
+    ),
+)
+def qs17_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOURS"),
+        "left_outer",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    table = f"stream_louter_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(joined, table, "append")
+    return spark.table(table).orderBy("user_id", "click_id", "purchase_id")
