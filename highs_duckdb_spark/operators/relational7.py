@@ -1510,3 +1510,45 @@ def q170_compounding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "month")
     )
+
+
+@register(
+    "q171_revenue_concentration",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS pc,
+             cume_dist() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS cd
+      FROM orders)
+    SELECT CAST(count(*) FILTER (WHERE cd <= 0.01) AS BIGINT) AS n_top1pct,
+           round(1e-9 + CAST(sum(pc) FILTER (WHERE cd <= 0.01) AS DOUBLE)
+                 / CAST(sum(pc) AS DOUBLE), 6) AS top1pct_share,
+           round(1e-9 + CAST(sum(pc) FILTER (WHERE cd <= 0.10) AS DOUBLE)
+                 / CAST(sum(pc) AS DOUBLE), 6) AS top10pct_share
+    FROM ranked
+    """,
+    doc=(
+        "Revenue concentration (whale analysis): the share of total order "
+        "value carried by the top 1% and top 10% of orders, via "
+        "cume_dist() with a deterministic orderkey tiebreak and FILTER-"
+        "clause conditional sums — the Pareto question behind capacity "
+        "planning and fraud thresholds. cume_dist is exact rational "
+        "(rank/count) so the percentile cuts are engine-identical; sums "
+        "are exact integer cents."
+    ),
+)
+def q171_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = orders.select(
+        cents("o_totalprice").alias("pc"), F.cume_dist().over(w).alias("cd")
+    )
+    top = lambda q: F.sum(F.when(F.col("cd") <= q, F.col("pc")))
+    return ranked.agg(
+        F.count(F.when(F.col("cd") <= 0.01, 1)).cast("bigint").alias("n_top1pct"),
+        F.round(
+            F.lit(1e-9) + top(0.01).cast("double") / F.sum("pc").cast("double"), 6
+        ).alias("top1pct_share"),
+        F.round(
+            F.lit(1e-9) + top(0.10).cast("double") / F.sum("pc").cast("double"), 6
+        ).alias("top10pct_share"),
+    )
