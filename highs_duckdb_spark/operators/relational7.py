@@ -1533,22 +1533,61 @@ def q170_compounding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clause conditional sums — the Pareto question behind capacity "
         "planning and fraud thresholds. cume_dist is exact rational "
         "(rank/count) so the percentile cuts are engine-identical; sums "
-        "are exact integer cents."
+        "are exact integer cents. Spark side never windows the raw fact: "
+        "with the orderkey tiebreak every rank is distinct, so cd = rn/N "
+        "and the cut counts m(q) = max{rn : double(rn/N) <= q} depend only "
+        "on N — computed driver-side with IEEE-identical Python floats — "
+        "while the top-m cent sums come from cumulative counts over the "
+        "per-distinct-price aggregate (rows tied on price carry identical "
+        "pc, so the partial group contributes (m - cum_before) * pc "
+        "exactly). The window runs over the price-cardinality table, "
+        "matching the q138/q160 windows-over-bounded-aggregates "
+        "discipline instead of a single-partition sort of the fact."
     ),
 )
 def q171_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    ranked = orders.select(
-        cents("o_totalprice").alias("pc"), F.cume_dist().over(w).alias("cd")
+    n_total = orders.count()
+
+    def m_cut(q: float) -> int:
+        # max rank whose IEEE-double cume_dist rn/N is <= q (exactly the
+        # set of rows DuckDB's cd <= q keeps, since ranks are distinct)
+        m = int(q * n_total)
+        while m + 1 <= n_total and (m + 1) / n_total <= q:
+            m += 1
+        while m >= 1 and m / n_total > q:
+            m -= 1
+        return m
+
+    m1, m10 = m_cut(0.01), m_cut(0.10)
+    per = orders.groupBy("o_totalprice").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(cents("o_totalprice")).alias("spc")
     )
-    top = lambda q: F.sum(F.when(F.col("cd") <= q, F.col("pc")))
-    return ranked.agg(
-        F.count(F.when(F.col("cd") <= 0.01, 1)).cast("bigint").alias("n_top1pct"),
+    w = Window.orderBy(F.desc("o_totalprice")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "cnt",
+        "spc",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    take = lambda m: F.greatest(
+        F.lit(0), F.least(F.col("cnt"), F.lit(m) - F.col("cum_before"))
+    )
+    # all rows in a price group share pc, so per-row pc = spc/cnt exactly
+    pc_one = (F.col("spc") / F.col("cnt")).cast("bigint")
+    return cum.agg(
+        F.lit(m1).cast("bigint").alias("n_top1pct"),
         F.round(
-            F.lit(1e-9) + top(0.01).cast("double") / F.sum("pc").cast("double"), 6
+            F.lit(1e-9)
+            + F.sum(take(m1) * pc_one).cast("double")
+            / F.sum("spc").cast("double"),
+            6,
         ).alias("top1pct_share"),
         F.round(
-            F.lit(1e-9) + top(0.10).cast("double") / F.sum("pc").cast("double"), 6
+            F.lit(1e-9)
+            + F.sum(take(m10) * pc_one).cast("double")
+            / F.sum("spc").cast("double"),
+            6,
         ).alias("top10pct_share"),
     )

@@ -379,8 +379,10 @@ def q161_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.schema(schema).option("mode", mode.upper()).csv(path)
         agg = df.agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
-            F.sum("event_id").alias("id_sum"),
+            F.coalesce(
+                F.sum(F.col("value").isNull().cast("long")), F.lit(0)
+            ).alias("n_null_value"),
+            F.coalesce(F.sum("event_id"), F.lit(0)).alias("id_sum"),
         ).collect()[0]
         rows.append(
             (mode, int(agg["n_rows"]), int(agg["n_null_value"]), int(agg["id_sum"]))

@@ -970,8 +970,12 @@ def qs16_stream_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame
     q.awaitTermination()
     out = []
     for sink, path in (("clean", clean_dir), ("quarantine", quar_dir)):
+        # coalesce: an empty sink (no event_id in its residue class) must
+        # report a zero row, not crash int(None) — matches the oracle's
+        # NULL-free FILTER semantics
         agg = spark.read.parquet(path).agg(
-            F.count("*").alias("n"), F.sum("event_id").alias("s")
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("event_id"), F.lit(0)).alias("s"),
         ).collect()[0]
         out.append((sink, int(agg["n"]), int(agg["s"])))
     return spark.createDataFrame(

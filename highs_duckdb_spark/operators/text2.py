@@ -243,16 +243,18 @@ def dq11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         K = 400
         # Tokenize EXACTLY like the JVM recount and the DuckDB oracle:
         # Java/RE2 \s is ASCII-only ([ \t\n\x0B\f\r]), so split under
-        # re.ASCII and strip only those characters — a Unicode space
-        # (e.g. U+00A0) must stay INSIDE a token on all three paths, or
-        # the candidate-superset guarantee and the share denominator
-        # silently break on non-ASCII corpora.
-        ascii_ws = " \t\n\x0b\x0c\r"
+        # re.ASCII — a Unicode space (e.g. U+00A0) must stay INSIDE a
+        # token on all three paths. Strip ONLY ' ' (space): both Spark's
+        # trim() and DuckDB's trim() strip the space character alone, so
+        # a leading/trailing tab or newline yields an empty-string token
+        # on those paths and must do so here too, or the total-token
+        # denominator n and the candidate-superset guarantee silently
+        # diverge on such corpora.
         for pdf in batches:
             counters: dict[str, int] = {}
             n_batch = 0
             for text in pdf["text"]:
-                toks = re.split(r"\s+", text.strip(ascii_ws).lower(), flags=re.ASCII)
+                toks = re.split(r"\s+", text.strip(" ").lower(), flags=re.ASCII)
                 n_batch += len(toks)
                 for t in toks:
                     if t in counters:

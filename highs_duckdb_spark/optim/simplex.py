@@ -349,11 +349,10 @@ def solve_lp(
             y[src] += sign * yv
     reduced = c - a_dense.T @ y if a_dense.size else c.copy()
     reduced[np.abs(reduced) < 1e-11] = 0.0
-    try:
-        binv = np.linalg.inv(B)
-    except np.linalg.LinAlgError:
-        binv = None
-    info = (xB, binv, row_src_kept) if binv is not None else None
+    # Store the basis FACTORS, not B⁻¹: only rhs_ranging consumes them, so
+    # the O(m³) inversion is deferred there instead of taxing every solve
+    # (including the bulk solve_many path) with a dense inverse it never uses.
+    info = (xB, B, row_src_kept)
     return LPResult("Optimal", x, reduced, float(c @ x), y, basis_info=info)
 
 
@@ -376,7 +375,19 @@ def rhs_ranging(res: LPResult) -> dict[int, tuple[float, float]]:
     """
     if res.status != "Optimal" or res.basis_info is None:
         return {}
-    xB, binv, row_src_kept = res.basis_info
+    xB, B, row_src_kept = res.basis_info
+    # Lazy inversion (solve per the identity, cheaper + more stable than
+    # inv), guarded: np.linalg.inv/solve only raise on EXACT singularity —
+    # a near-singular final basis would return garbage silently, so reject
+    # ill-conditioned bases and verify the residual before trusting B⁻¹.
+    try:
+        if np.linalg.cond(B) > 1e12:
+            return {}
+        binv = np.linalg.solve(B, np.eye(B.shape[0]))
+    except np.linalg.LinAlgError:
+        return {}
+    if float(np.max(np.abs(B @ binv - np.eye(B.shape[0])))) > 1e-6:
+        return {}
     out: dict[int, tuple[float, float]] = {}
     for r, (src, sign) in enumerate(row_src_kept):
         if src < 0:
