@@ -241,20 +241,26 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Band-join on compact (band, bucket, doc_id) rows only: the shingle
     # arrays do NOT ride through the join or the pair-dedup (shuffling and
-    # sort-deduping array columns dominated the old plan), then the (small)
-    # signature table is broadcast back onto the deduped pairs for exact
-    # Jaccard verification.
+    # sort-deduping array columns dominated the old plan), then the shingle
+    # table is joined back onto the deduped pairs for exact Jaccard
+    # verification as a CO-PARTITIONED shuffled-hash join on doc_id (the
+    # d10 pattern): the signature table is corpus-sized at scale, so it
+    # must never sit under a BroadcastExchange — the shuffle_hash hint also
+    # stops AQE from flipping the demo-sized build side back to broadcast,
+    # keeping the tested plan the 100-TB plan.
     left = bands.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     right = bands.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     cand = (
-        left.join(right, ["band", "bucket"])
+        left.join(right.hint("shuffle_hash"), ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
     sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = cand.join(F.broadcast(sh_a), "doc_a").join(F.broadcast(sh_b), "doc_b")
+    verified = cand.join(sh_a.hint("shuffle_hash"), "doc_a").join(
+        sh_b.hint("shuffle_hash"), "doc_b"
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (

@@ -263,8 +263,14 @@ def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
     )
+    # Broadcast the query side (bounded by the vec_id < N_QUERIES literal at
+    # any SF): with only PLANES_PER_BAND sign bits per band the bucket
+    # space is tiny (2^3 × 8 bands = 64 keys), so a shuffle join on
+    # (band, bucket) would put ~corpus/64 rows in one task at 100 TB —
+    # broadcasting the queries keeps the corpus map-side and makes bucket
+    # skew irrelevant (audited in tests/test_skew_audit.py).
     cands = (
-        banded.join(queries, ["band", "bucket"])
+        banded.join(F.broadcast(queries), ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

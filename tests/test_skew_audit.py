@@ -1,0 +1,83 @@
+"""LSH bucket-skew audits — the band-bucket joins are the 100-TB hot path.
+
+Two very different regimes, each audited the way it scales:
+
+- d03 (MinHash over shingles): the bucket space grows with the corpus
+  (band-hash of 4 signature minima), so the scale contract is a
+  *distributional* one — no hot bucket, candidate-pair work linear in the
+  corpus. Measured at the graded sf0.1 on the FULL documents table (no demo
+  bound).
+- s02 (hyperplane LSH over embeddings): the bucket space is FIXED
+  (2^PLANES_PER_BAND per band = 64 keys total), so bucket sizes are ~n/8 by
+  construction and no distributional bound can hold. The scale contract is
+  a *plan* one: the bounded query side must broadcast so the corpus never
+  shuffles on (band, bucket) — bucket skew then costs nothing because hot
+  buckets stay spread across whatever partitions the corpus already has.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from highs_duckdb_spark.session import ensure_shipped, load_table
+
+SF01 = "/root/testdata/sf0.1"
+SF = "/root/testdata/sf0.001"
+
+
+def test_d03_bucket_skew_bounded_at_sf01(spark):
+    from highs_duckdb_spark.operators.dedup import (
+        _minhash_buckets_udf_factory,
+        _shingles,
+    )
+
+    ensure_shipped(spark)
+    docs = load_table(spark, "documents", SF01)
+    n_docs = docs.count()
+    udf = _minhash_buckets_udf_factory()
+    sigs = docs.select("doc_id", _shingles(F.col("text"), 3).alias("sh")).select(
+        "doc_id", udf("sh").alias("buckets")
+    )
+    bands = sigs.select(F.posexplode("buckets").alias("band", "bucket"))
+    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    r = sizes.agg(
+        F.max("n").alias("mx"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+    ).first()
+    # measured at sf0.1: max bucket 15 (0.3% of 5000 docs), 2744 pairs
+    # (0.55 per doc). The caps below are ~3x headroom; if a future corpus
+    # breaks them, the candidate join needs salting / a hot-bucket cap.
+    assert r["mx"] <= max(50, n_docs // 100), r
+    assert r["pairs"] <= 2 * n_docs, r
+
+
+def test_s02_corpus_never_shuffles_on_bucket(spark):
+    from highs_duckdb_spark.operators.similarity import s02_ann_lsh_topk
+
+    df = s02_ann_lsh_topk(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the candidate join is queries-broadcast: corpus side map-only
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "hashpartitioning(band" not in plan, plan[:3000]
+    # and only the bounded (vec_id < N_QUERIES) side sits under a broadcast
+    for seg in plan.split("BroadcastExchange")[1:]:
+        built = seg.split("BroadcastHashJoin")[0]
+        assert "vec_id" not in built or "500" in built or "Filter" in built, (
+            plan[:3000]
+        )
+
+
+def test_d03_verification_join_never_broadcasts_corpus(spark):
+    """VERDICT r02: the exact-Jaccard verification used to broadcast the
+    corpus-sized signature table (valid only under the demo bound). Now all
+    three d03 joins — band self-join and both shingle joins — must be
+    co-partitioned shuffled-hash joins, with NO BroadcastExchange anywhere
+    (the shuffle_hash hints also stop AQE from flipping the demo-sized
+    sides back to broadcast)."""
+    from highs_duckdb_spark.operators.dedup import d03_minhash_lsh_pairs
+
+    ensure_shipped(spark)
+    df = d03_minhash_lsh_pairs(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan[:3000]
+    assert plan.count("ShuffledHashJoin") >= 3, plan[:3000]
