@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.session import ensure_shipped, load_table
 
 
 def _as_double(col):
@@ -189,19 +189,50 @@ def _assign_udf_factory(centroids):
     return F.pandas_udf(kernel, "long")
 
 
+def _kmeans_partials_factory(centroids):
+    """Fused assign + per-batch partial-sum kernel: each Arrow batch yields
+    at most k rows (cluster, cnt, vsum) — the map-side combine of Lloyd's.
+    Closure-captured centroids ship by value (cloudpickle), no module
+    re-resolution on workers."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            cl = (-2.0 * (mat @ c.T) + c_norm2).argmin(axis=1)
+            rows = []
+            for k in np.unique(cl):
+                sel = mat[cl == k]
+                rows.append((int(k), int(len(sel)), sel.sum(axis=0).tolist()))
+            yield pd.DataFrame(rows, columns=["cluster", "cnt", "vsum"])
+
+    return fn
+
+
 @register(
     "v04_kmeans_lite",
     oracle=None,  # iterative; determinism + inertia descent asserted in pytest
     category="similarity",
     doc=(
         "K-means (Lloyd's) over embeddings: deterministic init (vec_id 0..k-1), "
-        "5 rounds of broadcast-centroid assignment (BLAS batch matmul in a "
-        "pandas UDF) + (cluster, dim)-keyed centroid recompute. The driver "
-        "holds only the k×dim centroid matrix between rounds — assignments "
-        "and sums stay distributed."
+        "5 rounds where each round is ONE map-only job — a fused "
+        "assign+partial-sum mapInPandas kernel emitting ≤k rows per Arrow "
+        "batch (the map-side combine), collected and reduced driver-side in "
+        "deterministic sorted order. No shuffle per round (the old "
+        "posexplode+groupBy recompute shuffled n×dim rows every round), and "
+        "every round's plan hangs directly off the single checkpointed scan, "
+        "so lineage depth is constant in the round count. The driver holds "
+        "only k×dim floats between rounds."
     ),
 )
 def v04_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
@@ -209,25 +240,27 @@ def v04_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [
         r["v"] for r in emb.filter(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
     ]
-    assigned = None
+    import numpy as np
+
+    dim = len(centroids[0])
     for _ in range(KMEANS_ROUNDS):
-        assign = _assign_udf_factory(centroids)
-        assigned = emb.withColumn("cluster", assign(F.col("v")))
-        flat = assigned.select(
-            "cluster", F.posexplode(F.col("v")).alias("dim", "val")
-        )
-        new_c = (
-            flat.groupBy("cluster", "dim")
-            .agg((F.sum("val") / F.count("*")).alias("c"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in new_c:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["c"]
+        partials = emb.select("v").mapInPandas(
+            _kmeans_partials_factory(centroids),
+            "cluster long, cnt long, vsum array<double>",
+        ).collect()
+        # deterministic reduce: sort partials by full content before summing
+        partials.sort(key=lambda r: (r["cluster"], r["cnt"], tuple(r["vsum"])))
+        sums = np.zeros((K_CLUSTERS, dim))
+        cnts = np.zeros(K_CLUSTERS, dtype=np.int64)
+        for r in partials:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            cnts[r["cluster"]] += r["cnt"]
         centroids = [
-            [by_cluster.get(k, {}).get(d, centroids[k][d]) for d in range(len(centroids[0]))]
+            (sums[k] / cnts[k]).tolist() if cnts[k] else centroids[k]
             for k in range(K_CLUSTERS)
         ]
+    assign = _assign_udf_factory(centroids)
+    assigned = emb.withColumn("cluster", assign(F.col("v")))
     return assigned.select("vec_id", "label", "cluster").orderBy("vec_id")
 
 

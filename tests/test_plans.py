@@ -474,3 +474,34 @@ def test_q151_pit_join_is_equi_join(spark):
     plan = formatted_plan(q151_point_in_time_join(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_v04_kmeans_bounded_lineage_and_maponly_rounds(spark):
+    """VERDICT r02: k-means rounds must not deepen lineage. The returned
+    plan hangs directly off the checkpointed scan (no parquet rescans, no
+    per-round stacking), and a round's partial-sum job is map-only — zero
+    Exchange (the old posexplode+groupBy recompute shuffled n×dim rows
+    per round)."""
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.operators.vectors import (
+        _as_double,
+        _kmeans_partials_factory,
+        v04_kmeans_lite,
+    )
+    from highs_duckdb_spark.session import load_table
+
+    final = v04_kmeans_lite(spark, SF)
+    plan = final._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan[:2000]  # checkpoint-pinned
+    assert plan.count("ArrowEvalPython") <= 1, plan[:2000]  # one assign pass
+
+    emb = load_table(spark, "embeddings", SF).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=True)
+    cents = [r["v"] for r in emb.filter(F.col("vec_id") < 5).collect()]
+    round_job = emb.select("v").mapInPandas(
+        _kmeans_partials_factory(cents), "cluster long, cnt long, vsum array<double>"
+    )
+    rplan = round_job._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in rplan, rplan[:2000]
