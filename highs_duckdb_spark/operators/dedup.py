@@ -13,9 +13,9 @@ Scale design:
   candidate verification joins only within buckets, never all-pairs.
 - **N-gram Jaccard** is the exact (quadratic-within-shared-shingle) variant
   used as the verification oracle for the approximate methods.
-- **SimHash** packs a 64-bit signature via a vectorized pandas UDF (numpy
+- **SimHash** packs a 60-bit md5-based signature via a vectorized pandas UDF (numpy
   bit-twiddling), then finds near-pairs by banding the signature into
-  16-bit chunks — Hamming-distance ≤ r pairs must collide on ≥1 chunk for
+  15-bit chunks — Hamming-distance ≤ r pairs must collide on ≥1 chunk for
   r < 4 chunks (pigeonhole), so candidate generation is again a bucket
   join, not a cross join.
 """
@@ -171,24 +171,39 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return with_base.select("doc_id", "shingles", sig.alias("sig"))
 
 
+def _md5_32(s: str) -> int:
+    """Engine-neutral 32-bit hash: first 8 hex chars of md5.
+    Spark equivalent: conv(substr(md5(x),1,8),16,10); DuckDB:
+    ('0x'||substr(md5(x),1,8))::BIGINT — bit-identical in all three."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
 def _minhash_buckets_udf_factory():
     """Fused minhash+banding kernel: shingle array → BANDS bucket hashes.
 
-    One Arrow batch at a time: FNV-hash each shingle once (memoized across
-    the batch), apply the NUM_PERM affine permutations as a single
-    (perms × shingles) uint64 matrix op (wraparound mod 2^64 — odd
-    multipliers keep each map a bijection), take row minima, then hash each
-    band's ROWS_PER_BAND minima into one bucket id. Replaces a 32-way
-    array_min(transform(...)) Catalyst tree whose per-fresh-plan
-    analysis+codegen cost (~0.6 s) dwarfed its 60 ms of execution.
+    One Arrow batch at a time: md5-hash each shingle once (memoized across
+    the batch) into an ENGINE-NEUTRAL 32-bit base (see _md5_32 — DuckDB
+    can replicate it exactly, which is what upgrades d03 from rows-only to
+    hash-checked), apply the NUM_PERM affine permutations mod the Mersenne
+    prime as a single (perms × shingles) uint64 matrix op, take row minima,
+    then md5 the band's ROWS_PER_BAND minima (decimal strings joined by
+    '_', matching the oracle's VARCHAR concat) into one bucket id.
+    Replaces a 32-way array_min(transform(...)) Catalyst tree whose
+    per-fresh-plan analysis+codegen cost (~0.6 s) dwarfed its 60 ms of
+    execution.
 
     Factory-closure pattern (like the simhash/LSH kernels): the closure is
     cloudpickled by value, so workers never need to re-resolve it by module
     path."""
+    import hashlib
+
     import numpy as np
 
-    a = np.array(_PERM_A, dtype=np.uint64) | np.uint64(1)
+    a = np.array(_PERM_A, dtype=np.uint64)
     b = np.array(_PERM_B, dtype=np.uint64)
+    p = np.uint64(_MERSENNE_P)
 
     def kernel(shingles: pd.Series) -> pd.Series:
         memo: dict[str, int] = {}
@@ -198,15 +213,19 @@ def _minhash_buckets_udf_factory():
                 out.append([0] * BANDS)
                 continue
             hs = np.fromiter(
-                (memo.setdefault(s, _fnv1a64(s.encode())) for s in sh),
+                (memo.setdefault(s, _md5_32(s) % _MERSENNE_P) for s in sh),
                 dtype=np.uint64,
                 count=len(sh),
             )
-            sig = (a[:, None] * hs[None, :] + b[:, None]).min(axis=1)
+            # a < 2^7, h < 2^31, b < 2^26: products stay far below 2^64
+            sig = ((a[:, None] * hs[None, :] + b[:, None]) % p).min(axis=1)
             buckets = []
             for band in range(BANDS):
-                h = _fnv1a64(sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND].tobytes())
-                buckets.append(h - 2**64 if h >= 2**63 else h)  # to signed long
+                key = "_".join(
+                    str(int(m))
+                    for m in sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+                )
+                buckets.append(int(hashlib.md5(key.encode()).hexdigest()[:8], 16))
             out.append(buckets)
         return pd.Series(out, dtype=object)
 
@@ -214,14 +233,75 @@ def _minhash_buckets_udf_factory():
     return F.pandas_udf(kernel, "array<long>")
 
 
+def _d03_oracle_sql() -> str:
+    """DuckDB replication of the full d03 pipeline — shingles, md5-based
+    minhash signatures, band buckets, candidate join, exact-Jaccard
+    verification — generated from the same _PERM_A/_PERM_B constants the
+    kernel closes over, so the two engines compute the SAME signatures."""
+    mins = ",\n             ".join(
+        f"list_min(list_transform(h, x -> ({_PERM_A[i]}*x + {_PERM_B[i]}) % {_MERSENNE_P}))"
+        for i in range(NUM_PERM)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN length(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, length(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 300)
+    ),
+    hb AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {_MERSENNE_P}) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             [{mins}] AS sg
+      FROM hb
+    ),
+    bands AS (
+      SELECT doc_id, shingles, b.band,
+             ('0x' || substr(md5(
+                sg[{ROWS_PER_BAND}*b.band+1]::VARCHAR || '_' ||
+                sg[{ROWS_PER_BAND}*b.band+2]::VARCHAR || '_' ||
+                sg[{ROWS_PER_BAND}*b.band+3]::VARCHAR || '_' ||
+                sg[{ROWS_PER_BAND}*b.band+4]::VARCHAR), 1, 8))::BIGINT AS bucket
+      FROM sig, (SELECT unnest(range(0, {BANDS})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(length(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS inter,
+             CAST(length(x.shingles) + length(y.shingles)
+                  - length(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS uni
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(1e-9 + inter / uni, 6) AS jaccard
+    FROM ver WHERE inter / uni >= 0.05
+    ORDER BY doc_a, doc_b
+    """
+
+
 @register(
     "d03_minhash_lsh_pairs",
-    oracle=None,  # engine-specific hash (xxhash64 seeds); verified in pytest against d02 ground truth
+    oracle=_d03_oracle_sql(),
     category="dedup",
     doc=(
         "MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup candidate pairs, "
         "verified with exact Jaccard ≥ 0.05. Bucket-join candidate generation — "
-        "no all-pairs comparison."
+        "no all-pairs comparison. Hash-checked end-to-end: the md5-based "
+        "base hashes and band buckets are engine-neutral, so the DuckDB "
+        "oracle replicates the exact signatures (not just the verified "
+        "pair set)."
     ),
 )
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,28 +359,70 @@ def _fnv1a64(data: bytes) -> int:
     return h
 
 
+#: SimHash geometry: 60 signature bits (= 15 md5 hex chars, so the token
+#: hash is engine-neutral and always positive in a signed 64-bit lane),
+#: banded into 4 chunks of 15 bits — pigeonhole-complete for Hamming ≤ 3.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+
+#: shared oracle CTE: tokens → md5 60-bit hashes → ±1 votes → signature.
+#: Replicates _simhash_pandas bit-for-bit (ties at vote 0 yield bit 0).
+_SIMHASH_SIG_CTES = f"""
+    toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS tk
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(
+               [CASE WHEN list_sum([CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END
+                                    FOR x IN h]) > 0
+                     THEN 1::BIGINT << j ELSE 0 END
+                FOR j IN range(0, {SIMHASH_BITS})]), 0) AS BIGINT) AS simhash
+      FROM hs
+    )"""
+
+
 def _simhash_pandas(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text, computed per Arrow batch.
+    """60-bit md5-based SimHash per text, computed per Arrow batch.
 
     Two passes over the batch: (1) tokenize, interning each unique token's
-    ±1 bit-vote row ONCE (FNV hash → 64 int8 votes, memoized — synthetic
-    corpora share a small vocabulary so this amortizes to ~0); (2) one
-    numpy gather+sum per document replaces the old per-token Python loop
-    over 64 bits (~3x faster kernel, bit-identical signatures: ties at
-    vote 0 still yield bit 0)."""
+    ±1 bit-vote row ONCE (md5 60-bit hash → int8 votes, memoized —
+    synthetic corpora share a small vocabulary so this amortizes to ~0);
+    (2) one numpy gather+sum per document replaces a per-token Python loop
+    over the bits (signatures bit-identical to the DuckDB oracle's
+    _SIMHASH_SIG_CTES: ties at vote 0 still yield bit 0)."""
+    import hashlib
+    import re
+
     import numpy as np
 
     token_idx: dict[str, int] = {}
     vote_rows: list["np.ndarray"] = []
-    shifts = np.arange(64, dtype=np.uint64)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     doc_idxs: list[list[int]] = []
     for t in texts:
-        toks = set((t or "").lower().split())
+        # ASCII-\s split with empties dropped == DuckDB
+        # list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')
+        toks = {
+            x for x in re.split(r"\s+", (t or "").lower(), flags=re.ASCII) if x
+        }
         idxs = []
         for tok in toks:
             i = token_idx.get(tok)
             if i is None:
-                h = _fnv1a64(tok.encode())
+                # engine-neutral 60-bit token hash: first 15 hex chars of
+                # md5 (= DuckDB ('0x'||substr(md5(t),1,15))::BIGINT) —
+                # always positive, so no signed-wrap mismatch across engines
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
                 i = len(vote_rows)
                 token_idx[tok] = i
                 vote_rows.append(
@@ -309,7 +431,9 @@ def _simhash_pandas(texts: pd.Series) -> pd.Series:
             idxs.append(i)
         doc_idxs.append(idxs)
     votes = (
-        np.stack(vote_rows).astype(np.int32) if vote_rows else np.zeros((0, 64), np.int32)
+        np.stack(vote_rows).astype(np.int32)
+        if vote_rows
+        else np.zeros((0, SIMHASH_BITS), np.int32)
     )
     out = []
     for idxs in doc_idxs:
@@ -318,42 +442,71 @@ def _simhash_pandas(texts: pd.Series) -> pd.Series:
             continue
         acc = votes[idxs].sum(axis=0)
         v = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-        if v >= 1 << 63:  # wrap to signed int64 for Spark LongType
-            v -= 1 << 64
-        out.append(v)
+        out.append(v)  # < 2^60: always a valid positive int64
     return pd.Series(out, dtype="int64")
 
 
 @register(
     "d04_simhash",
-    oracle=None,  # bit-level custom hash; determinism asserted in pytest
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES}
+    SELECT doc_id, simhash,
+           {", ".join(f"CAST((simhash >> {CHUNK_BITS * i}) & {(1 << CHUNK_BITS) - 1} AS BIGINT) AS chunk{i}" for i in range(SIMHASH_CHUNKS))}
+    FROM sig ORDER BY doc_id
+    """,
     category="dedup",
-    doc="64-bit SimHash signature per document (FNV-1a token hashes, ±1 bit votes) via a vectorized pandas UDF.",
+    doc=(
+        "60-bit md5-based SimHash signature per document (±1 bit votes over "
+        "distinct tokens) via a vectorized pandas UDF — engine-neutral "
+        "hashing, so the DuckDB oracle replicates the exact signatures and "
+        "the query is hash-checked, not rows-only."
+    ),
 )
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
     docs = load_table(spark, "documents", sf_dir)
     simhash = F.pandas_udf(_simhash_pandas, "long")
     df = docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
-    # Expose the 4 × 16-bit chunks used for banded near-pair search.
+    # Expose the 4 × 15-bit chunks used for banded near-pair search.
     chunks = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * i) % F.lit(65536).cast("bigint"))
+        (
+            F.shiftrightunsigned(F.col("simhash"), CHUNK_BITS * i)
+            % F.lit(1 << CHUNK_BITS).cast("bigint")
+        )
         .cast("bigint")
         .alias(f"chunk{i}")
-        for i in range(4)
+        for i in range(SIMHASH_CHUNKS)
     ]
     return df.select("doc_id", "simhash", *chunks).orderBy("doc_id")
 
 
 @register(
     "d05_simhash_near_pairs",
-    oracle=None,
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES},
+    chunks AS (
+      SELECT doc_id, simhash, c.ci,
+             (simhash >> ({CHUNK_BITS} * c.ci)) & {(1 << CHUNK_BITS) - 1} AS cv
+      FROM sig, (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS ci) c
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM chunks a JOIN chunks b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
     category="dedup",
     doc=(
-        "SimHash near-duplicate pairs: candidates collide on ≥1 of 4 16-bit "
+        "SimHash near-duplicate pairs: candidates collide on ≥1 of 4 15-bit "
         "chunks (pigeonhole ⇒ complete for Hamming ≤ 3), then exact Hamming "
         "filter ≤ 3 — bucket join, no all-pairs; the output is exactly the "
-        "full Hamming ≤ 3 pair set (wider radii would need narrower bands)."
+        "full Hamming ≤ 3 pair set (wider radii would need narrower bands). "
+        "Hash-checked against a DuckDB oracle computing the same md5-based "
+        "signatures."
     ),
 )
 def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,11 +523,11 @@ def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(i).alias("chunk_id"),
                         (
-                            F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                            % F.lit(65536).cast("bigint")
+                            F.shiftrightunsigned(F.col("simhash"), CHUNK_BITS * i)
+                            % F.lit(1 << CHUNK_BITS).cast("bigint")
                         ).alias("chunk_val"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("c"),
@@ -392,7 +545,7 @@ def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .distinct()
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
-        # 4×16-bit banding is pigeonhole-complete only for Hamming ≤ 3; a
+        # 4×15-bit banding is pigeonhole-complete only for Hamming ≤ 3; a
         # wider filter would emit a silently-partial pair set (pairs with
         # 4-6 differing bits spread across all four chunks never collide).
         .filter(F.col("hamming") <= 3)
