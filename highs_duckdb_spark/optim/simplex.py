@@ -454,10 +454,33 @@ def solve_milp(
 
     best_obj = np.inf
     best_x: np.ndarray | None = None
-    stack: list[tuple[np.ndarray, np.ndarray]] = [(col_lb0, col_ub0)]
+    # Incumbent warm-start: round the root relaxation's integer vars (clipped
+    # into their boxes); a feasible rounding gives an immediate upper bound
+    # that lets best-first pruning cut whole subtrees from node 1.
+    xi0 = root.x.copy()
+    xi0[is_integer] = np.clip(
+        np.round(xi0[is_integer]), col_lb0[is_integer], col_ub0[is_integer]
+    )
+    if _rows_feasible(xi0) and np.all(xi0 >= col_lb0 - 1e-9) and np.all(
+        xi0 <= col_ub0 + 1e-9
+    ):
+        best_obj, best_x = float(c @ xi0), xi0
+
+    # Best-first search: nodes ordered by their parent's LP bound (a valid
+    # lower bound on every descendant since minimize-only), so the most
+    # promising subproblem is always expanded next and stale nodes whose
+    # bound already exceeds the incumbent are drained without an LP solve.
+    import heapq
+
+    tie = 0
+    heap: list[tuple[float, int, np.ndarray, np.ndarray]] = [
+        (float(root.objective), tie, col_lb0, col_ub0)
+    ]
     nodes = 0
-    while stack and nodes < max_nodes:
-        lb, ub = stack.pop()
+    while heap and nodes < max_nodes:
+        bound, _, lb, ub = heapq.heappop(heap)
+        if bound >= best_obj - 1e-9:
+            continue  # stale: incumbent already beats this subtree's bound
         nodes += 1
         res = solve_lp(c, a_dense, row_lb, row_ub, lb, ub)
         if res.status != "Optimal" or res.objective >= best_obj - 1e-9:
@@ -486,11 +509,17 @@ def solve_milp(
         ub_l[j] = lo
         lb_r = lb.copy()
         lb_r[j] = hi
-        # DFS, exploring the floor branch first
-        stack.append((lb_r, ub))
-        stack.append((lb, ub_l))
+        # children inherit this node's LP objective as their bound; the
+        # floor branch gets the smaller tiebreak so it pops first among
+        # equal bounds — same exploration preference as the old DFS
+        tie += 1
+        heapq.heappush(heap, (float(res.objective), tie, lb, ub_l))
+        tie += 1
+        heapq.heappush(heap, (float(res.objective), tie, lb_r, ub))
 
-    truncated = bool(stack)  # node budget exhausted with subproblems unexplored
+    # Budget exhausted with LIVE subproblems unexplored? Stale nodes (bound
+    # already ≥ incumbent) prove nothing is missed, so they don't truncate.
+    truncated = any(b < best_obj - 1e-9 for b, _, _, _ in heap)
     if best_x is None:
         # Without an incumbent a truncated search proves nothing — only a
         # completed search may claim Infeasible.

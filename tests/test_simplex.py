@@ -219,3 +219,54 @@ def test_milp_rounded_candidate_must_stay_feasible():
     assert r.status == "Optimal"
     assert r.objective == pytest.approx(-1.0, abs=1e-9)
     assert np.asarray(a) @ r.x <= 1.0 + 1e-9
+
+
+def test_milp_16_binary_sweep_vs_exhaustive():
+    """VERDICT r02 item 7: random MIPs with >15 binaries checked against
+    full 2^16 enumeration (vectorized). Covers multi-row instances with
+    two-sided bounds, feasible and infeasible alike; also asserts the
+    returned incumbent is itself feasible."""
+    n = 16
+    grid = np.array(
+        [[(mask >> i) & 1 for i in range(n)] for mask in range(2**n)], dtype=float
+    )
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        c = rng.uniform(-5, 5, n)
+        m = int(rng.integers(1, 4))
+        a = rng.uniform(-2, 3, (m, n))
+        mid = a @ np.full(n, 0.5)
+        if seed % 3 == 2:  # deliberately infeasible band
+            row_lb = mid + 100.0
+            row_ub = mid + 101.0
+        else:
+            row_lb = mid - rng.uniform(0.5, 2.0, m)
+            row_ub = mid + rng.uniform(0.5, 2.0, m)
+        vals = grid @ a.T  # 65536 × m
+        feas = np.all(
+            (vals >= row_lb - 1e-9) & (vals <= row_ub + 1e-9), axis=1
+        )
+        r = solve_milp(
+            c, a, list(row_lb), list(row_ub), [0] * n, [1] * n, [True] * n
+        )
+        if not feas.any():
+            assert r.status == "Infeasible", (seed, r.status)
+            continue
+        best = float((grid[feas] @ c).min())
+        assert r.status == "Optimal", (seed, r.status)
+        assert r.objective == pytest.approx(best, abs=1e-6), seed
+        ax = np.asarray(a) @ r.x
+        assert np.all(ax >= row_lb - 1e-6) and np.all(ax <= row_ub + 1e-6)
+        assert np.all(np.abs(r.x - np.round(r.x)) <= 1e-6)
+
+
+def test_milp_warm_start_prunes_but_stays_exact():
+    """Best-first + rounding incumbent must not change RESULTS, only node
+    counts: a knapsack whose LP rounding is immediately feasible still
+    returns the true optimum (not the rounded warm start)."""
+    c = np.array([-10.0, -6.0, -4.0])
+    a = np.array([[5.0, 4.0, 3.0]])
+    r = solve_milp(c, a, [-INF], [10.0], [0] * 3, [1] * 3, [True] * 3)
+    assert r.status == "Optimal"
+    # enumerate: best is x=(1,1,0) → -16
+    assert r.objective == pytest.approx(-16.0, abs=1e-9)
