@@ -74,18 +74,21 @@ def main() -> None:
     # is worth far more than one scheduling round there.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    # a few hundred MB across 2 post-shuffle partitions: task-scheduling
-    # overhead beats parallelism at this size (8 → 4 → 2 measured
-    # monotonically better, ~6.4-8.0s vs ~8.3s total at 4; 1 regresses —
-    # the reduce stage loses its last bit of overlap); thousands on a
-    # real cluster
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # post-shuffle parallelism: re-measured in round 3 after opt05 learned
+    # to self-repartition and the heavy queries got real per-task work — 6
+    # now beats 2 on the full headline set at sf0.1 (4.45s vs 5.77s; 8
+    # gives 4.60s): q65 0.66→0.53, q20 0.58→0.47, q01 0.52→0.30,
+    # q30 0.41→0.28. At sf≥1 (tools/gen_scale.py data) per-task work is
+    # real and all 32 cores should shuffle. Thousands on a real cluster.
+    spark.conf.set("spark.sql.shuffle.partitions", "6" if (sf or 0) < 1 else "32")
     # sf0.1 parquet files are ~1-11 MB, so the 128 MB default split size
     # makes every scan a single task; 2 MB splits scan row groups in
-    # parallel (measured ~12% over the headline set). At real scale files
-    # are row-group-rich and the default is right — this knob only
-    # compensates for tiny benchmark files.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    # parallel (measured ~12% over the headline set). At sf≥1 the same 2 MB
+    # knob REGRESSES (90 tiny tasks: grouped lineitem agg 0.275s vs 0.166s
+    # at defaults) — per-task overhead swamps the extra parallelism, so use
+    # 16 MB there. At real scale files are row-group-rich and the 128 MB
+    # default is right — this knob only compensates for tiny bench files.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m" if (sf or 0) < 1 else "16m")
 
     # Optional runtime SQLConf overrides for experiments, e.g.
     #   SPARK_GRAFT_EXTRA_SQLCONF="spark.sql.adaptive.enabled=false;k=v"
@@ -158,6 +161,15 @@ def main() -> None:
         except Exception:
             df.collect()  # rare types the Arrow bridge can't express
 
+    # Set-level steady state: one untimed sweep of the whole set before any
+    # measurement. The JVM JIT compiles shared operator internals (shuffle
+    # writers, hash-agg maps, Arrow serde) while running EARLY queries, so
+    # without this sweep measurement order biases late queries faster —
+    # measured ~20% total drift between a session's 1st and 3rd full pass.
+    # Applied identically to every query; DuckDB needs no analog (no JIT).
+    for name in names:
+        materialize(QUERIES[name].builder(spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in names:
         spec = QUERIES[name]
@@ -184,8 +196,11 @@ def main() -> None:
         con = duckdb.connect()
         con.execute(f"SET threads={cpus}")
         for t in TABLES:
+            # gen_scale.py tables are directories of part-files; glob them
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )
         duck: dict[str, float] = {}
         for name in names:

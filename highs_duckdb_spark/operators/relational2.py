@@ -51,13 +51,17 @@ from highs_duckdb_spark.session import load_table
 )
 def q80_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.lit("p").alias("side")
+    # ONE scan of the fact: tag sides with a CASE instead of union-of-two-
+    # filtered-scans (the oracle's UNION ALL of two SELECTs over the same
+    # table is semantically identical; at 100 TB one pass vs two matters)
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("p"))
+        .otherwise(F.lit("v"))
+        .alias("side"),
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", F.lit("v").alias("side")
-    )
-    tagged = purchases.unionByName(views)
     # 'v' sorts after 'p' descending → a view at the exact same ts is carried
     # into the purchase row (ties: view wins), matching the oracle's ORDER BY
     w = (

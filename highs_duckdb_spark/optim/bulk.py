@@ -197,8 +197,20 @@ def solve_packed(packed: DataFrame) -> DataFrame:
     model_name, kind ('v'|'c'|'k'), name, name2, lower_bound, upper_bound,
     obj, vtype, coefficient, ord.
     """
-    ensure_shipped(packed.sparkSession)
-    return packed.groupBy("model_name").applyInPandas(_solve_one_model, BULK_RESULT_SCHEMA)
+    spark = packed.sparkSession
+    ensure_shipped(spark)
+    # LP solves are CPU-bound Python work: spread models across every core
+    # instead of inheriting spark.sql.shuffle.partitions (often tuned low
+    # for tiny exchange stages — e.g. the latency bench uses 2, which would
+    # serialize 200 solves onto 2 workers). The explicit repartition on the
+    # grouping key satisfies applyInPandas' clustering requirement, so no
+    # second exchange is added.
+    width = spark.sparkContext.defaultParallelism
+    return (
+        packed.repartition(width, "model_name")
+        .groupBy("model_name")
+        .applyInPandas(_solve_one_model, BULK_RESULT_SCHEMA)
+    )
 
 
 def solve_from_tables(
