@@ -1010,12 +1010,96 @@ def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL geometry shared by the Spark builder and the DuckDB oracle below:
+#: 32-bit md5-derived hash, m=64 registers (low 6 bits), 26-bit rank word.
+#: Register sums are kept as EXACT integers scaled by 2^27 (rho <= 27, so
+#: 2^(27-rho) is integral) — cross-engine float-summation-order drift is
+#: structurally impossible; the only float ops are one division and one ln.
+_HLL_ALPHA_M2_SCALED = 0.709 * 64 * 64 * 134217728  # alpha_64 * m^2 * 2^27
+
+
 @register(
     "q61_approx_distinct_hll",
-    None,
-    doc="approx_count_distinct (HyperLogLog++) — rows-only check (estimates are engine-specific).",
+    oracle="""
+    WITH h AS (
+        SELECT l_returnflag,
+               ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM lineitem
+    ),
+    regs AS (
+        SELECT l_returnflag, hv % 64 AS reg,
+               max(CASE WHEN hv // 64 = 0 THEN 27
+                        ELSE 27 - length(bin(hv // 64)) END) AS mr
+        FROM h GROUP BY l_returnflag, hv % 64
+    ),
+    z AS (
+        SELECT l_returnflag,
+               sum(CAST(power(2, 27 - mr) AS BIGINT))
+                   + (64 - count(*)) * 134217728 AS zs,
+               64 - count(*) AS v
+        FROM regs GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round(1e-9 + CASE WHEN 0.709 * 64 * 64 * 134217728 / zs <= 160 AND v > 0
+                             THEN 64 * ln(64.0 / v)
+                             ELSE 0.709 * 64 * 64 * 134217728 / zs END, 4) AS approx_orders
+    FROM z ORDER BY l_returnflag
+    """,
+    doc=(
+        "approx distinct via a REAL HyperLogLog (Flajolet et al. 2007: m=64 "
+        "registers, leading-zero ranks, linear-counting small-range "
+        "correction) built from an engine-neutral md5 hash, so DuckDB "
+        "replicates the sketch bit-for-bit and the estimate is "
+        "hash-checked — unlike engine-native HLL++ whose RNG-free but "
+        "implementation-specific sketch cannot cross-validate (that native "
+        "path is q172_native_hll_sketch). Scales like any HLL: the shuffle "
+        "carries at most groups x 64 register rows."
+    ),
 )
 def q61_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    h = li.select(
+        "l_returnflag",
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    w = F.expr("hv div 64")
+    regs = h.groupBy("l_returnflag", (F.col("hv") % 64).alias("reg")).agg(
+        F.max(
+            F.when(w == 0, F.lit(27)).otherwise(F.lit(27) - F.length(F.bin(w)))
+        ).alias("mr")
+    )
+    z = regs.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.pow(F.lit(2), F.lit(27) - F.col("mr")).cast("bigint"))
+            + (F.lit(64) - F.count("*")) * F.lit(134217728)
+        ).alias("zs"),
+        (F.lit(64) - F.count("*")).alias("v"),
+    )
+    raw = F.lit(_HLL_ALPHA_M2_SCALED) / F.col("zs")
+    est = F.when(
+        (raw <= 160) & (F.col("v") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v")),
+    ).otherwise(raw)
+    return (
+        z.select(
+            "l_returnflag", F.round(F.lit(1e-9) + est, 4).alias("approx_orders")
+        ).orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q172_native_hll_sketch",
+    None,
+    doc=(
+        "Engine-native approx_count_distinct (HLL++) — rows-only check "
+        "(the sketch is implementation-specific so no oracle can hash-match); "
+        "the cross-engine-checkable HLL is q61_approx_distinct_hll, and the "
+        "exact twin is q60_approx_distinct."
+    ),
+)
+def q172_native_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.groupBy("l_returnflag")

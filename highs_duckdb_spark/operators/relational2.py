@@ -439,11 +439,111 @@ def q89_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q90_approx_percentile",
-    oracle=None,  # sketch-based estimates are engine-specific; bounds asserted in pytest
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority, o_totalprice
+        FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+    )
+    SELECT o_orderpriority,
+           round(1e-9 + quantile_cont(o_totalprice, 0.5), 4) AS p50_approx,
+           round(1e-9 + quantile_cont(o_totalprice, 0.9), 4) AS p90_approx
+    FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     category="relational",
-    doc="approx_percentile (quantile sketch) per group — the at-scale companion to q62's exact percentiles.",
+    doc=(
+        "Approximate percentiles via a DETERMINISTIC 10% hash-Bernoulli "
+        "sample (md5 of the row key — reproducible across engines AND runs, "
+        "which RNG-seeded sketches are not), exact interpolated percentile "
+        "on the sample. Hash-checked against DuckDB running the identical "
+        "estimator; the engine-native t-digest path is "
+        "q173_native_approx_percentile, the exact twin q62_percentiles. At "
+        "scale the sample predicate is evaluated at the scan (no shuffle "
+        "grows with the unsampled fact)."
+    ),
 )
 def q90_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    keep = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+        == 0
+    )
+    return (
+        orders.filter(keep)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.lit(1e-9) + F.percentile("o_totalprice", F.lit(0.5)), 4
+            ).alias("p50_approx"),
+            F.round(
+                F.lit(1e-9) + F.percentile("o_totalprice", F.lit(0.9)), 4
+            ).alias("p90_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q91_tablesample",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM lineitem
+    WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                              || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    category="relational",
+    doc=(
+        "Bernoulli table sampling via a DETERMINISTIC md5 hash of the row "
+        "key (10% where hash%10=0) — the production-grade way to sample "
+        "training data because membership is stable across engines, runs "
+        "and re-partitions, so the sample is auditable (and hash-checked "
+        "here). The RNG-seeded TABLESAMPLE path is "
+        "q174_native_rng_tablesample."
+    ),
+)
+def q91_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        == 0
+    )
+    return (
+        li.filter(keep)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q173_native_approx_percentile",
+    oracle=None,  # sketch-based estimates are engine-specific; bounds asserted in pytest
+    category="relational",
+    doc=(
+        "Engine-native approx_percentile (quantile sketch) per group — "
+        "rows-only check; the cross-engine-checkable estimator is "
+        "q90_approx_percentile, the exact twin q62_percentiles."
+    ),
+)
+def q173_native_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     return (
         orders.groupBy("o_orderpriority")
@@ -456,12 +556,16 @@ def q90_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q91_tablesample",
-    oracle=None,  # sampling is engine-specific by nature; statistical bounds in pytest
+    "q174_native_rng_tablesample",
+    oracle=None,  # RNG sampling is engine-specific by nature; statistical bounds in pytest
     category="relational",
-    doc="Bernoulli TABLESAMPLE with a fixed seed (deterministic within Spark).",
+    doc=(
+        "Bernoulli TABLESAMPLE with a fixed seed (deterministic within "
+        "Spark only) — rows-only check; the cross-engine-auditable sampler "
+        "is q91_tablesample, the deterministic stratified twin p04."
+    ),
 )
-def q91_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q174_native_rng_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.sample(fraction=0.1, seed=42)

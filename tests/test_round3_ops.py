@@ -1,0 +1,87 @@
+"""Round-3 additions: deterministic cross-engine estimators.
+
+q61/q90/q91 were re-based on engine-neutral md5 hashing (the d03 pattern)
+so DuckDB replicates them bit-for-bit — these tests pin the *statistical*
+contract the hash-parity check can't see: the estimators must actually
+estimate (close to exact truth), and the native-sketch twins
+(q172/q173/q174) must stay within their documented error bounds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from highs_duckdb_spark.operators import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _rows(spark, name):
+    return {
+        r[0]: list(r)[1:] for r in QUERIES[name].builder(spark, SF_DIR).collect()
+    }
+
+
+def test_hll_estimate_tracks_exact(spark):
+    """q61's md5-HLL (m=64 -> ~13% std error) vs q60's exact count."""
+    exact = _rows(spark, "q60_approx_distinct")
+    est = _rows(spark, "q61_approx_distinct_hll")
+    assert set(exact) == set(est)
+    for flag, (n_exact,) in exact.items():
+        (n_est,) = est[flag]
+        assert n_est > 0
+        rel = abs(n_est - n_exact) / max(n_exact, 1)
+        assert rel < 0.35, f"{flag}: HLL {n_est} vs exact {n_exact} ({rel:.1%})"
+
+
+def test_native_hll_tracks_exact(spark):
+    exact = _rows(spark, "q60_approx_distinct")
+    est = _rows(spark, "q172_native_hll_sketch")
+    for flag, (n_exact,) in exact.items():
+        (n_est,) = est[flag]
+        assert abs(n_est - n_exact) / max(n_exact, 1) < 0.1  # HLL++ rsd ~2-5%
+
+
+def test_hash_sampled_percentile_tracks_exact(spark):
+    """q90's deterministic 10% hash-sample percentiles vs q62's exact ones."""
+    exact = _rows(spark, "q62_percentiles")
+    est = _rows(spark, "q90_approx_percentile")
+    assert set(exact) == set(est)
+    for prio, (p50, p90) in exact.items():
+        e50, e90 = est[prio]
+        # o_totalprice spans ~[850, 480k]; a 10% sample of a few hundred
+        # rows per group keeps quantiles within a loose relative band
+        assert abs(e50 - p50) / p50 < 0.35
+        assert abs(e90 - p90) / p90 < 0.35
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    """q91 keeps ~10% of lineitem, identically on every run."""
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.session import load_table
+
+    total = load_table(spark, "lineitem", SF_DIR).count()
+    first = _rows(spark, "q91_tablesample")
+    again = _rows(spark, "q91_tablesample")
+    assert first == again  # same membership on re-execution, no RNG
+    sampled = sum(v[0] for v in first.values())
+    assert 0.05 * total < sampled < 0.15 * total
+
+    # RNG twin keeps the same rate (within Bernoulli noise), seeded-stable
+    rng1 = _rows(spark, "q174_native_rng_tablesample")
+    rng2 = _rows(spark, "q174_native_rng_tablesample")
+    assert rng1 == rng2
+    rng_n = sum(v[0] for v in rng1.values())
+    assert 0.05 * total < rng_n < 0.15 * total
+
+
+def test_native_approx_percentile_bounds(spark):
+    exact = _rows(spark, "q62_percentiles")
+    est = _rows(spark, "q173_native_approx_percentile")
+    for prio, (p50, p90) in exact.items():
+        e50, e90 = est[prio]
+        assert abs(e50 - p50) / p50 < 0.1  # accuracy=1000 -> <=0.1% rank error
+        assert abs(e90 - p90) / p90 < 0.1
