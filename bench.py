@@ -80,15 +80,20 @@ def main() -> None:
     # gives 4.60s): q65 0.66→0.53, q20 0.58→0.47, q01 0.52→0.30,
     # q30 0.41→0.28. At sf≥1 (tools/gen_scale.py data) per-task work is
     # real and all 32 cores should shuffle. Thousands on a real cluster.
-    spark.conf.set("spark.sql.shuffle.partitions", "6" if (sf or 0) < 1 else "32")
+    # At sf1 the same sweep (AQE on: 9.5s; AQE off/8: 6.8s; off/16: 6.6s;
+    # off/32: >9s) picks 16; at sf>=5 per-task shuffle work is real and all
+    # 32 cores pay off.
+    _shuffle = "6" if (sf or 0) < 1 else ("16" if (sf or 0) < 5 else "32")
+    spark.conf.set("spark.sql.shuffle.partitions", _shuffle)
     # sf0.1 parquet files are ~1-11 MB, so the 128 MB default split size
     # makes every scan a single task; 2 MB splits scan row groups in
-    # parallel (measured ~12% over the headline set). At sf≥1 the same 2 MB
-    # knob REGRESSES (90 tiny tasks: grouped lineitem agg 0.275s vs 0.166s
-    # at defaults) — per-task overhead swamps the extra parallelism, so use
-    # 16 MB there. At real scale files are row-group-rich and the 128 MB
-    # default is right — this knob only compensates for tiny bench files.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m" if (sf or 0) < 1 else "16m")
+    # parallel (measured ~12% over the headline set). At sf≥1 the gen_scale
+    # directories are row-group-rich 10-file tables and BOTH small-split
+    # settings REGRESS (16 MB: lineitem empty-schema count 0.46s vs 0.20s
+    # at defaults — splits that straddle row-group boundaries schedule
+    # no-op tasks) — keep the 128 MB default there, as at real scale.
+    if (sf or 0) < 1:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
 
     # Optional runtime SQLConf overrides for experiments, e.g.
     #   SPARK_GRAFT_EXTRA_SQLCONF="spark.sql.adaptive.enabled=false;k=v"
@@ -180,7 +185,7 @@ def main() -> None:
         # without it. The DuckDB --compare side gets the same warm pass.
         materialize(spec.builder(spark, sf_dir))
         runs: list[float] = []
-        for _ in range(3):  # best-of-3: one-off scheduling/GC noise is large vs these runtimes
+        for _ in range(5):  # best-of-5: host/VM CPU-steal windows of a few seconds are observed; one-off scheduling/GC noise is large vs these runtimes
             t0 = time.perf_counter()
             materialize(spec.builder(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
@@ -209,7 +214,7 @@ def main() -> None:
                 continue
             con.execute(spec.oracle).fetch_arrow_table()  # same warm pass as Spark
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetch_arrow_table()
                 best = min(best, time.perf_counter() - t0)

@@ -30,5 +30,6 @@ from highs_duckdb_spark.operators import relational5  # noqa: E402,F401
 from highs_duckdb_spark.operators import relational6  # noqa: E402,F401
 from highs_duckdb_spark.operators import text2  # noqa: E402,F401
 from highs_duckdb_spark.operators import relational7  # noqa: E402,F401
+from highs_duckdb_spark.operators import text3  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "all_queries", "all_oracles"]

@@ -1,0 +1,223 @@
+"""Round-3 text/retrieval additions: BM25 ranking and a Count-Min sketch,
+both engine-neutral (md5-hashed / closed-form) so DuckDB hash-checks them.
+
+Tokenization follows the repo convention (pinned by t01/t03):
+Spark ``split(trim(lower(text)), '\\s+')`` ≡ DuckDB
+``regexp_split_to_array(trim(lower(text)), '\\s+')``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import load_table
+
+#: BM25 free parameters (the Robertson/Lucene defaults).
+_K1, _B = 1.2, 0.75
+#: fixed query for the ranking demo — mid-frequency corpus terms.
+_QUERY_TERMS = ["hash", "join", "vector", "spark"]
+
+
+@register(
+    "t24_bm25_ranking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('hash', 'join', 'vector', 'spark')
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_K1} + 1)
+                   / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(1e-9 + score, 4) AS bm25
+    FROM scored
+    ORDER BY round(1e-9 + score, 4) DESC, doc_id
+    LIMIT 10
+    """,
+    category="text",
+    doc=(
+        "BM25 ranking (Robertson et al.; k1=1.2, b=0.75, Lucene's "
+        "ln(1 + (N-df+0.5)/(df+0.5)) idf) of the documents table against a "
+        "fixed term query. Pure JVM codegen — tokenize/explode, two "
+        "aggregations, and a broadcast of the per-term df table (|Q| rows) "
+        "and the 1-row corpus stats; the only corpus-sized shuffle is the "
+        "per-doc token count. Top-k compiles to TakeOrderedAndProject. "
+        "Hash-checked against DuckDB computing the identical formula."
+    ),
+)
+def t24_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    # pin the two token-pass outputs (per-doc length; per-doc query-term tf)
+    # before their multiple consumers — both are doc-bounded, and without
+    # the pin the corpus would be re-tokenized once per consumer
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (
+            F.col("tf")
+            + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.select(
+            "doc_id", F.round(F.lit(1e-9) + F.col("score"), 4).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+#: Count-Min geometry: d hash rows × w buckets; md5-derived row hashes so
+#: both engines build the identical sketch.
+_CM_D, _CM_W = 4, 256
+
+
+def _cm_bucket_spark(row: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), F.col("tok"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CM_W
+    )
+
+
+@register(
+    "t25_countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    rows_ AS (SELECT unnest(range({_CM_D})) AS r),
+    cells AS (
+        SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+                   % {_CM_W} AS bucket,
+               count(*) AS cell_count
+        FROM toks CROSS JOIN rows_
+        GROUP BY 1, 2
+    ),
+    exact AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok),
+    est AS (
+        SELECT exact.tok, exact.exact_count,
+               min(cells.cell_count) AS est_count
+        FROM exact
+        CROSS JOIN rows_
+        JOIN cells
+          ON cells.r = rows_.r
+         AND cells.bucket = ('0x' || substr(md5(CAST(rows_.r AS VARCHAR) || ':' || exact.tok), 1, 8))::BIGINT % {_CM_W}
+        GROUP BY exact.tok, exact.exact_count
+    )
+    SELECT tok, CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count
+    FROM est
+    ORDER BY est_count DESC, tok
+    LIMIT 15
+    """,
+    category="text",
+    doc=(
+        "Count-Min sketch heavy hitters (Cormode & Muthukrishnan): d=4 md5 "
+        "hash rows x w=256 buckets. The sketch build is ONE aggregation "
+        "whose state is at most d*w = 1024 cells regardless of corpus size "
+        "— the 100-TB shape — and estimation joins candidate tokens to the "
+        "broadcast-sized cell table; est >= exact always (one-sided error, "
+        "pinned in pytest). Hash-checked: md5 row hashes make the sketch "
+        "bit-identical in DuckDB."
+    ),
+)
+def t25_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    # all d (row, bucket) pairs of a token in one expression, so the sketch
+    # build and the probe side each cost ONE pass (scan-audit discipline)
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), _cm_bucket_spark(r).alias("bucket")
+            )
+            for r in range(_CM_D)
+        ]
+    )
+    # sketch: one groupBy whose key space is bounded at d*w cells
+    cells = (
+        toks.select(F.explode(rb).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cell_count"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    # estimation: candidate tokens probe the (tiny) sketch per hash row
+    probes = exact.select(
+        "tok",
+        "exact_count",
+        F.explode(rb).alias("rb"),
+    ).select(
+        "tok",
+        "exact_count",
+        F.col("rb.r").alias("r"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(cells), ["r", "bucket"])
+    return (
+        joined.groupBy("tok", "exact_count")
+        .agg(F.min("cell_count").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("tok"))
+        .limit(15)
+        .select(
+            "tok",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+        )
+    )

@@ -78,6 +78,48 @@ def test_hash_sample_rate_and_determinism(spark):
     assert 0.05 * total < rng_n < 0.15 * total
 
 
+def test_countmin_overestimates_never_under(spark):
+    """Count-Min's one-sided error guarantee: est >= exact for every token."""
+    df = QUERIES["t25_countmin_heavy_hitters"].builder(spark, SF_DIR)
+    for r in df.collect():
+        assert r["est_count"] >= r["exact_count"], r
+
+
+def test_bm25_ranks_match_naive(spark):
+    """t24's distributed BM25 equals a driver-side reference computation."""
+    import math
+    import re
+
+    from highs_duckdb_spark.session import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text").collect()
+    tokens = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip().lower(), flags=re.ASCII)
+        for r in docs
+    }
+    n_docs = len(tokens)
+    avgdl = sum(len(t) for t in tokens.values()) / n_docs
+    terms = ["hash", "join", "vector", "spark"]
+    df_t = {t: sum(1 for toks in tokens.values() if t in toks) for t in terms}
+    scores = {}
+    for doc_id, toks in tokens.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5) + 1)
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        if s > 0:
+            scores[doc_id] = round(1e-9 + s, 4)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in QUERIES["t24_bm25_ranking"].builder(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
 def test_native_approx_percentile_bounds(spark):
     exact = _rows(spark, "q62_percentiles")
     est = _rows(spark, "q173_native_approx_percentile")
