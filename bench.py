@@ -219,12 +219,18 @@ def main() -> None:
                 con.execute(spec.oracle).fetch_arrow_table()
                 best = min(best, time.perf_counter() - t0)
             duck[name] = round(best, 3)
+        # queries whose DuckDB "oracle" is a closed-form answer check, not
+        # equivalent work — the ratio is not an engine comparison there
+        noncomparable = {
+            "opt05_solve_many_bulk": "oracle is analytic; Spark solves 200 LPs",
+        }
         for name in names:
             if name in duck:
                 ratio = timings[name] / duck[name] if duck[name] > 0 else float("inf")
+                note = noncomparable.get(name)
                 print(
                     f"{name:34s} spark={timings[name]:7.3f}s duckdb={duck[name]:7.3f}s "
-                    f"ratio={ratio:6.2f}x",
+                    f"ratio={ratio:6.2f}x" + (f"  [not comparable: {note}]" if note else ""),
                     file=sys.stderr,
                 )
 

@@ -23,3 +23,14 @@ from pyspark.sql import DataFrame
 def present_sorted(df: DataFrame, *cols) -> DataFrame:
     """Totally-ordered single-partition presentation of a SMALL result."""
     return df.coalesce(1).sortWithinPartitions(*cols)
+
+
+def ordered_wide(df: DataFrame, *cols) -> DataFrame:
+    """Totally-ordered presentation of a result that SCALES WITH THE DATA.
+
+    A parallel range-partitioned sort: the sample pass costs one extra
+    small job, but the sort itself uses every core and — unlike
+    ``present_sorted`` — never collapses the upstream pipeline onto a
+    single task (coalesce(1) above a per-row computation serialized t05's
+    whole regex+md5 pipeline: measured 4.5 s -> 0.9 s at sf10)."""
+    return df.orderBy(*cols)

@@ -26,7 +26,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from highs_duckdb_spark.functions.presentation import present_sorted
+from highs_duckdb_spark.functions.presentation import ordered_wide, present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import ensure_shipped, load_table
 
@@ -747,7 +747,7 @@ def d09_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("shared_ratio"),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered_wide, "doc_id")
     )
 
 

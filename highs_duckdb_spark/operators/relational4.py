@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from highs_duckdb_spark.functions.presentation import present_sorted
+from highs_duckdb_spark.functions.presentation import ordered_wide, present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
@@ -57,7 +57,7 @@ def q15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "measure",
             "value",
         )
-        .transform(present_sorted, "l_orderkey", "l_linenumber", "measure")
+        .transform(ordered_wide, "l_orderkey", "l_linenumber", "measure")
     )
 
 
@@ -835,7 +835,7 @@ def q29_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vs_top"),
             F.dense_rank().over(w).cast("bigint").alias("drk"),
         )
-        .transform(present_sorted, "o_orderpriority", "drk", "o_orderkey")
+        .transform(ordered_wide, "o_orderpriority", "drk", "o_orderkey")
     )
 
 

@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.functions.money import cents, money_sum
-from highs_duckdb_spark.functions.presentation import present_sorted
+from highs_duckdb_spark.functions.presentation import ordered_wide, present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
@@ -181,6 +181,104 @@ def q116_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_days"),
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .transform(present_sorted, "event_type")
+    )
+
+
+@register(
+    "q175_hll_register_rollup",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM events
+    ),
+    regs AS (  -- the stored per-(day,type) register table
+        SELECT d, event_type, hv % 64 AS reg,
+               max(CASE WHEN hv // 64 = 0 THEN 27
+                        ELSE 27 - length(bin(hv // 64)) END) AS mr
+        FROM h GROUP BY d, event_type, hv % 64
+    ),
+    merged AS (  -- rollup: register-wise max merges days WITHOUT rescanning
+        SELECT event_type, reg, max(mr) AS mr
+        FROM regs GROUP BY event_type, reg
+    ),
+    z AS (
+        SELECT event_type,
+               sum(CAST(power(2, 27 - mr) AS BIGINT))
+                   + (64 - count(*)) * 134217728 AS zs,
+               64 - count(*) AS v
+        FROM merged GROUP BY event_type
+    ),
+    days AS (
+        SELECT event_type, CAST(count(DISTINCT d) AS BIGINT) AS n_days
+        FROM regs GROUP BY event_type
+    )
+    SELECT z.event_type, days.n_days,
+           round(1e-9 + CASE WHEN 0.709 * 64 * 64 * 134217728 / zs <= 160 AND v > 0
+                             THEN 64 * ln(64.0 / v)
+                             ELSE 0.709 * 64 * 64 * 134217728 / zs END, 4) AS est_users
+    FROM z JOIN days USING (event_type)
+    ORDER BY event_type
+    """,
+    category="relational",
+    doc=(
+        "Mergeable distinct-count rollup on md5-HLL REGISTER TABLES — the "
+        "portable form of q116's DataSketches rollup: the per-(day,type) "
+        "pre-aggregate is 64 (reg, max-rank) rows, day->type merge is a "
+        "register-wise max (associative, no event rescans), and the "
+        "estimate is the q61 HyperLogLog formula. Because registers are "
+        "plain rows, ANY engine can store, merge, and re-estimate them — "
+        "hash-checked against DuckDB end-to-end. The native-sketch twin is "
+        "q116, the exact-bitmap twin q117."
+    ),
+)
+def q175_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.operators.relational import _HLL_ALPHA_M2_SCALED
+
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.select(
+        F.to_date("ts").alias("d"),
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    w = F.expr("hv div 64")
+    regs = (
+        h.groupBy("d", "event_type", (F.col("hv") % 64).alias("reg"))
+        .agg(
+            F.max(
+                F.when(w == 0, F.lit(27)).otherwise(
+                    F.lit(27) - F.length(F.bin(w))
+                )
+            ).alias("mr")
+        )
+        .localCheckpoint(eager=True)  # the "stored" rollup table; 2 consumers
+    )
+    merged = regs.groupBy("event_type", "reg").agg(F.max("mr").alias("mr"))
+    z = merged.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2), F.lit(27) - F.col("mr")).cast("bigint"))
+            + (F.lit(64) - F.count("*")) * F.lit(134217728)
+        ).alias("zs"),
+        (F.lit(64) - F.count("*")).alias("v"),
+    )
+    raw = F.lit(_HLL_ALPHA_M2_SCALED) / F.col("zs")
+    est = F.when(
+        (raw <= 160) & (F.col("v") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v")),
+    ).otherwise(raw)
+    days = regs.select("event_type", "d").distinct().groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    return (
+        z.join(days, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.lit(1e-9) + est, 4).alias("est_users"),
         )
         .transform(present_sorted, "event_type")
     )
@@ -1131,7 +1229,7 @@ def q129_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("trailing_1k_sum"),
         )
-        .transform(present_sorted, "o_totalprice", "o_orderkey")
+        .transform(ordered_wide, "o_totalprice", "o_orderkey")
     )
 
 
@@ -1185,7 +1283,7 @@ def q130_asof_join_native_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("secs_since_view"),
         )
-        .transform(present_sorted, "user_id", "purchase_event_id")
+        .transform(ordered_wide, "user_id", "purchase_event_id")
     )
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from highs_duckdb_spark.functions.presentation import present_sorted
+from highs_duckdb_spark.functions.presentation import ordered_wide, present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.strategy import fact_hint
 from highs_duckdb_spark.session import load_table
@@ -346,7 +346,7 @@ def q140_bucketed_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("a_t") - F.col("e_t")) <= _US_PER_MIN)
         .groupBy(F.col("e_id").alias("event_id"))
         .agg((F.count("*") - 1).alias("n_nearby"))
-        .transform(present_sorted, "event_id")
+        .transform(ordered_wide, "event_id")
     )
 
 

@@ -8,7 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.functions.money import cents
-from highs_duckdb_spark.functions.presentation import present_sorted
+from highs_duckdb_spark.functions.presentation import ordered_wide, present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.strategy import fact_hint
 from highs_duckdb_spark.session import load_table
@@ -496,7 +496,7 @@ def q151_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
         )
         .select("user_id", "event_id", "state_event_id", "state_value")
-        .transform(present_sorted, "user_id", "event_id")
+        .transform(ordered_wide, "user_id", "event_id")
     )
 
 
@@ -1072,7 +1072,7 @@ def q163_scalar_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(tp / 1000).cast("bigint").alias("f_floor"),
             F.ceil(tp / 1000).cast("bigint").alias("f_ceil"),
         )
-        .transform(present_sorted, "o_orderkey")
+        .transform(ordered_wide, "o_orderkey")
     )
 
 

@@ -28,10 +28,13 @@ import os
 
 from pyspark.sql import DataFrame
 
-#: total source bytes under which every post-shuffle hash build trivially
-#: fits in executor memory (compressed parquet; even at ~4x decode expansion
-#: a full-table build is < 1/8 of a default 8 GiB heap).
-_SHJ_MAX_BYTES = 2 << 30
+#: compressed source bytes PER POST-SHUFFLE PARTITION under which a hash
+#: build trivially fits in a task's memory: 256 MB compressed is ~1 GB
+#: decoded — comfortably inside a default 8 GiB heap even under 4x key
+#: skew. The safety condition for shuffled-hash is per-partition, not
+#: per-table: what a build task holds is total/shuffle-partitions (AQE's
+#: skew splitting further caps the worst partition on a real cluster).
+_SHJ_PARTITION_BUDGET = 256 << 20
 
 _DIR_BYTES_CACHE: dict[str, int] = {}
 
@@ -53,12 +56,26 @@ def dir_bytes(sf_dir: str) -> int:
     return total
 
 
+def _shuffle_partitions() -> int:
+    """The session's post-shuffle parallelism (conservative default)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            return max(int(s.conf.get("spark.sql.shuffle.partitions")), 1)
+    except Exception:
+        pass
+    return 1
+
+
 def fact_join_strategy(sf_dir: str) -> str:
-    """``shuffle_hash`` when builds fit (small source), else ``merge``."""
+    """``shuffle_hash`` when every post-shuffle build fits, else ``merge``."""
     override = os.environ.get("HDS_FACT_JOIN_STRATEGY")
     if override in ("merge", "shuffle_hash"):
         return override
-    return "shuffle_hash" if dir_bytes(sf_dir) <= _SHJ_MAX_BYTES else "merge"
+    per_partition = dir_bytes(sf_dir) / _shuffle_partitions()
+    return "shuffle_hash" if per_partition <= _SHJ_PARTITION_BUDGET else "merge"
 
 
 def fact_hint(df: DataFrame, sf_dir: str) -> DataFrame:
