@@ -284,6 +284,159 @@ def q175_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: KMV sketch size (bottom-k minima of a uniform 32-bit md5 hash).
+_KMV_K = 128
+
+
+@register(
+    "q176_kmv_set_sketches",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM events
+    ),
+    botk AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h QUALIFY rn <= {_KMV_K}
+    ),
+    stats AS (
+        SELECT event_type, count(*) AS nk, max(hv) AS uk
+        FROM botk GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM stats a JOIN stats b ON a.event_type < b.event_type
+    ),
+    mh AS (
+        SELECT ta, tb, hv FROM pairs JOIN botk ON botk.event_type = ta
+        UNION
+        SELECT ta, tb, hv FROM pairs JOIN botk ON botk.event_type = tb
+    ),
+    mk AS (
+        SELECT ta, tb, hv,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+        FROM mh QUALIFY rn <= {_KMV_K}
+    ),
+    mstats AS (SELECT ta, tb, count(*) AS kp, max(hv) AS uu FROM mk GROUP BY ta, tb),
+    rho AS (
+        SELECT mk.ta, mk.tb, count(*) AS both_cnt
+        FROM mk
+        JOIN botk ka ON ka.event_type = mk.ta AND ka.hv = mk.hv
+        JOIN botk kb ON kb.event_type = mk.tb AND kb.hv = mk.hv
+        GROUP BY mk.ta, mk.tb
+    )
+    SELECT ms.ta AS type_a, ms.tb AS type_b,
+           round(1e-9 + CASE WHEN sa.nk < {_KMV_K} THEN CAST(sa.nk AS DOUBLE)
+                             ELSE {_KMV_K - 1}.0 / (CAST(sa.uk AS DOUBLE) / 4294967296.0) END, 4) AS est_a,
+           round(1e-9 + CASE WHEN sb.nk < {_KMV_K} THEN CAST(sb.nk AS DOUBLE)
+                             ELSE {_KMV_K - 1}.0 / (CAST(sb.uk AS DOUBLE) / 4294967296.0) END, 4) AS est_b,
+           round(1e-9 + CASE WHEN ms.kp < {_KMV_K} THEN CAST(ms.kp AS DOUBLE)
+                             ELSE {_KMV_K - 1}.0 / (CAST(ms.uu AS DOUBLE) / 4294967296.0) END, 4) AS est_union,
+           round(1e-9 + CAST(coalesce(r.both_cnt, 0) AS DOUBLE) / ms.kp, 4) AS est_jaccard,
+           round(1e-9 + (CAST(coalesce(r.both_cnt, 0) AS DOUBLE) / ms.kp)
+                 * CASE WHEN ms.kp < {_KMV_K} THEN CAST(ms.kp AS DOUBLE)
+                        ELSE {_KMV_K - 1}.0 / (CAST(ms.uu AS DOUBLE) / 4294967296.0) END, 4) AS est_intersection
+    FROM mstats ms
+    JOIN stats sa ON sa.event_type = ms.ta
+    JOIN stats sb ON sb.event_type = ms.tb
+    LEFT JOIN rho r ON r.ta = ms.ta AND r.tb = ms.tb
+    ORDER BY type_a, type_b
+    """,
+    category="relational",
+    doc=(
+        "KMV (bottom-k minimum values) distinct sketches with SET "
+        "OPERATIONS — the Theta-sketch capability: per-event-type bottom-128 "
+        "md5 hashes estimate distinct users ((k-1)/u_k), sketches MERGE by "
+        "re-taking the k smallest of a union (associative), and the merged "
+        "sketch yields union size, Jaccard (|K_AB ∩ K_A ∩ K_B| / k), and "
+        "intersection estimates per type pair — none of which an HLL can do. "
+        "Engine-neutral hashing makes every estimate hash-checkable in "
+        "DuckDB. Scale shape: the only corpus-sized step is the DISTINCT "
+        "(type, hash) pass; the per-type bottom-k window runs over distinct "
+        "users only (at 100 TB you'd swap it for a bounded bottom-k partial "
+        "aggregate, keeping k values per partition before the merge — same "
+        "estimator, same results, since bottom-k is associative)."
+    ),
+)
+def q176_kmv_set_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    K = _KMV_K
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    botk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # ≤ types×K rows; consumed 4 times below
+    )
+    stats = botk.groupBy("event_type").agg(
+        F.count("*").alias("nk"), F.max("hv").alias("uk")
+    )
+    sa = stats.select(
+        F.col("event_type").alias("ta"), F.col("nk").alias("nka"), F.col("uk").alias("uka")
+    )
+    sb = stats.select(
+        F.col("event_type").alias("tb"), F.col("nk").alias("nkb"), F.col("uk").alias("ukb")
+    )
+    pairs = sa.join(sb, F.col("ta") < F.col("tb"))
+    mh = (
+        pairs.select("ta", "tb")
+        .join(botk, F.col("event_type") == F.col("ta"))
+        .select("ta", "tb", "hv")
+        .unionByName(
+            pairs.select("ta", "tb")
+            .join(botk, F.col("event_type") == F.col("tb"))
+            .select("ta", "tb", "hv")
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("hv")
+    mk = mh.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= K).drop("rn")
+    mstats = mk.groupBy("ta", "tb").agg(F.count("*").alias("kp"), F.max("hv").alias("uu"))
+    ka = botk.select(F.col("event_type").alias("ta"), F.col("hv").alias("hv"))
+    kb = botk.select(F.col("event_type").alias("tb"), F.col("hv").alias("hv"))
+    rho = (
+        mk.join(ka, ["ta", "hv"])
+        .join(kb, ["tb", "hv"])
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("both_cnt"))
+    )
+
+    def est(nk, uk):
+        return F.when(nk < K, nk.cast("double")).otherwise(
+            F.lit(float(K - 1)) / (uk.cast("double") / F.lit(4294967296.0))
+        )
+
+    out = (
+        mstats.join(pairs, ["ta", "tb"])
+        .join(rho, ["ta", "tb"], "left")
+        .withColumn("both_d", F.coalesce(F.col("both_cnt"), F.lit(0)).cast("double"))
+    )
+    est_union = est(F.col("kp"), F.col("uu"))
+    jacc = F.col("both_d") / F.col("kp")
+    return (
+        out.select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.round(F.lit(1e-9) + est(F.col("nka"), F.col("uka")), 4).alias("est_a"),
+            F.round(F.lit(1e-9) + est(F.col("nkb"), F.col("ukb")), 4).alias("est_b"),
+            F.round(F.lit(1e-9) + est_union, 4).alias("est_union"),
+            F.round(F.lit(1e-9) + jacc, 4).alias("est_jaccard"),
+            F.round(F.lit(1e-9) + jacc * est_union, 4).alias("est_intersection"),
+        )
+        .transform(present_sorted, "type_a", "type_b")
+    )
+
+
 @register(
     "q117_bitmap_distinct_rollup",
     oracle="""

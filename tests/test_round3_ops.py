@@ -120,6 +120,39 @@ def test_bm25_ranks_match_naive(spark):
     assert got == expect
 
 
+def test_kmv_estimates_track_exact_set_sizes(spark):
+    """q176's KMV union/intersection estimates vs exact distinct counts
+    (k=128 -> ~9% rsd; assert a loose 35% band, exact when n < k)."""
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.session import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    users = {
+        r["event_type"]: set(x["user_id"] for x in rows)
+        for r, rows in (
+            (r, ev.filter(F.col("event_type") == r["event_type"])
+                  .select("user_id").distinct().collect())
+            for r in ev.select("event_type").distinct().collect()
+        )
+    }
+    got = QUERIES["q176_kmv_set_sketches"].builder(spark, SF_DIR).collect()
+    assert got, "no type pairs"
+    for r in got:
+        a, b = users[r["type_a"]], users[r["type_b"]]
+        for est, exact in (
+            (r["est_a"], len(a)),
+            (r["est_b"], len(b)),
+            (r["est_union"], len(a | b)),
+            (r["est_intersection"], len(a & b)),
+        ):
+            if exact < 128:
+                # small sets are represented exactly in the sketch
+                assert abs(est - exact) / max(exact, 1) < 0.35, r
+            else:
+                assert abs(est - exact) / exact < 0.35, r
+
+
 def test_native_approx_percentile_bounds(spark):
     exact = _rows(spark, "q62_percentiles")
     est = _rows(spark, "q173_native_approx_percentile")
