@@ -1768,3 +1768,80 @@ def s16_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "query_id")
     )
+
+
+@register(
+    "s17_cosine_topk_jvm",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, label, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    category="similarity",
+    doc=(
+        "Exact cosine top-k computed ENTIRELY in JVM codegen — no Python "
+        "workers: the corpus row explodes the (bounded) query-id list, an "
+        "equi-join against the broadcast query table attaches each query "
+        "vector, and the dot product is a zip_with/aggregate fold whose "
+        "left-to-right add order matches DuckDB's list_dot_product exactly "
+        "(same raw doubles as s01's kernel). The complement of s01/s05 for "
+        "Python-less clusters; their kernels beat this on throughput (one "
+        "BLAS matmul vs per-element Catalyst expressions) but this path has "
+        "zero worker round-trip. No cartesian operator appears: the "
+        "corpus-side explode IS the cross-score, audited as scan+broadcast."
+    ),
+)
+def s17_cosine_topk_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("nq"),
+        )
+    )
+    # bounded query-id list, known at plan time (vec_id < N_QUERIES)
+    qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            "v",
+            _norm(F.col("v")).alias("nv"),
+            F.explode(qids).alias("query_id"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(
+                F.lit(1e-9)
+                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "label", "cosine")
+        .transform(present_sorted, "query_id", "rk")
+    )

@@ -1046,3 +1046,37 @@ def qs17_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     table = f"stream_louter_{uuid.uuid4().hex[:8]}"
     run_stream_to_table(joined, table, "append")
     return spark.table(table).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
+    "qs18_stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+    category="streaming",
+    doc=(
+        "Streaming dedup via dropDuplicatesWithinWatermark — the TIME-SCOPED "
+        "state contract qs05's dropDuplicates lacks: each key's state carries "
+        "an expiry (event time + delay) and is EVICTED once the watermark "
+        "passes it, so unbounded streams hold only the active horizon of "
+        "keys (qs05's state grows with key cardinality forever unless keys "
+        "stop arriving). Under the test replay (one parquet file -> one "
+        "AvailableNow micro-batch) no watermark advance happens mid-stream, "
+        "so the emitted set provably equals batch DISTINCT — which is what "
+        "the oracle checks; the state-TTL behavior itself is the operator "
+        "contract at scale (a key recurring after expiry re-emits once per "
+        "horizon, the 'reactivation' semantics deduped feeds want)."
+    ),
+)
+def qs18_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    stream = (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    table = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(stream, table, output_mode="append")
+    return spark.table(table).orderBy("user_id", "event_type")
