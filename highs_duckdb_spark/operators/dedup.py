@@ -79,7 +79,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.md5(_NORM(F.col("text"))).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
-        .transform(present_sorted, "fingerprint")
+        .transform(ordered_wide, "fingerprint")
     )
 
 
@@ -849,7 +849,7 @@ def d10_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             uni.cast("bigint").alias("uni"),
         )
         .filter(PF_TAU_DEN * F.col("inter") >= PF_TAU_NUM * F.col("uni"))
-        .transform(present_sorted, "doc_a", "doc_b")
+        .transform(ordered_wide, "doc_a", "doc_b")
     )
 
 

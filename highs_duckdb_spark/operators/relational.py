@@ -442,6 +442,49 @@ def q20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q177_distinct_agg_twopass",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc=(
+        "q20's multiple COUNT(DISTINCT) restructured for scale: one bounded "
+        "(flag, key) aggregation per distinct column instead of Spark's "
+        "3x-Expand plan — each branch map-side combines to its key "
+        "cardinality before shuffling, where Expand shuffles the tripled "
+        "fact. Measured at sf10: 3.17 s -> 2.17 s (-31%); at sf0.1 the "
+        "extra scan+join costs ~7%, which is why q20 keeps the native plan "
+        "for the latency bench while this is the 100-TB shape."
+    ),
+)
+def q177_distinct_agg_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    parts = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.count("*").alias("c"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("distinct_parts"),
+            F.sum("c").alias("n"),
+        )
+    )
+    supps = (
+        li.groupBy("l_returnflag", "l_suppkey")
+        .agg(F.count("*").alias("c2"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("distinct_supps"))
+    )
+    return (
+        parts.join(supps, "l_returnflag")
+        .select("l_returnflag", "distinct_parts", "distinct_supps", "n")
+        .transform(present_sorted, "l_returnflag")
+    )
+
+
+@register(
     "q21_rollup",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -153,6 +153,43 @@ def test_kmv_estimates_track_exact_set_sizes(spark):
                 assert abs(est - exact) / exact < 0.35, r
 
 
+def test_q177_equals_q20(spark):
+    """The two-pass distinct-agg rewrite is value-identical to the native
+    Expand plan."""
+    a = [tuple(r) for r in QUERIES["q20_distinct_agg"].builder(spark, SF_DIR).collect()]
+    b = [
+        tuple(r)
+        for r in QUERIES["q177_distinct_agg_twopass"].builder(spark, SF_DIR).collect()
+    ]
+    assert a == b
+
+
+def test_no_singleton_coalesce_on_large_outputs(spark):
+    """Registry-wide presentation audit: a query whose RESULT scales with
+    the data must not present-sort via coalesce(1) — that collapses the
+    entire upstream pipeline onto one task (the t05 regression fixed in
+    round 3). Small aggregated outputs may keep present_sorted."""
+    from highs_duckdb_spark.operators import QUERIES as ALL
+
+    # at sf0.001 the corpus tables hold ~1-6k rows; anything emitting more
+    # than this many rows is per-row-scale, not an aggregate summary
+    THRESHOLD = 1500
+    offenders = []
+    for name, spec in sorted(ALL.items()):
+        if name.startswith(("qs", "opt")):
+            continue  # streaming/solver entries execute at build time
+        df = spec.builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Coalesce 1" not in plan and "Coalesce(1)" not in plan:
+            continue
+        if df.count() > THRESHOLD:
+            offenders.append(name)
+    assert not offenders, (
+        f"corpus-sized outputs presented through coalesce(1): {offenders} — "
+        "switch them to ordered_wide (parallel range sort)"
+    )
+
+
 def test_native_approx_percentile_bounds(spark):
     exact = _rows(spark, "q62_percentiles")
     est = _rows(spark, "q173_native_approx_percentile")
