@@ -1845,3 +1845,76 @@ def s17_cosine_topk_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "neighbor_id", "label", "cosine")
         .transform(present_sorted, "query_id", "rk")
     )
+
+
+@register(
+    "s18_hard_negative_mining",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id AS negative_id, e.label,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN emb e ON e.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(qlabel AS INTEGER) AS query_label, CAST(rk AS BIGINT) AS rk,
+           negative_id, CAST(label AS INTEGER) AS negative_label, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    category="similarity",
+    doc=(
+        "Hard-negative mining for contrastive training: for each query "
+        "vector, the top-k most-similar corpus vectors with a DIFFERENT "
+        "label — the negatives that sit closest to the decision boundary, "
+        "which contrastive objectives (InfoNCE, triplet) need to learn "
+        "anything. Same JVM explode+broadcast shape as s17 (label filter "
+        "applied before scoring prunes the candidate side at the scan); at "
+        "real scale the s05 local-topk kernel path applies unchanged."
+    ),
+)
+def s18_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("nq"),
+    )
+    qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("negative_id"),
+            "label",
+            "v",
+            _norm(F.col("v")).alias("nv"),
+            F.explode(qids).alias("query_id"),
+        )
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("qlabel").cast("int").alias("query_label"),
+            "negative_id",
+            F.col("label").cast("int").alias("negative_label"),
+            F.round(
+                F.lit(1e-9)
+                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "query_label", "rk", "negative_id", "negative_label", "cosine")
+        .transform(present_sorted, "query_id", "rk")
+    )

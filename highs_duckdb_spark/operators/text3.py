@@ -221,3 +221,55 @@ def t25_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_count").cast("bigint").alias("exact_count"),
         )
     )
+
+
+@register(
+    "t26_readability_flesch",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             greatest(CAST(length(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 1.0) AS sentences,
+             greatest(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0) AS words,
+             CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS syllables
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(syllables AS BIGINT) AS n_syllables,
+           round(1e-9 + 206.835 - 1.015 * (words / sentences)
+                 - 84.6 * (syllables / words), 4) AS flesch_score
+    FROM feat ORDER BY doc_id
+    """,
+    category="text",
+    doc=(
+        "Flesch reading-ease readability (206.835 - 1.015·words/sentences "
+        "- 84.6·syllables/words) with vowel-group syllable approximation — "
+        "a standard training-data quality signal (readability bands gate "
+        "educational-quality corpora). Pure codegen: three regexp counts "
+        "per row, no shuffle before the presentation sort; hash-checked "
+        "(RE2-compatible regex + identical fp op order in DuckDB)."
+    ),
+)
+def t26_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("double"), F.lit(1.0)
+    )
+    words = F.greatest(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double"), F.lit(1.0)
+    )
+    syllables = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).cast(
+        "double"
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        syllables.cast("bigint").alias("n_syllables"),
+        F.round(
+            F.lit(1e-9)
+            + F.lit(206.835)
+            - F.lit(1.015) * (words / sentences)
+            - F.lit(84.6) * (syllables / words),
+            4,
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")
