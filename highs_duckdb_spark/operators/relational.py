@@ -33,7 +33,7 @@ two engines round differently) never occur.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.functions.money import cents, from_cents, money_sum
 from highs_duckdb_spark.functions.presentation import present_sorted
@@ -467,7 +467,8 @@ def q177_distinct_agg_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .groupBy("l_returnflag")
         .agg(
-            F.count("*").alias("distinct_parts"),
+            # COUNT(DISTINCT key) ignores NULL keys: count key-groups, not rows
+            F.count("l_partkey").alias("distinct_parts"),
             F.sum("c").alias("n"),
         )
     )
@@ -475,7 +476,7 @@ def q177_distinct_agg_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_suppkey")
         .agg(F.count("*").alias("c2"))
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("distinct_supps"))
+        .agg(F.count("l_suppkey").alias("distinct_supps"))
     )
     return (
         parts.join(supps, "l_returnflag")
@@ -1060,32 +1061,88 @@ def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: structurally impossible; the only float ops are one division and one ln.
 _HLL_ALPHA_M2_SCALED = 0.709 * 64 * 64 * 134217728  # alpha_64 * m^2 * 2^27
 
+# --- the one copy of the sketch geometry, shared by q61 and q175 (and any
+# --- future register-table consumer), in BOTH dialects. A change to the
+# --- rank width, register count, or correction threshold edits these only.
+
+#: DuckDB SQL: 32-bit md5-derived hash of {col} (engine-neutral).
+_HLL_SQL_HASH = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
+#: DuckDB SQL: per-register max rank over the 26-bit word of `hv`.
+_HLL_SQL_MR = (
+    "max(CASE WHEN hv // 64 = 0 THEN 27\n"
+    "         ELSE 27 - length(bin(hv // 64)) END) AS mr"
+)
+#: DuckDB SQL: scaled-integer register sum + empty-register count.
+_HLL_SQL_ZS_V = (
+    "sum(CAST(power(2, 27 - mr) AS BIGINT))\n"
+    "    + (64 - count(*)) * 134217728 AS zs,\n"
+    "64 - count(*) AS v"
+)
+#: DuckDB SQL: the estimate with linear-counting small-range correction.
+_HLL_SQL_EST = (
+    "round(1e-9 + CASE WHEN 0.709 * 64 * 64 * 134217728 / zs <= 160 AND v > 0\n"
+    "                  THEN 64 * ln(64.0 / v)\n"
+    "                  ELSE 0.709 * 64 * 64 * 134217728 / zs END, 4)"
+)
+
+
+def _hll_hash32(col: Column) -> Column:
+    """Spark twin of ``_HLL_SQL_HASH``."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv")
+    )
+
+
+def _hll_max_rank() -> Column:
+    """Spark twin of ``_HLL_SQL_MR`` (aggregate over rows sharing a reg)."""
+    w = F.expr("hv div 64")
+    return F.max(
+        F.when(w == 0, F.lit(27)).otherwise(F.lit(27) - F.length(F.bin(w)))
+    ).alias("mr")
+
+
+def _hll_zs_v() -> list:
+    """Spark twin of ``_HLL_SQL_ZS_V`` (aggregates over a register table)."""
+    return [
+        (
+            F.sum(F.pow(F.lit(2), F.lit(27) - F.col("mr")).cast("bigint"))
+            + (F.lit(64) - F.count("*")) * F.lit(134217728)
+        ).alias("zs"),
+        (F.lit(64) - F.count("*")).alias("v"),
+    ]
+
+
+def _hll_estimate() -> Column:
+    """Spark twin of ``_HLL_SQL_EST`` (before the round/nudge)."""
+    raw = F.lit(_HLL_ALPHA_M2_SCALED) / F.col("zs")
+    return F.when(
+        (raw <= 160) & (F.col("v") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v")),
+    ).otherwise(raw)
+
 
 @register(
     "q61_approx_distinct_hll",
-    oracle="""
+    oracle=f"""
     WITH h AS (
         SELECT l_returnflag,
-               ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+               {_HLL_SQL_HASH.format(col="l_orderkey")} AS hv
         FROM lineitem
     ),
     regs AS (
         SELECT l_returnflag, hv % 64 AS reg,
-               max(CASE WHEN hv // 64 = 0 THEN 27
-                        ELSE 27 - length(bin(hv // 64)) END) AS mr
+               {_HLL_SQL_MR}
         FROM h GROUP BY l_returnflag, hv % 64
     ),
     z AS (
         SELECT l_returnflag,
-               sum(CAST(power(2, 27 - mr) AS BIGINT))
-                   + (64 - count(*)) * 134217728 AS zs,
-               64 - count(*) AS v
+               {_HLL_SQL_ZS_V}
         FROM regs GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           round(1e-9 + CASE WHEN 0.709 * 64 * 64 * 134217728 / zs <= 160 AND v > 0
-                             THEN 64 * ln(64.0 / v)
-                             ELSE 0.709 * 64 * 64 * 134217728 / zs END, 4) AS approx_orders
+           {_HLL_SQL_EST} AS approx_orders
     FROM z ORDER BY l_returnflag
     """,
     doc=(
@@ -1101,33 +1158,15 @@ _HLL_ALPHA_M2_SCALED = 0.709 * 64 * 64 * 134217728  # alpha_64 * m^2 * 2^27
 )
 def q61_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    h = li.select(
-        "l_returnflag",
-        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("hv"),
-    )
-    w = F.expr("hv div 64")
+    h = li.select("l_returnflag", _hll_hash32(F.col("l_orderkey")))
     regs = h.groupBy("l_returnflag", (F.col("hv") % 64).alias("reg")).agg(
-        F.max(
-            F.when(w == 0, F.lit(27)).otherwise(F.lit(27) - F.length(F.bin(w)))
-        ).alias("mr")
+        _hll_max_rank()
     )
-    z = regs.groupBy("l_returnflag").agg(
-        (
-            F.sum(F.pow(F.lit(2), F.lit(27) - F.col("mr")).cast("bigint"))
-            + (F.lit(64) - F.count("*")) * F.lit(134217728)
-        ).alias("zs"),
-        (F.lit(64) - F.count("*")).alias("v"),
-    )
-    raw = F.lit(_HLL_ALPHA_M2_SCALED) / F.col("zs")
-    est = F.when(
-        (raw <= 160) & (F.col("v") > 0),
-        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v")),
-    ).otherwise(raw)
+    z = regs.groupBy("l_returnflag").agg(*_hll_zs_v())
     return (
         z.select(
-            "l_returnflag", F.round(F.lit(1e-9) + est, 4).alias("approx_orders")
+            "l_returnflag",
+            F.round(F.lit(1e-9) + _hll_estimate(), 4).alias("approx_orders"),
         ).orderBy("l_returnflag")
     )
 

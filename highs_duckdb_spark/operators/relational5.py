@@ -17,6 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from highs_duckdb_spark.functions.money import cents, money_sum
 from highs_duckdb_spark.functions.presentation import ordered_wide, present_sorted
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.operators.relational import (
+    _HLL_SQL_EST,
+    _HLL_SQL_HASH,
+    _HLL_SQL_MR,
+    _HLL_SQL_ZS_V,
+    _hll_estimate,
+    _hll_hash32,
+    _hll_max_rank,
+    _hll_zs_v,
+)
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
@@ -188,16 +198,15 @@ def q116_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q175_hll_register_rollup",
-    oracle="""
+    oracle=f"""
     WITH h AS (
         SELECT CAST(ts AS DATE) AS d, event_type,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+               {_HLL_SQL_HASH.format(col="user_id")} AS hv
         FROM events
     ),
     regs AS (  -- the stored per-(day,type) register table
         SELECT d, event_type, hv % 64 AS reg,
-               max(CASE WHEN hv // 64 = 0 THEN 27
-                        ELSE 27 - length(bin(hv // 64)) END) AS mr
+               {_HLL_SQL_MR}
         FROM h GROUP BY d, event_type, hv % 64
     ),
     merged AS (  -- rollup: register-wise max merges days WITHOUT rescanning
@@ -206,9 +215,7 @@ def q116_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
         SELECT event_type,
-               sum(CAST(power(2, 27 - mr) AS BIGINT))
-                   + (64 - count(*)) * 134217728 AS zs,
-               64 - count(*) AS v
+               {_HLL_SQL_ZS_V}
         FROM merged GROUP BY event_type
     ),
     days AS (
@@ -216,9 +223,7 @@ def q116_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM regs GROUP BY event_type
     )
     SELECT z.event_type, days.n_days,
-           round(1e-9 + CASE WHEN 0.709 * 64 * 64 * 134217728 / zs <= 160 AND v > 0
-                             THEN 64 * ln(64.0 / v)
-                             ELSE 0.709 * 64 * 64 * 134217728 / zs END, 4) AS est_users
+           {_HLL_SQL_EST} AS est_users
     FROM z JOIN days USING (event_type)
     ORDER BY event_type
     """,
@@ -235,41 +240,20 @@ def q116_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q175_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from highs_duckdb_spark.operators.relational import _HLL_ALPHA_M2_SCALED
-
     ev = load_table(spark, "events", sf_dir)
     h = ev.select(
         F.to_date("ts").alias("d"),
         "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("hv"),
+        _hll_hash32(F.col("user_id")),
     )
-    w = F.expr("hv div 64")
     regs = (
         h.groupBy("d", "event_type", (F.col("hv") % 64).alias("reg"))
-        .agg(
-            F.max(
-                F.when(w == 0, F.lit(27)).otherwise(
-                    F.lit(27) - F.length(F.bin(w))
-                )
-            ).alias("mr")
-        )
+        .agg(_hll_max_rank())
         .localCheckpoint(eager=True)  # the "stored" rollup table; 2 consumers
     )
     merged = regs.groupBy("event_type", "reg").agg(F.max("mr").alias("mr"))
-    z = merged.groupBy("event_type").agg(
-        (
-            F.sum(F.pow(F.lit(2), F.lit(27) - F.col("mr")).cast("bigint"))
-            + (F.lit(64) - F.count("*")) * F.lit(134217728)
-        ).alias("zs"),
-        (F.lit(64) - F.count("*")).alias("v"),
-    )
-    raw = F.lit(_HLL_ALPHA_M2_SCALED) / F.col("zs")
-    est = F.when(
-        (raw <= 160) & (F.col("v") > 0),
-        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v")),
-    ).otherwise(raw)
+    z = merged.groupBy("event_type").agg(*_hll_zs_v())
+    est = _hll_estimate()
     days = regs.select("event_type", "d").distinct().groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_days")
     )

@@ -1770,6 +1770,45 @@ def s16_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jvm_cosine_scored(emb: DataFrame, q: DataFrame, neighbor_alias: str) -> DataFrame:
+    """Shared s17/s18 scoring core: explode the bounded query-id list onto
+    the corpus, broadcast-join the query vectors, and attach the rounded
+    ``cosine`` column. The 1e-9 nudge, round(6) and the fold order of
+    ``_dot`` must track DuckDB's ``list_dot_product`` exactly — keeping the
+    expression in one place keeps the two operators from diverging."""
+    # bounded query-id list, known at plan time (vec_id < N_QUERIES)
+    qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
+    return (
+        emb.select(
+            F.col("vec_id").alias(neighbor_alias),
+            "label",
+            "v",
+            _norm(F.col("v")).alias("nv"),
+            F.explode(qids).alias("query_id"),
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.lit(1e-9)
+                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                6,
+            ),
+        )
+    )
+
+
+def _topk_per_query(scored: DataFrame, neighbor_alias: str, cols: list) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(neighbor_alias))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(*cols)
+        .transform(present_sorted, "query_id", "rk")
+    )
+
+
+
 @register(
     "s17_cosine_topk_jvm",
     oracle=f"""
@@ -1815,35 +1854,13 @@ def s17_cosine_topk_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm(F.col("v")).alias("nq"),
         )
     )
-    # bounded query-id list, known at plan time (vec_id < N_QUERIES)
-    qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
-    scored = (
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            "label",
-            "v",
-            _norm(F.col("v")).alias("nv"),
-            F.explode(qids).alias("query_id"),
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "label",
-            F.round(
-                F.lit(1e-9)
-                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
-                6,
-            ).alias("cosine"),
-        )
+    # self-exclusion references only corpus-side columns, so Catalyst pushes
+    # it below the broadcast join — same plan as filtering pre-join
+    scored = _jvm_cosine_scored(emb, q, "neighbor_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "rk", "neighbor_id", "label", "cosine")
-        .transform(present_sorted, "query_id", "rk")
+    return _topk_per_query(
+        scored, "neighbor_id", ["query_id", "rk", "neighbor_id", "label", "cosine"]
     )
 
 
@@ -1888,33 +1905,19 @@ def s18_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("nq"),
     )
-    qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
     scored = (
-        emb.select(
-            F.col("vec_id").alias("negative_id"),
-            "label",
-            "v",
-            _norm(F.col("v")).alias("nv"),
-            F.explode(qids).alias("query_id"),
-        )
-        .join(F.broadcast(q), "query_id")
+        _jvm_cosine_scored(emb, q, "negative_id")
         .filter(F.col("label") != F.col("qlabel"))
         .select(
             "query_id",
             F.col("qlabel").cast("int").alias("query_label"),
             "negative_id",
             F.col("label").cast("int").alias("negative_label"),
-            F.round(
-                F.lit(1e-9)
-                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
-                6,
-            ).alias("cosine"),
+            "cosine",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "query_label", "rk", "negative_id", "negative_label", "cosine")
-        .transform(present_sorted, "query_id", "rk")
+    return _topk_per_query(
+        scored,
+        "negative_id",
+        ["query_id", "query_label", "rk", "negative_id", "negative_label", "cosine"],
     )

@@ -473,16 +473,18 @@ def solve_milp(
     import heapq
 
     tie = 0
-    heap: list[tuple[float, int, np.ndarray, np.ndarray]] = [
-        (float(root.objective), tie, col_lb0, col_ub0)
+    # The root entry carries its already-solved relaxation so the first pop
+    # does not pay a second full solve_lp of a result we are holding.
+    heap: list[tuple[float, int, np.ndarray, np.ndarray, LPResult | None]] = [
+        (float(root.objective), tie, col_lb0, col_ub0, root)
     ]
     nodes = 0
     while heap and nodes < max_nodes:
-        bound, _, lb, ub = heapq.heappop(heap)
+        bound, _, lb, ub, pre = heapq.heappop(heap)
         if bound >= best_obj - 1e-9:
             continue  # stale: incumbent already beats this subtree's bound
         nodes += 1
-        res = solve_lp(c, a_dense, row_lb, row_ub, lb, ub)
+        res = pre if pre is not None else solve_lp(c, a_dense, row_lb, row_ub, lb, ub)
         if res.status != "Optimal" or res.objective >= best_obj - 1e-9:
             continue
         frac = np.abs(res.x - np.round(res.x))
@@ -513,13 +515,13 @@ def solve_milp(
         # floor branch gets the smaller tiebreak so it pops first among
         # equal bounds — same exploration preference as the old DFS
         tie += 1
-        heapq.heappush(heap, (float(res.objective), tie, lb, ub_l))
+        heapq.heappush(heap, (float(res.objective), tie, lb, ub_l, None))
         tie += 1
-        heapq.heappush(heap, (float(res.objective), tie, lb_r, ub))
+        heapq.heappush(heap, (float(res.objective), tie, lb_r, ub, None))
 
     # Budget exhausted with LIVE subproblems unexplored? Stale nodes (bound
     # already ≥ incumbent) prove nothing is missed, so they don't truncate.
-    truncated = any(b < best_obj - 1e-9 for b, _, _, _ in heap)
+    truncated = any(b < best_obj - 1e-9 for b, _, _, _, _ in heap)
     if best_x is None:
         # Without an incumbent a truncated search proves nothing — only a
         # completed search may claim Infeasible.

@@ -15,9 +15,10 @@ from catalog statistics:
   benchmark scales for the same reason).
 
 We make the decision from the source directory's total parquet size — the
-same statistic a table catalog would hold.  Below ``_SHJ_MAX_BYTES`` even a
-pathological all-rows-one-key skew fits in a single task's memory, so the
-hash build is trivially safe; above it we fall back to sort-merge.  The
+same statistic a table catalog would hold.  Shuffled-hash is chosen only
+when every concurrent build on an executor fits its share of the heap
+(per-partition bytes x concurrent tasks x decode/skew headroom <= heap);
+otherwise we fall back to sort-merge.  The
 ``HDS_FACT_JOIN_STRATEGY`` environment variable overrides the choice for
 experiments (``merge`` | ``shuffle_hash``).
 """
@@ -28,13 +29,14 @@ import os
 
 from pyspark.sql import DataFrame
 
-#: compressed source bytes PER POST-SHUFFLE PARTITION under which a hash
-#: build trivially fits in a task's memory: 256 MB compressed is ~1 GB
-#: decoded — comfortably inside a default 8 GiB heap even under 4x key
-#: skew. The safety condition for shuffled-hash is per-partition, not
-#: per-table: what a build task holds is total/shuffle-partitions (AQE's
-#: skew splitting further caps the worst partition on a real cluster).
-_SHJ_PARTITION_BUDGET = 256 << 20
+#: decoded-bytes-per-compressed-byte for parquet (~4x). No additional skew
+#: factor: ``dir_bytes`` is the WHOLE directory while a join builds one
+#: column-pruned table (>=4x smaller on TPC-H shapes), which already
+#: over-budgets by more than any residual average-case skew, and runtime
+#: skew is AQE's job (skew-join splitting caps the worst partition). The
+#: safe aggregate of concurrent hash builds per executor heap is
+#: heap / _SHJ_HEAP_DIVISOR compressed bytes.
+_SHJ_HEAP_DIVISOR = 4
 
 _DIR_BYTES_CACHE: dict[str, int] = {}
 
@@ -69,13 +71,62 @@ def _shuffle_partitions() -> int:
     return 1
 
 
+def _mem_bytes(spec: str) -> int:
+    """Parse a Spark memory string (``8g``, ``512m``, ``1024``) to bytes."""
+    spec = spec.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if spec and spec[-1] == "b":
+        spec = spec[:-1]
+    if spec and spec[-1] in mult:
+        return int(float(spec[:-1]) * mult[spec[-1]])
+    return int(float(spec))
+
+
+def _heap_and_concurrency() -> tuple[int, int]:
+    """(executor heap bytes, concurrent tasks sharing that heap).
+
+    In ``local[N]`` mode all N task threads share the driver heap; on a
+    cluster it is ``spark.executor.cores / spark.task.cpus`` tasks inside
+    ``spark.executor.memory``. Falls back to (8 GiB, cpu_count) when no
+    session is active — the conservative direction (more sharers, small
+    heap) only ever demotes to the always-safe sort-merge.
+    """
+    heap, tasks = 8 << 30, os.cpu_count() or 8
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            master = s.conf.get("spark.master", "")
+            task_cpus = max(int(s.conf.get("spark.task.cpus", "1")), 1)
+            if master.startswith("local"):
+                heap = _mem_bytes(s.conf.get("spark.driver.memory", "1g"))
+                inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "1"
+                tasks = (os.cpu_count() or 8) if inner in ("*", "") else int(inner)
+            else:
+                heap = _mem_bytes(s.conf.get("spark.executor.memory", "1g"))
+                tasks = max(int(s.conf.get("spark.executor.cores", "1")), 1)
+            tasks = max(tasks // task_cpus, 1)
+    except Exception:
+        pass
+    return heap, tasks
+
+
 def fact_join_strategy(sf_dir: str) -> str:
-    """``shuffle_hash`` when every post-shuffle build fits, else ``merge``."""
+    """``shuffle_hash`` when every post-shuffle build fits, else ``merge``.
+
+    The safety condition is per-EXECUTOR, not per-task: an executor runs
+    ``tasks`` concurrent non-spilling hash builds inside one heap, and the
+    builds live in the unified execution-memory region (roughly half the
+    heap: ``spark.memory.fraction`` 0.6, shared with the probe side and
+    shuffle buffers) — so the aggregate decoded build must fit heap/2.
+    """
     override = os.environ.get("HDS_FACT_JOIN_STRATEGY")
     if override in ("merge", "shuffle_hash"):
         return override
     per_partition = dir_bytes(sf_dir) / _shuffle_partitions()
-    return "shuffle_hash" if per_partition <= _SHJ_PARTITION_BUDGET else "merge"
+    heap, tasks = _heap_and_concurrency()
+    return "shuffle_hash" if per_partition * tasks * _SHJ_HEAP_DIVISOR <= heap // 2 else "merge"
 
 
 def fact_hint(df: DataFrame, sf_dir: str) -> DataFrame:

@@ -10,7 +10,13 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
-import tomllib
+
+try:
+    import tomllib  # stdlib from 3.11
+except ModuleNotFoundError:  # pragma: no cover - py3.10 (requires-python >=3.10)
+    import pytest
+
+    tomllib = pytest.importorskip("tomli")  # skip, not crash, on bare 3.10
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

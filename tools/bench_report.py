@@ -19,7 +19,7 @@ import re
 import sys
 
 LINE = re.compile(
-    r"^(\S+)\s+spark=\s*([0-9.]+)s duckdb=\s*([0-9.]+)s ratio=\s*([0-9.]+)x(.*)$"
+    r"^(\S+)\s+spark=\s*([0-9.]+)s duckdb=\s*([0-9.]+)s ratio=\s*([0-9.]+|inf)x?(.*)$"
 )
 
 
@@ -38,7 +38,13 @@ def parse(path: str):
 def main() -> None:
     out, label, paths = sys.argv[1], sys.argv[2], sys.argv[3:]
     runs = [parse(p) for p in paths]
-    names = [n for n in runs[0]]
+    # union across runs, first-seen order: a query missing from run 1 (e.g.
+    # an aborted sweep) must still appear, not silently vanish
+    names: list[str] = []
+    for r in runs:
+        for n in r:
+            if n not in names:
+                names.append(n)
     lines = [
         f"### {label} (per-query min over {len(runs)} full runs, both engines)",
         "",
@@ -49,16 +55,17 @@ def main() -> None:
     for n in names:
         s = min(r[n][0] for r in runs if n in r)
         d = min(r[n][1] for r in runs if n in r)
-        noncmp = runs[0][n][2]
+        noncmp = next(r[n][2] for r in runs if n in r)
         ratio = s / d if d else float("inf")
         mark = " *" if noncmp else ""
         lines.append(f"| {n}{mark} | {s:.3f} | {d:.3f} | {ratio:.2f}x |")
         if not noncmp:
             tot_s += s
             tot_d += d
+    agg = f"{tot_s / tot_d:.2f}x" if tot_d else "n/a (no comparable rows)"
     lines.append(
         f"| **aggregate (comparable)** | **{tot_s:.3f}** | **{tot_d:.3f}** "
-        f"| **{tot_s / tot_d:.2f}x** |"
+        f"| **{agg}** |"
     )
     lines.append("")
     lines.append("`*` oracle is an analytic answer check, not equivalent work.")
