@@ -212,11 +212,10 @@ def _minhash_buckets_udf_factory():
             if sh is None or len(sh) == 0:
                 out.append([0] * BANDS)
                 continue
-            hs = np.fromiter(
-                (memo.setdefault(s, _md5_32(s) % _MERSENNE_P) for s in sh),
-                dtype=np.uint64,
-                count=len(sh),
-            )
+            for s in sh:
+                if s not in memo:  # setdefault would md5 eagerly on every hit
+                    memo[s] = _md5_32(s) % _MERSENNE_P
+            hs = np.fromiter((memo[s] for s in sh), dtype=np.uint64, count=len(sh))
             # a < 2^7, h < 2^31, b < 2^26: products stay far below 2^64
             sig = ((a[:, None] * hs[None, :] + b[:, None]) % p).min(axis=1)
             buckets = []
@@ -995,3 +994,119 @@ def d12_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage string, docs_in bigint, removed bigint, docs_out bigint"
     ).orderBy("stage")
+
+
+_SPAN_L = 40  # gram length in characters
+
+
+@register(
+    "d13_substring_span_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE length(text) >= {_SPAN_L}
+    ),
+    gp AS (
+      SELECT doc_id, n, text, unnest(generate_series(1, n - {_SPAN_L - 1})) AS p
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, n, p, md5(substr(text, CAST(p AS INTEGER), {_SPAN_L})) AS h
+      FROM gp
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+    pos AS (
+      SELECT g.doc_id, g.n, g.p,
+             CASE WHEN lag(g.p) OVER w IS NULL
+                       OR g.p - lag(g.p) OVER w > {_SPAN_L} THEN 1 ELSE 0 END AS brk
+      FROM g JOIN dup USING (h)
+      WINDOW w AS (PARTITION BY g.doc_id ORDER BY g.p)
+    ),
+    isl AS (
+      SELECT doc_id, n, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM pos
+    ),
+    spans AS (
+      SELECT doc_id, any_value(n) AS n, island,
+             min(p) AS p0, max(p) AS p1, count(*) AS k
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_dup_grams,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(p1 - p0 + {_SPAN_L}) AS BIGINT) AS dup_chars,
+           round(1e-9 + CAST(sum(p1 - p0 + {_SPAN_L}) AS DOUBLE) / any_value(n), 4)
+               AS dup_ratio
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="dedup",
+    doc=(
+        "EXACT substring-span deduplication (Lee et al. 2022, 'Deduplicating "
+        "Training Data Makes Language Models Better'): every length-40 "
+        "character gram is hashed; a gram occurring more than once in the "
+        "corpus (across OR within documents) marks its position duplicated; "
+        "per document, overlapping duplicated positions merge into maximal "
+        "spans (gaps-and-islands over positions, gap > L breaks a span) and "
+        "the audit reports span count, covered characters, and coverage "
+        "ratio — the rows a curation pipeline would cut or down-weight. "
+        "All JVM codegen: sequence+explode gram generation, one gram-hash "
+        "shuffle for the global count, one doc shuffle for span merging; "
+        "the gram table is pinned once before its two consumers. At 100 TB "
+        "the gram table is O(corpus chars): production runs persist it "
+        "columnar (8-byte xxhash64 instead of md5 — md5 here only for "
+        "cross-engine hash-checking), or swap the candidate generator for "
+        "t21's winnowing fingerprints which sample ~2/w of positions with "
+        "a guaranteed-detection window."
+    ),
+)
+def d13_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L = _SPAN_L
+    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") >= L)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n"),
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (L - 1))).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "p",
+            F.md5(F.expr(f"substring(text, p, {L})")).alias("h"),
+        )
+        .localCheckpoint(eager=True)  # two consumers: global count + join back
+    )
+    dup = grams.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    pos = (
+        grams.join(dup.select("h"), "h")
+        .withColumn("prev", F.lag("p").over(w_doc))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("p") - F.col("prev") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w_doc))
+    )
+    spans = pos.groupBy("doc_id", "island").agg(
+        F.first("n").alias("n"),
+        F.min("p").alias("p0"),
+        F.max("p").alias("p1"),
+        F.count("*").alias("k"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_dup_grams"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("p1") - F.col("p0") + L).cast("bigint").alias("dup_chars"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("p1") - F.col("p0") + L).cast("double") / F.first("n"),
+                4,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

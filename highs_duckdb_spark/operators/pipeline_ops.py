@@ -891,3 +891,94 @@ def p14_contamination_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_docs"))
         .transform(present_sorted, "split", "contaminated")
     )
+
+
+@register(
+    "p15_mixture_lp",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             length(regexp_split_to_array(lower(trim(text)), '\\s+')) AS nt,
+             length(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS nd
+      FROM documents
+    ),
+    s AS (
+      SELECT source, sum(nt) AS supply, CAST(sum(nd) AS DOUBLE) / sum(nt) AS q
+      FROM t GROUP BY source
+    ),
+    b AS (SELECT CAST(floor(0.5 * sum(supply)) AS BIGINT) AS budget FROM s),
+    r AS (
+      SELECT s.source, s.supply, s.q, b.budget,
+             coalesce(sum(s.supply) OVER (ORDER BY s.q DESC, s.source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM s, b
+    )
+    SELECT source,
+           CAST(supply AS BIGINT) AS supply_tokens,
+           round(1e-9 + q, 6) AS quality,
+           round(1e-9 + GREATEST(0.0, LEAST(CAST(supply AS DOUBLE),
+                                            CAST(budget - cum_prev AS DOUBLE))), 4)
+               AS alloc_tokens
+    FROM r ORDER BY source
+    """,
+    category="pipeline",
+    doc=(
+        "Optimal data-mixture selection as a LINEAR PROGRAM solved by the "
+        "in-repo simplex (optim/simplex.py — the engine's flagship "
+        "capability composed with the LLM-pipeline layer): maximize "
+        "quality-weighted tokens  max Σ q_s·x_s  s.t.  0 ≤ x_s ≤ supply_s, "
+        "Σ x_s ≤ budget (= 50% of corpus tokens), where q_s is each "
+        "source's distinct-token ratio (exact integer-sum ratio, so both "
+        "engines compute bit-identical coefficients). This LP is a "
+        "fractional knapsack, so its unique optimum (q_s are distinct) has "
+        "the greedy closed form the DuckDB oracle replays with a window "
+        "cumsum — the simplex result is hash-checked against an "
+        "INDEPENDENT analytic solution, not a reimplementation. Scale: one "
+        "map-side-combined aggregation to |sources| rows; the LP itself is "
+        "|sources| variables on the driver — the same bounded-collect "
+        "contract as the optim layer."
+    ),
+)
+def p15_mixture_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.optim.simplex import solve_lp
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    per_source = (
+        docs.select(
+            "source",
+            F.size(toks).alias("nt"),
+            F.size(F.array_distinct(toks)).alias("nd"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("supply"), F.sum("nd").alias("nd"))
+        .collect()  # bounded: one row per source
+    )
+    rows = sorted(per_source, key=lambda r: r["source"])
+    supply = [int(r["supply"]) for r in rows]
+    q = [int(r["nd"]) / int(r["supply"]) for r in rows]
+    budget = int(0.5 * sum(supply))
+    n = len(rows)
+    res = solve_lp(
+        c=[-qi for qi in q],  # minimize-only solver: negate to maximize
+        a_dense=[1.0] * n,  # single structural row: Σ x_s ≤ budget
+        row_lb=[0.0],
+        row_ub=[float(budget)],
+        col_lb=[0.0] * n,
+        col_ub=[float(s) for s in supply],
+    )
+    if res.status != "Optimal":  # pragma: no cover - LP is trivially feasible
+        raise RuntimeError(f"mixture LP returned {res.status}")
+    out = [
+        (
+            rows[i]["source"],
+            supply[i],
+            round(1e-9 + q[i], 6),
+            round(1e-9 + float(res.x[i]), 4),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        out,
+        "source string, supply_tokens bigint, quality double, alloc_tokens double",
+    ).orderBy("source")
