@@ -1921,3 +1921,108 @@ def s18_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "negative_id",
         ["query_id", "query_label", "rk", "negative_id", "negative_label", "cosine"],
     )
+
+
+_MRL_DIM = 16  # truncation prefix length (Matryoshka-style)
+
+
+@register(
+    "s19_matryoshka_recall",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, v[1:{_MRL_DIM}] AS qt FROM emb
+      WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(1e-9 + list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cf,
+             round(1e-9 + list_dot_product(q.qt, e.v[1:{_MRL_DIM}])
+                   / (sqrt(list_dot_product(q.qt, q.qt))
+                      * sqrt(list_dot_product(e.v[1:{_MRL_DIM}], e.v[1:{_MRL_DIM}]))), 6) AS ct
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, neighbor_id) AS rf,
+             row_number() OVER (PARTITION BY query_id ORDER BY ct DESC, neighbor_id) AS rt
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (WHERE rf <= {TOP_K} AND rt <= {TOP_K}) AS BIGINT)
+               AS n_overlap,
+           CAST(count(*) FILTER (WHERE rf <= {TOP_K} AND rt <= {TOP_K}) AS DOUBLE)
+               / {TOP_K} AS recall_at_k
+    FROM ranked GROUP BY query_id ORDER BY query_id
+    """,
+    category="similarity",
+    doc=(
+        "Matryoshka-truncation quality audit: for each query, exact cosine "
+        "top-k under the FULL 64-dim embedding vs under its first-16-dim "
+        "prefix (re-normalized), reporting per-query top-k overlap — the "
+        "recall screen run before shipping truncated embeddings to a "
+        "cheaper index (Kusupati et al. 2022, Matryoshka Representation "
+        "Learning). One corpus scan computes BOTH scores (the truncated "
+        "fold is a slice of the same row); the two rankings are windows "
+        "over the same scored table, so truncation evaluation costs one "
+        "extra window, not a second pipeline. Same explode+broadcast shape "
+        "as s17; at real scale the s05 partition-local top-k merge applies "
+        "to both score columns unchanged."
+    ),
+)
+def s19_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D = _MRL_DIM
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.slice(F.col("v"), 1, D).alias("qt"),
+        _norm(F.col("v")).alias("nq"),
+        _norm(F.slice(F.col("v"), 1, D)).alias("nqt"),
+    )
+    qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
+    vt = F.slice(F.col("v"), 1, D)
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "v",
+            _norm(F.col("v")).alias("nv"),
+            _norm(vt).alias("nvt"),
+            F.explode(qids).alias("query_id"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.lit(1e-9)
+                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cf"),
+            F.round(
+                F.lit(1e-9)
+                + _dot(F.col("qt"), vt) / (F.col("nqt") * F.col("nvt")),
+                6,
+            ).alias("ct"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cf"), F.asc("neighbor_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("ct"), F.asc("neighbor_id"))
+    hit = (F.col("rf") <= TOP_K) & (F.col("rt") <= TOP_K)
+    return (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rt", F.row_number().over(wt))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_overlap"),
+            (
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double") / F.lit(TOP_K)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
