@@ -659,3 +659,75 @@ def v10_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .transform(present_sorted, "bucket")
     )
+
+
+@register(
+    "v11_alignment_uniformity",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 500
+    ),
+    pairs AS (
+      SELECT a.label AS la, b.label AS lb,
+             2 - 2 * list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS d2
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE la = lb) AS BIGINT) AS n_pos_pairs,
+           round(1e-9 + avg(d2) FILTER (WHERE la = lb), 6) AS alignment,
+           round(1e-9 + ln(avg(exp(-2 * d2))), 6) AS uniformity
+    FROM pairs
+    """,
+    category="vectors",
+    doc=(
+        "Contrastive-representation diagnostics (Wang & Isola 2020): "
+        "ALIGNMENT = mean squared distance between normalized same-label "
+        "pairs (how tightly classes cluster), UNIFORMITY = log of the "
+        "mean Gaussian-kernel value over ALL pairs (how evenly the "
+        "hypersphere is covered) — the two-number health check run on an "
+        "embedding model before committing a corpus-wide re-embed. "
+        "Bounded evaluation set (vec_id < 500, the s03 convention) so the "
+        "pair matrix is fixed-size at any corpus scale; the cast table is "
+        "checkpointed once and self-joined on the bounded key. d^2 = "
+        "2 - 2cos uses the same JVM fold that bit-matches DuckDB's "
+        "list_dot_product; both engines aggregate ~125k pair terms, "
+        "where last-ulp libm differences stay ~9 orders below the "
+        "round(6) reporting precision."
+    ),
+)
+def v11_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.operators.similarity import _as_double, _dot
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+        .localCheckpoint(eager=True)  # self-joined: never recompute the cast
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    d2 = F.lit(2.0) - F.lit(2.0) * _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    same = F.col("la") == F.col("lb")
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(same.alias("pos"), d2.alias("d2"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos_pairs"),
+            F.round(F.lit(1e-9) + F.avg(F.when(F.col("pos"), F.col("d2"))), 6).alias(
+                "alignment"
+            ),
+            F.round(
+                F.lit(1e-9) + F.log(F.avg(F.exp(F.lit(-2.0) * F.col("d2")))), 6
+            ).alias("uniformity"),
+        )
+    )
