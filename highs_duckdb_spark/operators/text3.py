@@ -273,3 +273,111 @@ def t26_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch_score"),
     ).orderBy("doc_id")
+
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET = ("src0", "src1")  # the "target domain" sample
+
+
+@register(
+    "t27_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8))::BIGINT
+                 % {_DSIR_BUCKETS} AS b
+      FROM toks, unnest(range(1, length(t))) AS r(i)
+      WHERE length(t) >= 2
+    ),
+    tgt AS (
+      SELECT b, count(*) AS ct FROM big
+      WHERE source IN {_DSIR_TARGET} GROUP BY b
+    ),
+    all_ AS (SELECT b, count(*) AS ca FROM big GROUP BY b),
+    tot AS (
+      SELECT (SELECT sum(ct) FROM tgt) AS nt, (SELECT sum(ca) FROM all_) AS na
+    ),
+    lr AS (  -- Laplace-smoothed log-ratio per feature bucket
+      SELECT all_.b,
+             ln((CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (tot.nt + {_DSIR_BUCKETS}))
+                / (CAST(all_.ca + 1 AS DOUBLE) / (tot.na + {_DSIR_BUCKETS}))) AS llr
+      FROM all_ LEFT JOIN tgt USING (b), tot
+    )
+    SELECT big.doc_id,
+           count(*) AS n_bigrams,
+           round(1e-9 + avg(lr.llr), 4) AS dsir_weight
+    FROM big JOIN lr USING (b)
+    GROUP BY big.doc_id ORDER BY big.doc_id
+    """,
+    category="text",
+    doc=(
+        "DSIR importance weights (Xie et al. 2023, Data Selection via "
+        "Importance Resampling): hashed-bigram features (md5 -> 256 "
+        "buckets), bag-of-buckets unigram models for a TARGET domain "
+        "(sources src0/src1) and the raw corpus, Laplace-smoothed; each "
+        "document's weight is its mean log-likelihood ratio — the score "
+        "DSIR resamples by to shift a pretraining mix toward the target "
+        "domain (p10_weighted_sample is the resampling half). The hashing "
+        "trick caps model state at a CONSTANT 256 rows however large the "
+        "corpus, so both LMs broadcast; one exploded-bigram pass is "
+        "pinned before its three consumers (two 256-row aggregates + the "
+        "scoring join) and the per-doc score is a broadcast join + "
+        "grouped mean. Engine-neutral md5 bucketing keeps the weights "
+        "hash-checked against DuckDB end-to-end."
+    ),
+)
+def t27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _DSIR_BUCKETS
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", "source", t.alias("t")).filter(F.size("t") >= 2)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    big = (
+        toks.select("doc_id", "source", F.explode(bg).alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+                % B
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=True)  # three consumers of one corpus pass
+    )
+    tgt = (
+        big.filter(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    all_ = big.groupBy("b").agg(F.count("*").alias("ca"))
+    nt = tgt.agg(F.sum("ct")).first()[0]
+    na = all_.agg(F.sum("ca")).first()[0]
+    lr = (
+        all_.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / F.lit(float(nt + B)))
+                / ((F.col("ca") + 1).cast("double") / F.lit(float(na + B)))
+            ).alias("llr"),
+        )
+    )
+    return (
+        big.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.lit(1e-9) + F.avg("llr"), 4).alias("dsir_weight"),
+        )
+        .orderBy("doc_id")
+    )
