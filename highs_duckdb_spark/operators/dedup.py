@@ -232,7 +232,7 @@ def _minhash_buckets_udf_factory():
     return F.pandas_udf(kernel, "array<long>")
 
 
-def _d03_oracle_sql() -> str:
+def _d03_oracle_sql(doc_filter: str = "WHERE doc_id < 300") -> str:
     """DuckDB replication of the full d03 pipeline — shingles, md5-based
     minhash signatures, band buckets, candidate join, exact-Jaccard
     verification — generated from the same _PERM_A/_PERM_B constants the
@@ -248,7 +248,7 @@ def _d03_oracle_sql() -> str:
                THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, length(toks) - 1)]
                ELSE [array_to_string(toks, ' ')] END) AS shingles
       FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-            FROM documents WHERE doc_id < 300)
+            FROM documents {doc_filter})
     ),
     hb AS (
       SELECT doc_id, shingles,
@@ -304,8 +304,32 @@ def _d03_oracle_sql() -> str:
     ),
 )
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _d03_pipeline(spark, sf_dir, bound=300)
+
+
+@register(
+    "d03_full_minhash_lsh_pairs",
+    oracle=_d03_oracle_sql(doc_filter=""),
+    category="dedup",
+    doc=(
+        "d03 over the UNBOUNDED corpus: same md5-based MinHash+LSH pipeline "
+        "with no doc_id cap — output is bounded by the Jaccard threshold "
+        "(near-dup pair density), not by document count, which is the "
+        "100-TB contract. Plan shape identical to d03 (shuffle_hash "
+        "verification join, checkpointed signatures); the LSH bucket-skew "
+        "audit (tests/test_skew_audit.py) already runs this unbounded shape "
+        "on the sf0.1 corpus."
+    ),
+)
+def d03_full_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _d03_pipeline(spark, sf_dir, bound=None)
+
+
+def _d03_pipeline(spark: SparkSession, sf_dir: str, bound: int | None) -> DataFrame:
     ensure_shipped(spark)
-    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    docs = load_table(spark, "documents", sf_dir)
+    if bound is not None:
+        docs = docs.filter(F.col("doc_id") < bound)
     bucket_udf = _minhash_buckets_udf_factory()
     # Materialize signatures ONCE: the band join is a self-join, and without
     # pinning, Spark recomputes the whole shingle+minhash subplan for each

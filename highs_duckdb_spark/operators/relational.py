@@ -1175,11 +1175,13 @@ def q61_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q172_native_hll_sketch",
     None,
     doc=(
-        "Engine-native approx_count_distinct (HLL++) — rows-only check "
-        "(the sketch is implementation-specific so no oracle can hash-match); "
+        "Engine-native approx_count_distinct (HLL++) — pytest-only "
+        "(the sketch is implementation-specific so no oracle can hash-match; "
+        "error bound vs the exact twin pinned in test_round3_ops.py); "
         "the cross-engine-checkable HLL is q61_approx_distinct_hll, and the "
         "exact twin is q60_approx_distinct."
     ),
+    driver_visible=False,
 )
 def q172_native_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)

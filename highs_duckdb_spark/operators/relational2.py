@@ -539,9 +539,10 @@ def q91_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="relational",
     doc=(
         "Engine-native approx_percentile (quantile sketch) per group — "
-        "rows-only check; the cross-engine-checkable estimator is "
+        "pytest-only; the cross-engine-checkable estimator is "
         "q90_approx_percentile, the exact twin q62_percentiles."
     ),
+    driver_visible=False,
 )
 def q173_native_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
@@ -561,9 +562,10 @@ def q173_native_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame
     category="relational",
     doc=(
         "Bernoulli TABLESAMPLE with a fixed seed (deterministic within "
-        "Spark only) — rows-only check; the cross-engine-auditable sampler "
+        "Spark only) — pytest-only; the cross-engine-auditable sampler "
         "is q91_tablesample, the deterministic stratified twin p04."
     ),
+    driver_visible=False,
 )
 def q174_native_rng_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -579,7 +581,12 @@ def q174_native_rng_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q92_stratified_sample",
     oracle=None,
     category="relational",
-    doc="Stratified sampling (sampleBy): per-stratum fractions with a fixed seed.",
+    doc=(
+        "Stratified sampling (sampleBy): per-stratum fractions with a fixed "
+        "seed — pytest-only (engine-specific RNG); the deterministic "
+        "hash-checked stratified twin is p04_stratified_sample."
+    ),
+    driver_visible=False,
 )
 def q92_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)

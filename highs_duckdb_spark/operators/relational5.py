@@ -169,6 +169,7 @@ def q115_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q116_hll_sketch_rollup",
     oracle=None,  # DataSketches estimate; 5%-tolerance + merge-consistency in pytest
+    driver_visible=False,  # engine-native sketch; hash-checked twin q175_hll_register_rollup
     category="relational",
     doc=(
         "Mergeable distinct-count rollup via DataSketches HLL: one sketch "
