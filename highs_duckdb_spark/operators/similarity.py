@@ -185,11 +185,15 @@ def _hyperplanes(dim: int = _DIM, n: int = N_PLANES) -> list[list[float]]:
 
 
 def _lsh_bits_pandas_factory(planes: list[list[float]]):
-    """Vectorized signature kernel: one (batch × dim) @ (dim × planes)
-    matrix multiply per Arrow batch → bit-string per vector. Embedding the
-    plane matrix as N_PLANES×64 Catalyst literals made plan analysis the
-    dominant cost; a pandas UDF keeps the plan tiny and the math
-    BLAS-batched."""
+    """Vectorized signature kernel: per Arrow batch, accumulate the
+    (batch × planes) dot products DIMENSION-SEQUENTIALLY (j = 0..dim-1) so
+    every v·plane sum is added in exactly the left-to-right order of
+    DuckDB's ``list_dot_product`` — the sign bits (and hence buckets) are
+    then bit-identical to the inlined-literal oracle (see _s02_oracle_sql),
+    which is what upgrades s02 from rows-only to hash-checked. Embedding
+    the plane matrix as N_PLANES×64 Catalyst literals instead made plan
+    analysis the dominant cost; the pandas UDF keeps the plan tiny and the
+    math C-loop-batched (same flop count as the old BLAS matmul)."""
     import pandas as pd
 
     planes_t = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
@@ -201,7 +205,10 @@ def _lsh_bits_pandas_factory(planes: list[list[float]]):
         rows = [(i, np.asarray(v, dtype=np.float64)) for i, v in enumerate(vecs) if v is not None]
         if rows:
             mat = np.vstack([r for _, r in rows])
-            bits = (mat @ planes_t >= 0).astype(np.uint8)
+            acc = np.zeros((mat.shape[0], planes_t.shape[1]))
+            for j in range(planes_t.shape[0]):
+                acc += mat[:, j : j + 1] * planes_t[j][None, :]
+            bits = (acc >= 0).astype(np.uint8)
             for (i, _), row in zip(rows, bits):
                 out[i] = "".join(map(str, row))
         return pd.Series(out, dtype=object)
@@ -215,14 +222,68 @@ def lsh_signature_col(vec_col, planes: list[list[float]]):
     return _lsh_bits_pandas_factory(planes)(vec_col)
 
 
+def _s02_oracle_sql() -> str:
+    """DuckDB replication of the full s02 pipeline. The hyperplanes are
+    deterministic constants (seeded RandomState), so they inline as SQL
+    literals (float64 repr round-trips exactly); the signature kernel
+    accumulates dots dimension-sequentially, so sign bits match
+    list_dot_product's fold bit-for-bit."""
+    planes = _hyperplanes()
+    bit_cases = ",\n           ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id, v,
+             concat(
+           {bit_cases}
+             ) AS bits
+      FROM emb
+    ),
+    banded AS (
+      SELECT vec_id, b.band,
+             substr(bits, b.band * {PLANES_PER_BAND} + 1, {PLANES_PER_BAND}) AS bucket
+      FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS band) b
+    ),
+    q AS (SELECT band, bucket, vec_id AS query_id FROM banded WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM banded c JOIN q ON c.band = q.band AND c.bucket = q.bucket
+                          AND c.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, e.label,
+             round(1e-9 + list_dot_product(qe.v, e.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM cand c
+      JOIN emb e  ON e.vec_id = c.neighbor_id
+      JOIN emb qe ON qe.vec_id = c.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, label, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """
+
+
 @register(
     "s02_ann_lsh_topk",
-    oracle=None,  # approximate; recall vs s01 asserted in pytest
+    oracle=_s02_oracle_sql(),
     category="similarity",
     doc=(
         "ANN top-k via random-hyperplane LSH: 24 sign bits → 8 bands of 3 "
         "(measured recall@5 = 1.0 vs brute force); candidates = bucket "
-        "collisions in ≥1 band; exact cosine re-rank of candidates only."
+        "collisions in ≥1 band; exact cosine re-rank of candidates only. "
+        "Hash-checked end-to-end: deterministic hyperplanes inlined into "
+        "the oracle as literals, dimension-sequential signature dots, so "
+        "DuckDB replicates the exact buckets (not just the neighbor set)."
     ),
 )
 def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,64 +476,218 @@ IVF_NPROBE = 3
 IVF_TRAIN_SAMPLE = 2048
 
 
-def _train_ivf_centroids(emb: DataFrame) -> "np.ndarray":
-    """Driver-side Lloyd's on a deterministic bounded sample (vec_id order).
+_IVF_QSCALE = 1000000.0  # coordinate quantizer for order-free centroid sums
 
+
+def _seq_dists(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """L2 distances (batch × k) with every reduction dimension-sequential
+    and the combining expression ``(v·v − 2·(v·c)) + c·c`` parenthesized
+    exactly like the oracle SQL — distances (hence argmin tie-breaks) are
+    bit-identical to DuckDB's list_dot_product-based expression."""
+    m, dim = V.shape
+    k = C.shape[0]
+    vv = np.zeros(m)
+    vc = np.zeros((m, k))
+    cc = np.zeros(k)
+    for j in range(dim):
+        vv += V[:, j] * V[:, j]
+        vc += V[:, j : j + 1] * C[None, :, j]
+        cc += C[:, j] * C[:, j]
+    return (vv[:, None] - 2.0 * vc) + cc[None, :]
+
+
+def _train_ivf_centroids(emb: DataFrame) -> "np.ndarray":
+    """Driver-side Lloyd's on a deterministic bounded sample (vec_id <
+    IVF_TRAIN_SAMPLE — a scan-pushable predicate, not a sorted limit).
+
+    Engine-neutral by construction so the DuckDB oracle replicates training
+    bit-for-bit: coordinates are quantized ONCE to integral doubles
+    (floor(x·1e6 + 0.5)) so centroid sums are exact integers (< 2^53 —
+    order-independent, aggregation order can never matter), centroids are
+    sum/(1e6·n), distances go through _seq_dists, and argmin ties break to
+    the lowest cell (np.argmin first-hit == ORDER BY dist, cell LIMIT 1).
     At scale the sample is still driver-sized (k × dim math); only the
     one-pass assignment below touches the full corpus.
     """
     sample = np.array(
-        [r["v"] for r in emb.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).collect()],
+        [
+            r["v"]
+            for r in emb.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE)
+            .orderBy("vec_id")
+            .collect()
+        ],
         dtype=np.float64,
     )
-    cents = sample[:IVF_K].copy()
+    q = np.floor(sample * _IVF_QSCALE + 0.5)  # integral doubles, exact sums
+    cents = q[:IVF_K] / _IVF_QSCALE
     for _ in range(IVF_ROUNDS):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _seq_dists(sample, cents).argmin(axis=1)
+        new = cents.copy()
         for j in range(IVF_K):
-            members = sample[assign == j]
+            members = q[assign == j]
             if len(members):
-                cents[j] = members.mean(axis=0)
+                new[j] = members.sum(axis=0) / (_IVF_QSCALE * len(members))
+        cents = new
     return cents
 
 
 def _probe_udf_factory(centroids: "np.ndarray", nprobe: int):
-    """Per-query nearest-NPROBE cell ids, batch matmul per Arrow batch."""
+    """Per-query nearest-NPROBE cell ids (ties to the lowest cell, matching
+    the oracle's ORDER BY dist, cell), sequential-reduction distances."""
     import pandas as pd
 
     c = np.asarray(centroids, dtype=np.float64)
-    c_norm2 = (c * c).sum(axis=1)
+    cell_ids = np.arange(c.shape[0], dtype=np.int64)
 
     def kernel(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        scores = -2.0 * (mat @ c.T) + c_norm2  # batch × k, ranked by L2
-        order = np.argsort(scores, axis=1)[:, :nprobe]
-        return pd.Series([row.astype("int64").tolist() for row in order])
+        dists = _seq_dists(mat, c)
+        out = []
+        for row in dists:
+            order = np.lexsort((cell_ids, row))[:nprobe]  # dist, then cell
+            out.append(order.astype("int64").tolist())
+        return pd.Series(out)
 
     kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     return F.pandas_udf(kernel, "array<long>")
 
 
+def _assign_seq_udf_factory(centroids: "np.ndarray"):
+    """Nearest-cell assignment with _seq_dists (bit-matches the oracle)."""
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(_seq_dists(mat, c).argmin(axis=1).astype("int64"))
+
+    kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(kernel, "long")
+
+
+def _kmeans_cents_ctes(
+    k: int = IVF_K,
+    rounds: int = IVF_ROUNDS,
+    sample_where: str = f"WHERE vec_id < {IVF_TRAIN_SAMPLE}",
+    src: str = "emb",
+    col: str = "v",
+) -> str:
+    """CTE chain replicating quantized-integer Lloyd's in DuckDB SQL over
+    ``src.col``: quantized coordinates, ``rounds`` assign/update rounds,
+    empty cells keep their previous centroid. Final centroids land in CTE
+    ``c{rounds}``. Shared by the s04 IVF, v04 k-means and s11 IVF-PQ
+    oracles."""
+    dist = (
+        "((list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c}))"
+        " + list_dot_product({c}, {c}))"
+    )
+    parts = [
+        f"""sq AS MATERIALIZED (
+      SELECT vec_id, {col} AS v, list_transform({col}, x -> floor(x * {_IVF_QSCALE} + 0.5)) AS qv
+      FROM {src} {sample_where}
+    ),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS cell, list_transform(qv, q -> q / {_IVF_QSCALE}) AS c
+      FROM sq WHERE vec_id < {k}
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        d = dist.format(v="s.v", c="c.c")
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY {d}, c.cell) AS rn
+        FROM sq s CROSS JOIN c{r - 1} c
+      ) WHERE rn = 1
+    ),
+    ul{r} AS MATERIALIZED (
+      SELECT cell, list(sq_sum / ({_IVF_QSCALE} * n) ORDER BY dim) AS c FROM (
+        SELECT cell, dim, SUM(q) AS sq_sum, COUNT(*) AS n FROM (
+          SELECT b.cell, generate_subscripts(s2.qv, 1) AS dim, unnest(s2.qv) AS q
+          FROM b{r} b JOIN sq s2 USING (vec_id)
+        ) GROUP BY cell, dim
+      ) GROUP BY cell
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT p.cell, COALESCE(nl.c, p.c) AS c
+      FROM c{r - 1} p LEFT JOIN ul{r} nl USING (cell)
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _s04_oracle_sql() -> str:
+    """DuckDB replication of the full s04 pipeline: quantized-integer
+    Lloyd's training (see _ivf_cents_ctes), one-pass corpus cell
+    assignment, NPROBE nearest cells per query, exact cosine re-rank."""
+    dist = (
+        "((list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c}))"
+        " + list_dot_product({c}, {c}))"
+    )
+    d_corp = dist.format(v="e.v", c="c.c")
+    return f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_kmeans_cents_ctes()},
+    corp AS (
+      SELECT vec_id, label, v, cell FROM (
+        SELECT e.vec_id, e.label, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_corp}, c.cell) AS rn
+        FROM emb e CROSS JOIN c{IVF_ROUNDS} c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_corp}, c.cell) AS rn
+        FROM emb e CROSS JOIN c{IVF_ROUNDS} c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, co.vec_id AS neighbor_id, co.label,
+             round(1e-9 + list_dot_product(p.qv, co.v)
+                   / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(co.v, co.v))), 6) AS cosine
+      FROM corp co JOIN probes p ON co.cell = p.cell AND co.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, label, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """
+
+
 @register(
     "s04_ann_ivf_topk",
-    oracle=None,  # approximate; recall vs s01 asserted in pytest
+    oracle=_s04_oracle_sql(),
     category="similarity",
     doc=(
         "ANN top-k via IVF coarse quantizer: k=8 cells trained driver-side "
         "on a bounded sample, one-pass cell assignment, queries probe the 3 "
-        "nearest cells, exact cosine re-rank of probed candidates only."
+        "nearest cells, exact cosine re-rank of probed candidates only. "
+        "Hash-checked end-to-end: training is quantized-integer Lloyd's "
+        "(order-free exact centroid sums, sequential-fold distances), so "
+        "the DuckDB oracle replicates the centroids, cells, probes and "
+        "final ranking bit-for-bit."
     ),
 )
 def s04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from highs_duckdb_spark.operators.vectors import _assign_udf_factory
+    from highs_duckdb_spark.session import ensure_shipped
 
+    ensure_shipped(spark)  # kernels reference module-level _seq_dists
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
     cents = _train_ivf_centroids(emb)
-    assign = _assign_udf_factory(cents.tolist())
+    assign = _assign_seq_udf_factory(cents)
     corpus = emb.select(
         "vec_id",
         "label",
@@ -785,45 +1000,202 @@ PQ_TRAIN_SAMPLE = 2048
 PQ_SHORTLIST = 10 * TOP_K  # ADC-pruned candidates that get an exact re-rank
 
 
+def _seq_norms(V: "np.ndarray") -> "np.ndarray":
+    """L2 norms with a dimension-sequential sum — bit-identical to
+    sqrt(list_dot_product(v, v)). (np.linalg.norm may sum pairwise/BLAS.)"""
+    acc = np.zeros(V.shape[0])
+    for j in range(V.shape[1]):
+        acc += V[:, j] * V[:, j]
+    return np.sqrt(acc)
+
+
+def _pq_lloyd(sub: "np.ndarray", k: int, rounds: int) -> "np.ndarray":
+    """Quantized-integer Lloyd's on one subspace (same engine-neutral
+    recipe as _train_ivf_centroids): exact integral centroid sums,
+    _seq_dists distances, argmin ties to the lowest code."""
+    q = np.floor(sub * _IVF_QSCALE + 0.5)
+    cents = q[:k] / _IVF_QSCALE
+    for _ in range(rounds):
+        assign = _seq_dists(sub, cents).argmin(axis=1)
+        new = cents.copy()
+        for j in range(k):
+            members = q[assign == j]
+            if len(members):
+                new[j] = members.sum(axis=0) / (_IVF_QSCALE * len(members))
+        cents = new
+    return cents
+
+
 def _train_pq_codebooks(emb: DataFrame) -> "np.ndarray":
     """Per-subspace Lloyd's on a deterministic bounded sample → (M, K, dsub).
 
     Vectors are L2-normalized before chunking so ADC inner products
-    approximate cosine directly.
+    approximate cosine directly. Engine-neutral like the IVF trainer:
+    sequential-fold norms/distances, quantized-integer centroid sums, so
+    the DuckDB oracle reproduces every codebook bit-for-bit.
     """
     sample = np.array(
-        [r["v"] for r in emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).collect()],
+        [
+            r["v"]
+            for r in emb.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE)
+            .orderBy("vec_id")
+            .collect()
+        ],
         dtype=np.float64,
     )
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / _seq_norms(sample)[:, None]
     dim = sample.shape[1]
     dsub = dim // PQ_M
     books = np.zeros((PQ_M, PQ_K, dsub))
     for m in range(PQ_M):
-        sub = sample[:, m * dsub : (m + 1) * dsub]
-        cents = sub[:PQ_K].copy()
-        for _ in range(PQ_ROUNDS):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(PQ_K):
-                members = sub[assign == j]
-                if len(members):
-                    cents[j] = members.mean(axis=0)
-        books[m] = cents
+        books[m] = _pq_lloyd(sample[:, m * dsub : (m + 1) * dsub], PQ_K, PQ_ROUNDS)
     return books
+
+
+def _pq_books_ctes(src: str = "vn") -> str:
+    """Per-subspace codebook-training + corpus-encoding CTE chains
+    (m = 0..PQ_M−1), replicating _train_pq_codebooks in DuckDB SQL on the
+    normalized-vector CTE ``src`` (columns vec_id, w). Produces
+    ``c{m}r{PQ_ROUNDS}`` (final codebooks) and ``codes{m}`` (corpus
+    codes)."""
+    dsub = _DIM // PQ_M
+    dist = (
+        "((list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c}))"
+        " + list_dot_product({c}, {c}))"
+    )
+    parts = []
+    for m in range(PQ_M):
+        lo, hi = m * dsub + 1, (m + 1) * dsub
+        d_s = dist.format(v="s.sub", c="c.c")
+        d_e = dist.format(v="t.sub", c="b.c")
+        parts.append(
+            f"""s{m} AS MATERIALIZED (
+      SELECT vec_id, w[{lo}:{hi}] AS sub,
+             list_transform(w[{lo}:{hi}], x -> floor(x * {_IVF_QSCALE} + 0.5)) AS qsub
+      FROM {src} WHERE vec_id < {PQ_TRAIN_SAMPLE}
+    ),
+    c{m}r0 AS MATERIALIZED (
+      SELECT vec_id AS code, list_transform(qsub, q -> q / {_IVF_QSCALE}) AS c
+      FROM s{m} WHERE vec_id < {PQ_K}
+    )"""
+        )
+        for r in range(1, PQ_ROUNDS + 1):
+            parts.append(
+                f"""b{m}r{r} AS MATERIALIZED (
+      SELECT vec_id, code FROM (
+        SELECT s.vec_id, c.code,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY {d_s}, c.code) AS rn
+        FROM s{m} s CROSS JOIN c{m}r{r - 1} c
+      ) WHERE rn = 1
+    ),
+    ul{m}r{r} AS MATERIALIZED (
+      SELECT code, list(sq_sum / ({_IVF_QSCALE} * n) ORDER BY dim) AS c FROM (
+        SELECT code, dim, SUM(q) AS sq_sum, COUNT(*) AS n FROM (
+          SELECT b.code, generate_subscripts(s2.qsub, 1) AS dim, unnest(s2.qsub) AS q
+          FROM b{m}r{r} b JOIN s{m} s2 USING (vec_id)
+        ) GROUP BY code, dim
+      ) GROUP BY code
+    ),
+    c{m}r{r} AS MATERIALIZED (
+      SELECT p.code, COALESCE(nl.c, p.c) AS c
+      FROM c{m}r{r - 1} p LEFT JOIN ul{m}r{r} nl USING (code)
+    )"""
+            )
+        parts.append(
+            f"""codes{m} AS MATERIALIZED (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, b.code,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY {d_e}, b.code) AS rn
+        FROM (SELECT vec_id, w[{lo}:{hi}] AS sub FROM {src}) t
+        CROSS JOIN c{m}r{PQ_ROUNDS} b
+      ) WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _pq_adc_ctes() -> str:
+    """ADC partial-score CTEs pp{m} plus the combined ``adc`` CTE whose sum
+    is parenthesized left-to-right exactly like the kernel's sequential
+    ``scores += partial_m`` loop."""
+    dsub = _DIM // PQ_M
+    parts = []
+    for m in range(PQ_M):
+        lo, hi = m * dsub + 1, (m + 1) * dsub
+        parts.append(
+            f"""pp{m} AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, cd.vec_id,
+             list_dot_product(q.w[{lo}:{hi}], b.c) AS pm
+      FROM (SELECT vec_id, w FROM vn WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN codes{m} cd
+      JOIN c{m}r{PQ_ROUNDS} b ON b.code = cd.code
+    )"""
+        )
+    adc_sum = "pp0.pm"
+    for m in range(1, PQ_M):
+        adc_sum = f"({adc_sum} + pp{m}.pm)"
+    joins = "\n      ".join(
+        f"JOIN pp{m} USING (query_id, vec_id)" for m in range(1, PQ_M)
+    )
+    parts.append(
+        f"""adc AS (
+      SELECT query_id, vec_id, {adc_sum} AS adc
+      FROM pp0
+      {joins}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _s08_oracle_sql() -> str:
+    """DuckDB replication of the full s08 pipeline: sequential-fold
+    normalization, quantized-integer per-subspace Lloyd's, corpus encoding,
+    ADC scoring, deterministic global shortlist, exact cosine re-rank."""
+    return f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+    vn AS MATERIALIZED (SELECT vec_id, label, v, list_transform(v, x -> x / nrm) AS w FROM nn),
+    {_pq_books_ctes()},
+    {_pq_adc_ctes()},
+    short AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+        FROM adc WHERE vec_id <> query_id
+      ) WHERE rn <= {PQ_SHORTLIST}
+    ),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id, e.label,
+             round(1e-9 + list_dot_product(qe.v, e.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM short s
+      JOIN emb e  ON e.vec_id = s.neighbor_id
+      JOIN emb qe ON qe.vec_id = s.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, label, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """
 
 
 @register(
     "s08_pq_adc_topk",
-    oracle=None,  # approximate; recall vs exact s01 + determinism asserted in pytest
+    oracle=_s08_oracle_sql(),
     category="similarity",
     doc=(
         "ANN top-k via product quantization: per-subspace codebooks trained "
         "driver-side on a bounded sample, corpus encoded to 8×6-bit codes "
         "(~43× compression), candidates scored via per-query ADC lookup "
-        "tables over the codes, and only the ADC shortlist re-ranked with "
-        "exact cosine — partition-local shortlist+refine, then a global "
-        "merge, like s05 but pruned by the compressed index."
+        "tables over the codes, a deterministic GLOBAL shortlist (ranked by "
+        "ADC score with vec_id tie-break — partition-invariant, unlike a "
+        "per-batch argpartition whose tie handling depends on batching), "
+        "and only the shortlist re-ranked with exact cosine. Hash-checked "
+        "end-to-end: quantized-integer Lloyd's + sequential folds make the "
+        "DuckDB oracle replicate codebooks, codes, ADC scores and the final "
+        "ranking bit-for-bit."
     ),
 )
 def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,69 +1218,96 @@ def s08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort_by("vec_id")
     )
     qids = tq["vec_id"].to_pylist()
-    Q = np.array([[float(x) for x in v] for v in tq["embedding"].to_pylist()])
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qraw = np.array([[float(x) for x in v] for v in tq["embedding"].to_pylist()])
+    qnrm = _seq_norms(Qraw)
+    Q = Qraw / qnrm[:, None]
     dsub = books.shape[2]
-    # per-query ADC tables: LUT[m, k, qi] = Σ_d q_sub[d]·codebook[m,k,d]
-    lut = np.einsum("qmd,mkd->mkq", Q.reshape(len(qids), PQ_M, dsub), books)
+    # per-query ADC tables: LUT[m][k][qi] = Σ_d q_sub[d]·codebook[m,k,d],
+    # accumulated dimension-sequentially (matches list_dot_product's fold)
+    nq = len(qids)
+    lut = np.zeros((PQ_M, PQ_K, nq))
+    for m in range(PQ_M):
+        qsub = Q[:, m * dsub : (m + 1) * dsub]  # nq × dsub
+        for d in range(dsub):
+            lut[m] += books[m][:, d : d + 1] * qsub[None, :, d][0]
     qid_arr = np.asarray(qids, dtype=np.int64)
     books_list = books.tolist()
     lut_list = lut.tolist()
-    qn_list = Q.tolist()
+    qraw_list = Qraw.tolist()
+    qnrm_list = qnrm.tolist()
 
     def kernel(batches):
         import numpy as _np
         import pandas as _pd
 
+        from highs_duckdb_spark.operators.similarity import _seq_dists, _seq_norms
+
         B = _np.asarray(books_list)  # (M, K, dsub)
         L = _np.asarray(lut_list)  # (M, K, nq)
-        nq = L.shape[2]
+        QR = _np.asarray(qraw_list)  # nq × dim, RAW query vectors
+        QN = _np.asarray(qnrm_list)  # nq
+        n_q = L.shape[2]
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            V = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["v"]])
-            V = V / _np.linalg.norm(V, axis=1, keepdims=True)
-            Vs = V.reshape(n, PQ_M, -1)
-            # encode: per subspace, nearest codebook row (the stored index
-            # holds ONLY these codes at scale; recomputing here keeps the
-            # operator single-pass over the corpus scan)
+            Vraw = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["v"]])
+            vnrm = _seq_norms(Vraw)
+            V = Vraw / vnrm[:, None]
+            # encode: per subspace, nearest codebook row (ties → lowest
+            # code, like the oracle's ORDER BY dist, code); the stored
+            # index holds ONLY these codes at scale — recomputing here
+            # keeps the operator single-pass over the corpus scan
             codes = _np.empty((n, PQ_M), dtype=_np.int64)
             for m in range(PQ_M):
-                d2 = ((Vs[:, m, None, :] - B[None, m]) ** 2).sum(axis=2)
-                codes[:, m] = d2.argmin(axis=1)
-            # ADC: score[i, q] = Σ_m LUT[m, codes[i, m], q]
-            scores = _np.zeros((n, nq))
+                sub = V[:, m * B.shape[2] : (m + 1) * B.shape[2]]
+                codes[:, m] = _seq_dists(sub, B[m]).argmin(axis=1)
+            # ADC: score[i, q] = Σ_m LUT[m, codes[i, m], q], m-sequential
+            scores = _np.zeros((n, n_q))
             for m in range(PQ_M):
                 scores += L[m, codes[:, m], :]
             nid = pdf["vec_id"].to_numpy()
             lab = pdf["label"].to_numpy()
             out_rows = []
-            k_local = min(PQ_SHORTLIST + 1, n)
-            QN = _np.asarray(qn_list)  # (nq, dim), L2-normalized queries
-            for qi in range(nq):
+            for qi in range(n_q):
                 col = scores[:, qi]
-                idx = _np.argpartition(-col, k_local - 1)[:k_local]
-                # exact re-rank of the shortlist only: one (shortlist × dim)
-                # dot per query — the refine step touches |shortlist| raw
-                # vectors instead of the whole partition
-                exact = V[idx] @ QN[qi]
-                for j, i in enumerate(idx):
-                    if nid[i] == qid_arr[qi]:
-                        continue
+                valid = _np.nonzero(nid != qid_arr[qi])[0]  # self excluded
+                # deterministic per-batch shortlist: (adc DESC, vec_id ASC)
+                order = valid[_np.lexsort((nid[valid], -col[valid]))][:PQ_SHORTLIST]
+                # exact re-rank scores for the shortlist only, on RAW
+                # vectors with sequential folds (= the oracle's formula)
+                dots = _np.zeros(len(order))
+                for d in range(Vraw.shape[1]):
+                    dots += Vraw[order, d] * QR[qi, d]
+                exact = dots / (QN[qi] * vnrm[order])
+                for j, i in enumerate(order):
                     out_rows.append(
-                        (int(qid_arr[qi]), int(nid[i]), int(lab[i]), float(exact[j]))
+                        (
+                            int(qid_arr[qi]),
+                            int(nid[i]),
+                            int(lab[i]),
+                            float(col[i]),
+                            float(exact[j]),
+                        )
                     )
             yield _pd.DataFrame(
-                out_rows, columns=["query_id", "neighbor_id", "label", "cosine"]
+                out_rows,
+                columns=["query_id", "neighbor_id", "label", "adc", "cosine_raw"],
             )
 
     local = emb.mapInPandas(
-        kernel, "query_id long, neighbor_id long, label int, cosine double"
+        kernel,
+        "query_id long, neighbor_id long, label int, adc double, cosine_raw double",
     )
+    # global shortlist: per-batch shortlists are supersets of the global
+    # one under the SAME deterministic (adc DESC, vec_id) order, so this
+    # window recovers exactly the global ADC top-PQ_SHORTLIST per query
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        local.withColumn("cosine", F.round(F.lit(1e-9) + F.col("cosine"), 6))
+        local.withColumn("rn_adc", F.row_number().over(w_adc))
+        .filter(F.col("rn_adc") <= PQ_SHORTLIST)
+        .withColumn("cosine", F.round(F.lit(1e-9) + F.col("cosine_raw"), 6))
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "rk", "neighbor_id", "label", "cosine")
@@ -1186,42 +1585,100 @@ def _train_ivfpq(emb: DataFrame) -> tuple["np.ndarray", "np.ndarray"]:
     centroids in L2-normalized space, then per-subspace codebooks on the
     RESIDUALS v̂ − centroid[cell] (the FAISS IVF-PQ construction — residual
     magnitudes are much smaller than raw coordinates, so the same code
-    budget quantizes them more finely)."""
+    budget quantizes them more finely). Engine-neutral like the s04/s08
+    trainers: quantized-integer Lloyd's, sequential folds."""
     sample = np.array(
-        [r["v"] for r in emb.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).collect()],
+        [
+            r["v"]
+            for r in emb.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE)
+            .orderBy("vec_id")
+            .collect()
+        ],
         dtype=np.float64,
     )
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    cents = sample[:IVF_K].copy()
-    for _ in range(IVF_ROUNDS):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(IVF_K):
-            members = sample[assign == j]
-            if len(members):
-                cents[j] = members.mean(axis=0)
-    d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    resid = sample - cents[d2.argmin(axis=1)]
+    sample = sample / _seq_norms(sample)[:, None]
+    cents = _pq_lloyd(sample, IVF_K, IVF_ROUNDS)
+    resid = sample - cents[_seq_dists(sample, cents).argmin(axis=1)]
     dim = sample.shape[1]
     dsub = dim // PQ_M
     books = np.zeros((PQ_M, PQ_K, dsub))
     for m in range(PQ_M):
-        sub = resid[:, m * dsub : (m + 1) * dsub]
-        bk = sub[:PQ_K].copy()
-        for _ in range(PQ_ROUNDS):
-            dd = ((sub[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
-            a = dd.argmin(axis=1)
-            for j in range(PQ_K):
-                members = sub[a == j]
-                if len(members):
-                    bk[j] = members.mean(axis=0)
-        books[m] = bk
+        books[m] = _pq_lloyd(resid[:, m * dsub : (m + 1) * dsub], PQ_K, PQ_ROUNDS)
     return cents, books
+
+
+def _s11_oracle_sql() -> str:
+    """DuckDB replication of the full s11 IVF-PQ pipeline, composing the
+    s04 centroid CTEs (on normalized vectors) with the s08 codebook/ADC
+    CTEs (on residuals); candidate scores are (Σ_m residual ADC) +
+    q·centroid, restricted to the probed cells."""
+    dist = (
+        "((list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c}))"
+        " + list_dot_product({c}, {c}))"
+    )
+    d_corp = dist.format(v="v2.w", c="c.c")
+    return f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+    vn AS MATERIALIZED (SELECT vec_id, label, v, list_transform(v, x -> x / nrm) AS w FROM nn),
+    {_kmeans_cents_ctes(src="vn", col="w")},
+    cellasgn AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT v2.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v2.vec_id ORDER BY {d_corp}, c.cell) AS rn
+        FROM vn v2 CROSS JOIN c{IVF_ROUNDS} c
+      ) WHERE rn = 1
+    ),
+    resid AS MATERIALIZED (
+      SELECT v2.vec_id, list_transform(range(1, {_DIM} + 1), i -> v2.w[i] - ct.c[i]) AS w
+      FROM vn v2 JOIN cellasgn a USING (vec_id)
+      JOIN c{IVF_ROUNDS} ct ON ct.cell = a.cell
+    ),
+    {_pq_books_ctes(src="resid")},
+    {_pq_adc_ctes()},
+    qcents AS (
+      SELECT q.vec_id AS query_id, c.cell, list_dot_product(q.w, c.c) AS qc
+      FROM vn q CROSS JOIN c{IVF_ROUNDS} c WHERE q.vec_id < {N_QUERIES}
+    ),
+    probes AS (
+      SELECT query_id, cell, qc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qc DESC, cell) AS rn
+        FROM qcents
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    adc2 AS (
+      SELECT a.query_id, a.vec_id, (a.adc + p.qc) AS adc
+      FROM adc a
+      JOIN cellasgn ca ON ca.vec_id = a.vec_id
+      JOIN probes p ON p.query_id = a.query_id AND p.cell = ca.cell
+    ),
+    short AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+        FROM adc2 WHERE vec_id <> query_id
+      ) WHERE rn <= {IVFPQ_SHORTLIST}
+    ),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id, e.label,
+             round(1e-9 + list_dot_product(qe.v, e.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM short s
+      JOIN emb e  ON e.vec_id = s.neighbor_id
+      JOIN emb qe ON qe.vec_id = s.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, label, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """
 
 
 @register(
     "s11_ivfpq_topk",
-    oracle=None,  # approximate; recall vs exact s01 + determinism in pytest
+    oracle=_s11_oracle_sql(),
     category="similarity",
     doc=(
         "ANN top-k via IVF-PQ — the production composition of s04 and s08: "
@@ -1230,10 +1687,11 @@ def _train_ivfpq(emb: DataFrame) -> tuple["np.ndarray", "np.ndarray"]:
         f"queries probe the {IVF_NPROBE} nearest cells and score "
         "candidates by q·centroid + ADC over the residual codebooks "
         "(exact decomposition q·v̂ = q·c + q·r, only the PQ error is "
-        "approximate), then the ADC shortlist is re-ranked with exact "
-        "cosine. Single corpus pass, partition-local shortlists, global "
-        "merge over partitions×queries×k rows — the memory story at "
-        "100 TB: the probe touches codes, not vectors."
+        "approximate), then the deterministic global ADC shortlist is "
+        "re-ranked with exact cosine. Single corpus pass, partition-local "
+        "shortlists, global merge — the memory story at 100 TB: the probe "
+        "touches codes, not vectors. Hash-checked end-to-end via the same "
+        "quantized-integer Lloyd's + sequential-fold recipe as s04/s08."
     ),
 )
 def s11_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,73 +1714,102 @@ def s11_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort_by("vec_id")
     )
     qids = tq["vec_id"].to_pylist()
-    Q = np.array([[float(x) for x in v] for v in tq["embedding"].to_pylist()])
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qraw = np.array([[float(x) for x in v] for v in tq["embedding"].to_pylist()])
+    qnrm = _seq_norms(Qraw)
+    Q = Qraw / qnrm[:, None]
     dsub = books.shape[2]
-    # per-query: centroid dots (nq × k) and residual ADC tables (M, K, nq)
-    qcent = Q @ cents.T
-    lut = np.einsum("qmd,mkd->mkq", Q.reshape(len(qids), PQ_M, dsub), books)
-    probed = np.argsort(-qcent, axis=1)[:, :IVF_NPROBE]  # nq × nprobe
+    nq = len(qids)
+    # per-query: centroid dots (nq × k) and residual ADC tables (M, K, nq),
+    # all accumulated dimension-sequentially (list_dot_product's fold)
+    qcent = np.zeros((nq, IVF_K))
+    for d in range(Q.shape[1]):
+        qcent += Q[:, d : d + 1] * cents[None, :, d][0]
+    lut = np.zeros((PQ_M, PQ_K, nq))
+    for m in range(PQ_M):
+        qsub = Q[:, m * dsub : (m + 1) * dsub]
+        for d in range(dsub):
+            lut[m] += books[m][:, d : d + 1] * qsub[None, :, d][0]
+    # probe the NPROBE best cells per query (qc DESC, ties → lowest cell)
+    cell_ids = np.arange(IVF_K, dtype=np.int64)
+    probed = np.vstack(
+        [np.lexsort((cell_ids, -row))[:IVF_NPROBE] for row in qcent]
+    )
     cl, bl, ll = cents.tolist(), books.tolist(), lut.tolist()
-    qc_l, pr_l, qn_l = qcent.tolist(), probed.tolist(), Q.tolist()
+    qc_l, pr_l = qcent.tolist(), probed.tolist()
+    qraw_list, qnrm_list = Qraw.tolist(), qnrm.tolist()
     qid_arr = np.asarray(qids, dtype=np.int64)
 
     def kernel(batches):
         import numpy as _np
         import pandas as _pd
 
+        from highs_duckdb_spark.operators.similarity import _seq_dists, _seq_norms
+
         C = _np.asarray(cl)
         B = _np.asarray(bl)
         L = _np.asarray(ll)
         QC = _np.asarray(qc_l)
         PR = _np.asarray(pr_l)
-        QN = _np.asarray(qn_l)
-        nq = QC.shape[0]
-        c_norm2 = (C * C).sum(axis=1)
+        QR = _np.asarray(qraw_list)
+        QN = _np.asarray(qnrm_list)
+        n_q = QC.shape[0]
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            V = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["v"]])
-            V = V / _np.linalg.norm(V, axis=1, keepdims=True)
-            cell = (-2.0 * (V @ C.T) + c_norm2).argmin(axis=1)
-            R = (V - C[cell]).reshape(n, PQ_M, -1)
+            Vraw = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["v"]])
+            vnrm = _seq_norms(Vraw)
+            V = Vraw / vnrm[:, None]
+            cell = _seq_dists(V, C).argmin(axis=1)
+            R = V - C[cell]
             codes = _np.empty((n, PQ_M), dtype=_np.int64)
             for m in range(PQ_M):
-                d2 = ((R[:, m, None, :] - B[None, m]) ** 2).sum(axis=2)
-                codes[:, m] = d2.argmin(axis=1)
-            adc = _np.zeros((n, nq))
+                sub = R[:, m * B.shape[2] : (m + 1) * B.shape[2]]
+                codes[:, m] = _seq_dists(sub, B[m]).argmin(axis=1)
+            adc = _np.zeros((n, n_q))
             for m in range(PQ_M):
                 adc += L[m, codes[:, m], :]
             adc += QC[:, cell].T  # + q·centroid[cell] per (row, query)
             nid = pdf["vec_id"].to_numpy()
             lab = pdf["label"].to_numpy()
             out_rows = []
-            for qi in range(nq):
-                mask = _np.isin(cell, PR[qi])
+            for qi in range(n_q):
+                mask = _np.isin(cell, PR[qi]) & (nid != qid_arr[qi])
                 if not mask.any():
                     continue
                 idx_all = _np.nonzero(mask)[0]
                 col = adc[idx_all, qi]
-                k_local = min(IVFPQ_SHORTLIST + 1, len(idx_all))
-                keep = idx_all[_np.argpartition(-col, k_local - 1)[:k_local]]
-                exact = V[keep] @ QN[qi]
+                # deterministic per-batch shortlist: (adc DESC, vec_id ASC)
+                keep = idx_all[_np.lexsort((nid[idx_all], -col))][:IVFPQ_SHORTLIST]
+                dots = _np.zeros(len(keep))
+                for d in range(Vraw.shape[1]):
+                    dots += Vraw[keep, d] * QR[qi, d]
+                exact = dots / (QN[qi] * vnrm[keep])
                 for j, i in enumerate(keep):
-                    if nid[i] == qid_arr[qi]:
-                        continue
                     out_rows.append(
-                        (int(qid_arr[qi]), int(nid[i]), int(lab[i]), float(exact[j]))
+                        (
+                            int(qid_arr[qi]),
+                            int(nid[i]),
+                            int(lab[i]),
+                            float(adc[i, qi]),
+                            float(exact[j]),
+                        )
                     )
             yield _pd.DataFrame(
-                out_rows, columns=["query_id", "neighbor_id", "label", "cosine"]
+                out_rows,
+                columns=["query_id", "neighbor_id", "label", "adc", "cosine_raw"],
             )
 
     local = emb.mapInPandas(
-        kernel, "query_id long, neighbor_id long, label int, cosine double"
+        kernel,
+        "query_id long, neighbor_id long, label int, adc double, cosine_raw double",
     )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        local.withColumn("cosine", F.round(F.lit(1e-9) + F.col("cosine"), 6))
+        local.withColumn("rn_adc", F.row_number().over(w_adc))
+        .filter(F.col("rn_adc") <= IVFPQ_SHORTLIST)
+        .withColumn("cosine", F.round(F.lit(1e-9) + F.col("cosine_raw"), 6))
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "rk", "neighbor_id", "label", "cosine")

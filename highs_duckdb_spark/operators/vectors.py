@@ -191,75 +191,116 @@ def _assign_udf_factory(centroids):
 
 def _kmeans_partials_factory(centroids):
     """Fused assign + per-batch partial-sum kernel: each Arrow batch yields
-    at most k rows (cluster, cnt, vsum) — the map-side combine of Lloyd's.
-    Closure-captured centroids ship by value (cloudpickle), no module
-    re-resolution on workers."""
+    at most k rows (cluster, cnt, qsum) — the map-side combine of Lloyd's.
+    Assignment distances go through _seq_dists (dimension-sequential, the
+    exact expression of the DuckDB oracle); the partial sums are of the
+    QUANTIZED integral coordinates (floor(x·1e6 + 0.5)), so they are exact
+    integers and the driver-side merge is order-independent — the property
+    that makes a distributed Lloyd's round bit-reproducible at any
+    partitioning. Closure-captured centroids ship by value (cloudpickle)."""
     import numpy as np
     import pandas as pd
 
+    from highs_duckdb_spark.operators.similarity import _IVF_QSCALE, _seq_dists
+
     c = np.asarray(centroids, dtype=np.float64)
-    c_norm2 = (c * c).sum(axis=1)
 
     def fn(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            cl = (-2.0 * (mat @ c.T) + c_norm2).argmin(axis=1)
+            q = np.floor(mat * _IVF_QSCALE + 0.5)
+            cl = _seq_dists(mat, c).argmin(axis=1)
             rows = []
             for k in np.unique(cl):
-                sel = mat[cl == k]
+                sel = q[cl == k]
                 rows.append((int(k), int(len(sel)), sel.sum(axis=0).tolist()))
-            yield pd.DataFrame(rows, columns=["cluster", "cnt", "vsum"])
+            yield pd.DataFrame(rows, columns=["cluster", "cnt", "qsum"])
 
     return fn
 
 
+def _v04_oracle_sql() -> str:
+    """DuckDB replication of v04: quantized-integer Lloyd's over the FULL
+    corpus (k=K_CLUSTERS, KMEANS_ROUNDS rounds — the same shared CTE
+    generator as the s04 IVF oracle, with no sample bound), then one final
+    nearest-cell assignment of every vector."""
+    from highs_duckdb_spark.operators.similarity import _kmeans_cents_ctes
+
+    dist = (
+        "((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.c))"
+        " + list_dot_product(c.c, c.c))"
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_kmeans_cents_ctes(k=K_CLUSTERS, rounds=KMEANS_ROUNDS, sample_where="")}
+    SELECT vec_id, label, cluster FROM (
+      SELECT e.vec_id, e.label, CAST(c.cell AS BIGINT) AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cell) AS rn
+      FROM emb e CROSS JOIN c{KMEANS_ROUNDS} c
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
 @register(
     "v04_kmeans_lite",
-    oracle=None,  # iterative; determinism + inertia descent asserted in pytest
+    oracle=_v04_oracle_sql(),
     category="similarity",
     doc=(
         "K-means (Lloyd's) over embeddings: deterministic init (vec_id 0..k-1), "
         "5 rounds where each round is ONE map-only job — a fused "
         "assign+partial-sum mapInPandas kernel emitting ≤k rows per Arrow "
-        "batch (the map-side combine), collected and reduced driver-side in "
-        "deterministic sorted order. No shuffle per round (the old "
-        "posexplode+groupBy recompute shuffled n×dim rows every round), and "
-        "every round's plan hangs directly off the single checkpointed scan, "
-        "so lineage depth is constant in the round count. The driver holds "
-        "only k×dim floats between rounds."
+        "batch (the map-side combine), collected and reduced driver-side. "
+        "No shuffle per round (the old posexplode+groupBy recompute "
+        "shuffled n×dim rows every round), and every round's plan hangs "
+        "directly off the single checkpointed scan, so lineage depth is "
+        "constant in the round count. The driver holds only k×dim floats "
+        "between rounds. Hash-checked end-to-end: partial sums are of "
+        "QUANTIZED integral coordinates (exact in any merge order — the "
+        "property that makes a distributed Lloyd's round bit-reproducible "
+        "at any partitioning), distances dimension-sequential, so the "
+        "DuckDB oracle replicates every round bit-for-bit."
     ),
 )
 def v04_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.operators.similarity import (
+        _IVF_QSCALE,
+        _assign_seq_udf_factory,
+    )
+
     ensure_shipped(spark)
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
     emb = emb.localCheckpoint(eager=True)  # scanned once per round: pin it
-    centroids = [
-        r["v"] for r in emb.filter(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
-    ]
     import numpy as np
 
-    dim = len(centroids[0])
+    init = np.array(
+        [r["v"] for r in emb.filter(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    centroids = np.floor(init * _IVF_QSCALE + 0.5) / _IVF_QSCALE
+    dim = centroids.shape[1]
     for _ in range(KMEANS_ROUNDS):
         partials = emb.select("v").mapInPandas(
             _kmeans_partials_factory(centroids),
-            "cluster long, cnt long, vsum array<double>",
+            "cluster long, cnt long, qsum array<double>",
         ).collect()
-        # deterministic reduce: sort partials by full content before summing
-        partials.sort(key=lambda r: (r["cluster"], r["cnt"], tuple(r["vsum"])))
+        # integral-double partial sums: exact in ANY reduce order, no sort needed
         sums = np.zeros((K_CLUSTERS, dim))
         cnts = np.zeros(K_CLUSTERS, dtype=np.int64)
         for r in partials:
-            sums[r["cluster"]] += np.asarray(r["vsum"])
+            sums[r["cluster"]] += np.asarray(r["qsum"])
             cnts[r["cluster"]] += r["cnt"]
-        centroids = [
-            (sums[k] / cnts[k]).tolist() if cnts[k] else centroids[k]
-            for k in range(K_CLUSTERS)
-        ]
-    assign = _assign_udf_factory(centroids)
+        centroids = np.array(
+            [
+                sums[k] / (_IVF_QSCALE * cnts[k]) if cnts[k] else centroids[k]
+                for k in range(K_CLUSTERS)
+            ]
+        )
+    assign = _assign_seq_udf_factory(centroids)
     assigned = emb.withColumn("cluster", assign(F.col("v")))
     return assigned.select("vec_id", "label", "cluster").orderBy("vec_id")
 
