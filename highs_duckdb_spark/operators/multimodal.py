@@ -1,22 +1,22 @@
 """Multimodal-column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed through Arrow-batched pandas UDFs.
 
-The container has no image/audio codecs, so the *decode* steps are stubbed
-behind ``HDS_FAKE_DECODE`` (a deterministic fake) / ``NotImplementedError``
-— but everything Spark-side is real and tested: binary column handling,
-UDF signatures and batch shapes, ``mapInPandas`` iterator plumbing, and the
-partitioning story (batch size capped so a partition of blobs never
-materializes at once).
+Decode is REAL where the format needs no codec library: m02 round-trips
+genuine 24-bit uncompressed BMP files (struct-packed headers, bottom-up
+BGR rows, 4-byte row padding) and m04 genuine RIFF/WAVE PCM16 files
+(chunk-walking parser, validated against the stdlib ``wave`` reader in
+pytest). Pixel/sample content is derived deterministically from each
+document's text bytes, so the DuckDB oracle can verify the whole
+synthesize→encode→decode→feature loop end-to-end from the source column —
+a decoder bug anywhere breaks the hash match.
 
-Synthetic blobs: since the testdata has no binary table, each document's
-text is packed into a fake container format::
+Container-metadata ops (m01/m03/m06–m08) use a simpler fake container
+format — real byte-level header work with a checkable answer::
 
     bytes 0-3   magic  b"HDSB"
     bytes 4-7   width  (big-endian uint32, deterministic from doc_id)
     bytes 8-11  height (big-endian uint32)
     bytes 12-   payload (utf-8 text)
-
-so metadata parsing is real byte-level work with a checkable answer.
 """
 
 from __future__ import annotations
@@ -34,10 +34,6 @@ from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import ensure_shipped, load_table
 
 MAGIC = b"HDSB"
-
-#: flip to raise NotImplementedError from the decode stubs (the behavior a
-#: real deployment would see without codecs installed)
-FAKE_DECODE = os.environ.get("HDS_FAKE_DECODE", "1") == "1"
 
 
 def synthesize_blobs(docs: DataFrame) -> DataFrame:
@@ -124,29 +120,107 @@ def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(_parse_header_batch, schema).orderBy("doc_id")
 
 
-def _decode_image_stub(blob: bytes) -> dict:
-    """Decode stub: a real build would call PIL/libjpeg here."""
-    if not FAKE_DECODE:
-        raise NotImplementedError("image codecs not available in this container")
-    w, h = struct.unpack(">II", blob[4:12])
-    # deterministic fake "pixels": payload checksum stands in for content
-    checksum = sum(blob[12:]) % 1_000_000
-    return {"width": w, "height": h, "checksum": checksum}
+# --- m02: REAL BMP encode → decode → nearest-neighbor thumbnail --------------
+# Image dims kept small (w ≤ 31, h ≤ 23) so the oracle's per-pixel unnest
+# stays tiny; pixel (x, y) channel c is text byte ((y·w + x)·3 + c) mod n,
+# so DuckDB can recompute the resized checksum straight from the text.
+
+BMP_THUMB = 16
 
 
-def _resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    target = 64
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 24 + 8, doc_id % 16 + 8
+
+
+def _bmp_pixels_from_text(text_bytes: bytes, w: int, h: int) -> bytes:
+    """Deterministic RGB pixel array (row-major, top-down) from text bytes."""
+    n = len(text_bytes)
+    return bytes(text_bytes[i % n] for i in range(w * h * 3))
+
+
+def encode_bmp(w: int, h: int, pix: bytes) -> bytes:
+    """A genuine 24-bit uncompressed BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows, BGR byte order, rows padded to 4
+    bytes — openable by any image viewer."""
+    row_size = (3 * w + 3) // 4 * 4
+    img_size = row_size * h
+    off = 14 + 40
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", off + img_size, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    )
+    out = bytearray(hdr)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pix[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_size - 3 * w)
+        out += row
+    return bytes(out)
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit uncompressed BMP → (w, h, RGB row-major top-down).
+
+    A real parser, not a round-trip shortcut: it honors the pixel-array
+    offset from the file header, the (possibly negative = top-down) height,
+    row padding, and rejects compressed or non-24-bit files."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (off,) = struct.unpack_from("<I", blob, 10)
+    dib_size, w, h_raw, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", blob, 14
+    )
+    if dib_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (dib={dib_size} bpp={bpp} comp={compression})")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    row_size = (3 * w + 3) // 4 * 4
+    pix = bytearray(w * h * 3)
+    for yy in range(h):
+        y = yy if top_down else h - 1 - yy  # destination (top-down) row
+        base = off + yy * row_size
+        for x in range(w):
+            b, g, r = blob[base + 3 * x : base + 3 * x + 3]
+            pix[(y * w + x) * 3 : (y * w + x) * 3 + 3] = bytes((r, g, b))
+    return w, h, bytes(pix)
+
+
+def _bmp_encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            w, h = _bmp_dims(int(doc_id))
+            pix = _bmp_pixels_from_text(text.encode("utf-8"), w, h)
+            rows.append({"doc_id": doc_id, "blob": encode_bmp(w, h, pix)})
+        yield pd.DataFrame(rows)
+
+
+def _bmp_resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real decode + nearest-neighbor thumbnail, all-integer geometry
+    (src = (dst · src_dim) // dst_dim) so the oracle can replicate it."""
     for pdf in it:
         rows = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            meta = _decode_image_stub(bytes(blob))
-            scale = target / max(meta["width"], meta["height"])
+            w, h, pix = decode_bmp(bytes(blob))
+            mx = max(w, h)
+            out_w = max(1, (w * BMP_THUMB) // mx)
+            out_h = max(1, (h * BMP_THUMB) // mx)
+            checksum = 0
+            for y in range(out_h):
+                sy = (y * h) // out_h
+                for x in range(out_w):
+                    sx = (x * w) // out_w
+                    p = (sy * w + sx) * 3
+                    checksum += pix[p] + pix[p + 1] + pix[p + 2]
             rows.append(
                 {
                     "doc_id": doc_id,
-                    "out_width": max(1, int(meta["width"] * scale)),
-                    "out_height": max(1, int(meta["height"] * scale)),
-                    "content_checksum": meta["checksum"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "content_checksum": checksum % 1_000_000,
                 }
             )
         yield pd.DataFrame(rows)
@@ -154,20 +228,59 @@ def _resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "m02_image_resize",
-    oracle=None,  # decode is stubbed; plumbing checked rows-only + in pytest
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id, text,
+             doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE doc_id % 3 = 0 AND length(text) > 0 AND strlen(text) = length(text)
+    ),
+    dims AS (
+      SELECT *, greatest(w, h) AS mx,
+             greatest(1, (w * {BMP_THUMB}) // greatest(w, h)) AS out_w,
+             greatest(1, (h * {BMP_THUMB}) // greatest(w, h)) AS out_h
+      FROM imgs
+    ),
+    px AS (
+      SELECT doc_id, out_w, out_h,
+             ascii(substr(text, ((((y * h) // out_h) * w + ((x * w) // out_w)) * 3 + c) % n + 1, 1)) AS byte
+      FROM dims,
+           unnest(range(0, out_w)) AS ux(x),
+           unnest(range(0, out_h)) AS uy(y),
+           unnest(range(0, 3)) AS uc(c)
+    )
+    SELECT doc_id, CAST(out_w AS BIGINT) AS out_width,
+           CAST(out_h AS BIGINT) AS out_height,
+           CAST(SUM(byte) % 1000000 AS BIGINT) AS content_checksum
+    FROM px GROUP BY doc_id, out_w, out_h
+    ORDER BY doc_id
+    """,
     category="multimodal",
     doc=(
-        "Image resize pipeline: decode (STUBBED — deterministic fake, flag "
-        "HDS_FAKE_DECODE) → aspect-preserving thumbnail dims → checksum; "
-        "real Arrow batch plumbing via mapInPandas."
+        "Image resize pipeline over REAL 24-bit BMPs: deterministic pixels "
+        "(text bytes) → struct-packed BMP encode (bottom-up padded BGR "
+        "rows) → genuine parse (header offsets, padding, row order; "
+        "validated against an independent reader in pytest) → all-integer "
+        "nearest-neighbor thumbnail → pixel checksum. Hash-checked: the "
+        "oracle recomputes the checksum straight from the text bytes, so "
+        "any encoder/decoder disagreement breaks parity. ASCII-only docs "
+        "(bytes == chars) so DuckDB's ascii(substr(...)) sees the same "
+        "bytes."
     ),
 )
 def m02_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
-    docs = load_table(spark, "documents", sf_dir)
-    images = synthesize_blobs(docs).filter(F.col("media_type") == "image")
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    blobs = docs.select("doc_id", "text").mapInPandas(
+        _bmp_encode_batch, "doc_id long, blob binary"
+    )
     schema = "doc_id long, out_width long, out_height long, content_checksum long"
-    return images.mapInPandas(_resize_batch, schema).orderBy("doc_id")
+    return blobs.mapInPandas(_bmp_resize_batch, schema).orderBy("doc_id")
 
 
 def _frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -177,8 +290,6 @@ def _frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         rows = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            if not FAKE_DECODE:
-                raise NotImplementedError("video codecs not available in this container")
             size = len(bytes(blob)) - 12
             for f in range(n_frames):
                 rows.append(
@@ -207,9 +318,10 @@ def _frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """,
     category="multimodal",
     doc=(
-        "Video frame sampling (decode STUBBED): 1-row-in → N-frames-out "
-        "through mapInPandas; offsets are deterministic so the oracle can "
-        "recompute them relationally."
+        "Video frame sampling at the container level (byte-offset grid — "
+        "no codec needed): 1-row-in → N-frames-out through mapInPandas; "
+        "offsets are deterministic so the oracle can recompute them "
+        "relationally."
     ),
 )
 def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,34 +332,80 @@ def m03_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vids.mapInPandas(_frame_sample_batch, schema).orderBy("doc_id", "frame_idx")
 
 
-AUDIO_SAMPLE_RATE = 8000  # fake PCM rate for the stubbed decode
+# --- m04: REAL RIFF/WAVE PCM16 encode → decode → features --------------------
+# Sample i is (text_byte_i − 64) · 512 (int16 range), so DuckDB recomputes
+# every feature from the text; sums of squares are exact integers, so no
+# aggregation-order issue can split the engines.
+
+AUDIO_SAMPLE_RATE = 8000
+
+
+def _wav_samples_from_text(text_bytes: bytes) -> list[int]:
+    return [(b - 64) * 512 for b in text_bytes]
+
+
+def encode_wav(samples: list[int], rate: int = AUDIO_SAMPLE_RATE) -> bytes:
+    """A genuine RIFF/WAVE file: PCM (format 1), mono, 16-bit little-endian
+    — playable by any audio tool; validated against the stdlib ``wave``
+    reader in pytest."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[int, list[int]]:
+    """Chunk-walking RIFF parser → (sample_rate, int16 samples). Handles
+    arbitrary chunk order/extra chunks, rejects non-PCM/non-16-bit/stereo."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt} ch={channels} bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+def _wav_encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            samples = _wav_samples_from_text(text.encode("utf-8"))
+            rows.append({"doc_id": doc_id, "blob": encode_wav(samples)})
+        yield pd.DataFrame(rows)
 
 
 def _audio_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Audio feature extraction: fake-decode payload bytes as signed int8
-    PCM samples, then numpy-vectorized RMS / peak / zero-crossing-rate —
-    the real feature math over the stubbed decode."""
+    """Real WAV decode then RMS / peak / zero-crossing-rate. The sum of
+    squares is taken over exact int64 (then divided once), matching the
+    oracle's integer SUM — no float accumulation order anywhere."""
     import numpy as np
 
     for pdf in it:
         rows = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            if not FAKE_DECODE:
-                raise NotImplementedError("audio codecs not available in this container")
-            samples = np.frombuffer(bytes(blob)[12:], dtype=np.int8).astype(np.float64)
-            n = len(samples)
-            if n == 0:
-                rows.append({"doc_id": doc_id, "n_samples": 0, "duration_sec": 0.0,
-                             "rms": 0.0, "peak": 0, "zero_cross_rate": 0.0})
-                continue
-            zc = int(np.count_nonzero(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+            rate, samples = decode_wav(bytes(blob))
+            s = np.asarray(samples, dtype=np.int64)
+            n = len(s)
+            zc = int(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0)))
             rows.append(
                 {
                     "doc_id": doc_id,
                     "n_samples": n,
-                    "duration_sec": round(1e-9 + n / AUDIO_SAMPLE_RATE, 4),
-                    "rms": round(1e-9 + float(np.sqrt((samples * samples).mean())), 4),
-                    "peak": int(np.abs(samples).max()),
+                    "duration_sec": round(1e-9 + n / rate, 4),
+                    "rms": round(1e-9 + float(np.sqrt(float(int((s * s).sum())) / n)), 4),
+                    "peak": int(np.abs(s).max()),
                     "zero_cross_rate": round(1e-9 + zc / n, 4),
                 }
             )
@@ -256,24 +414,57 @@ def _audio_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "m04_audio_features",
-    oracle=None,  # byte-level PCM math is not SQL-expressible; exactness vs a pure-Python reference in pytest
+    oracle=f"""
+    WITH audio AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents
+      WHERE doc_id % 3 = 1 AND length(text) > 0 AND strlen(text) = length(text)
+    ),
+    samples AS (
+      SELECT doc_id, n, i, (ascii(substr(text, i + 1, 1)) - 64) * 512 AS s
+      FROM audio, unnest(range(0, n)) AS u(i)
+    ),
+    zc AS (
+      SELECT a.doc_id, COUNT(*) FILTER (WHERE (a.s < 0) <> (b.s < 0)) AS zc
+      FROM samples a JOIN samples b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n AS BIGINT) AS n_samples,
+           round(1e-9 + CAST(s.n AS DOUBLE) / {AUDIO_SAMPLE_RATE}, 4) AS duration_sec,
+           round(1e-9 + sqrt(CAST(SUM(s.s * s.s) AS DOUBLE) / s.n), 4) AS rms,
+           CAST(MAX(abs(s.s)) AS BIGINT) AS peak,
+           round(1e-9 + CAST(COALESCE(ANY_VALUE(zc.zc), 0) AS DOUBLE) / s.n, 4) AS zero_cross_rate
+    FROM samples s LEFT JOIN zc ON zc.doc_id = s.doc_id
+    GROUP BY s.doc_id, s.n
+    ORDER BY s.doc_id
+    """,
     category="multimodal",
     doc=(
-        "Audio feature extraction (decode STUBBED as int8 PCM): RMS, peak, "
-        "duration at the fake sample rate, zero-crossing rate — numpy-"
-        "vectorized per Arrow batch via mapInPandas; completes the "
-        "multimodal set (metadata/resize/frame-sample/feature-extract)."
+        "Audio feature extraction over REAL RIFF/WAVE PCM16 files: "
+        "deterministic samples (text bytes) → struct-packed WAV encode → "
+        "genuine chunk-walking parse (validated against the stdlib wave "
+        "reader in pytest) → RMS / peak / duration / zero-crossing rate. "
+        "Hash-checked: the oracle recomputes every feature from the text; "
+        "sums of squares are exact integers so aggregation order cannot "
+        "split the engines. ASCII-only docs (bytes == chars)."
     ),
 )
 def m04_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
-    docs = load_table(spark, "documents", sf_dir)
-    audio = synthesize_blobs(docs).filter(F.col("media_type") == "audio")
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 3 == 1)
+        & (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    blobs = docs.select("doc_id", "text").mapInPandas(
+        _wav_encode_batch, "doc_id long, blob binary"
+    )
     schema = (
         "doc_id long, n_samples long, duration_sec double, rms double, "
         "peak long, zero_cross_rate double"
     )
-    return audio.mapInPandas(_audio_features_batch, schema).orderBy("doc_id")
+    return blobs.mapInPandas(_audio_features_batch, schema).orderBy("doc_id")
 
 
 @register(
