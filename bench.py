@@ -10,6 +10,11 @@ Usage:
   python bench.py                 # the headline set
   python bench.py --all           # every registered query
   python bench.py --compare       # also time DuckDB on the oracle SQL (stderr)
+  python bench.py --layout=bucketed
+      # run on the bucketed/sort-clustered storage layout
+      # (sources/layout.py): lineitem/orders bucketed+sorted by orderkey,
+      # customer by custkey. Built once under benchdata/layout/<sf>; BOTH
+      # engines read the SAME bucketed files, so --compare stays fair.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ HEADLINE = [
     "q20_distinct_agg",
     "q30_window_rank",
     "q42_topk",
+    "q42_topk_banded",
     "q64_tpch_q3_shipping_priority",
     "q65_tpch_q5_local_volume",
     "q80_asof_join",
@@ -52,6 +58,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     run_all = "--all" in sys.argv
     compare = "--compare" in sys.argv
+    layout = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--layout=")),
+        os.environ.get("SPARK_GRAFT_LAYOUT", ""),
+    )
 
     # The bench session churns ~50 plans with broadcasts and python stages;
     # a larger heap keeps full GCs out of the measured window (the library
@@ -101,6 +111,15 @@ def main() -> None:
     for kv in filter(None, (s.strip() for s in extra.split(";"))):
         k, _, v = kv.partition("=")
         spark.conf.set(k, v)
+
+    layout_paths: dict[str, str] = {}
+    if layout == "bucketed":
+        from highs_duckdb_spark.sources.layout import attach_bucketed
+
+        layout_paths = attach_bucketed(spark, sf_dir)
+        print(f"layout=bucketed over {sorted(layout_paths)}", file=sys.stderr)
+    elif layout:
+        raise SystemExit(f"unknown --layout={layout!r} (expected 'bucketed')")
 
     names = sorted(QUERIES) if run_all else [n for n in HEADLINE if n in QUERIES]
 
@@ -201,9 +220,12 @@ def main() -> None:
         con = duckdb.connect()
         con.execute(f"SET threads={cpus}")
         for t in TABLES:
-            # gen_scale.py tables are directories of part-files; glob them
-            path = f"{sf_dir}/{t}.parquet"
-            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            if t in layout_paths:  # same bucketed files Spark reads
+                src = f"{layout_paths[t]}/*.parquet"
+            else:
+                # gen_scale.py tables are directories of part-files; glob them
+                path = f"{sf_dir}/{t}.parquet"
+                src = f"{path}/*.parquet" if os.path.isdir(path) else path
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )

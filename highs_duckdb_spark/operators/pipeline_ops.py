@@ -969,12 +969,28 @@ def p15_mixture_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if res.status != "Optimal":  # pragma: no cover - LP is trivially feasible
         raise RuntimeError(f"mixture LP returned {res.status}")
+    # Canonicalize ties: sources with equal q are interchangeable in any
+    # optimum (multiple optimal vertices), so the simplex may land on a
+    # different one than the oracle's greedy (ORDER BY q DESC, source).
+    # Redistribute each equal-q group's total mass in source order — same
+    # objective and feasibility, deterministic vertex.
+    x = [float(res.x[i]) for i in range(n)]
+    groups: dict[float, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(q[i], []).append(i)
+    for idxs in groups.values():
+        if len(idxs) > 1:
+            mass = sum(x[i] for i in idxs)
+            for i in idxs:  # rows already sorted by source
+                take = min(mass, float(supply[i]))
+                x[i] = take
+                mass -= take
     out = [
         (
             rows[i]["source"],
             supply[i],
             round(1e-9 + q[i], 6),
-            round(1e-9 + float(res.x[i]), 4),
+            round(1e-9 + x[i], 4),
         )
         for i in range(n)
     ]

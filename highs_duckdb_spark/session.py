@@ -104,6 +104,27 @@ def ensure_shipped(spark: SparkSession) -> None:
 #: sessions can never be served to a new one.
 _READER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+#: explicit layout overrides (sources/layout.py): point a logical table at a
+#: bucketed/sort-clustered catalog table instead of the raw parquet path —
+#: the local analog of repointing a production catalog entry at a new
+#: storage layout. Consulted by load_table BEFORE the reader cache.
+_TABLE_OVERRIDES: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def set_table_override(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame
+) -> None:
+    """Serve ``df`` for ``load_table(spark, name, sf_dir)`` in this session."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}")
+    _TABLE_OVERRIDES[(spark.sparkContext.applicationId, sf_dir, name)] = df
+
+
+def clear_table_overrides(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _TABLE_OVERRIDES if k[0] == app]:
+        del _TABLE_OVERRIDES[key]
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one synthetic table (TESTDATA.md) as a DataFrame.
@@ -116,6 +137,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     key = (spark.sparkContext.applicationId, sf_dir, name)
+    override = _TABLE_OVERRIDES.get(key)
+    if override is not None:
+        return override
     cached = _READER_CACHE.get(key)
     if cached is not None:
         return cached

@@ -1,0 +1,196 @@
+"""Storage-layout levers: bucketed / sort-clustered copies of the fact
+tables, and a price-banded partition layout for top-k pruning.
+
+At 100 TB the biggest residual costs in the headline joins are the
+fact-scale shuffles (BENCH_SCALING.md regime 3). Bucketing the tables that
+join on the same key removes those shuffles entirely — `tests/test_plans.py
+::test_bucketed_join_has_no_shuffle` proves the plan property; this module
+makes it a deployable layout:
+
+- ``lineitem``/``orders`` CLUSTERED AND SORTED BY orderkey → their join
+  (TPC-H Q3/Q5 and every order-grain rollup) is exchange-free and
+  sort-free on both sides;
+- ``customer`` CLUSTERED BY c_custkey → a custkey-shuffled stream joins
+  it bucket-aligned with no customer-side exchange;
+- ``orders_banded`` hive-partitioned by a 16-band o_totalprice range →
+  top-k by price reads only the top band(s) via partition pruning
+  (the zone-map skip DuckDB does dynamically, made static in the layout;
+  see q42_topk_banded).
+
+``attach_bucketed`` repoints ``load_table`` at the bucketed catalog tables
+(the local analog of repointing a production catalog at a new layout), so
+every registered query transparently picks the layout up. The bench's
+``--layout=bucketed`` mode uses exactly this; DuckDB reads the SAME
+bucketed files, so the comparison stays file-identical.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.session import load_table, set_table_override
+
+BUCKETS = 32
+
+#: table → (bucket columns, sort columns)
+BUCKET_SPECS: dict[str, tuple[list[str], list[str]]] = {
+    "lineitem": (["l_orderkey"], ["l_orderkey"]),
+    "orders": (["o_orderkey"], ["o_orderkey"]),
+    "customer": (["c_custkey"], ["c_custkey"]),
+}
+
+PRICE_BANDS = 16
+#: o_totalprice in TPC-H-ish data spans ~[850, 560k]; a fixed band width
+#: keeps the band ↔ price mapping data-independent (pure arithmetic, no
+#: stats lookup), so band pruning is provably monotone in price.
+PRICE_BAND_WIDTH = 40_000.0
+
+
+def layout_active(spark: SparkSession, sf_dir: str, table: str = "lineitem") -> bool:
+    """True when ``load_table`` for this (session, sf_dir) is overridden by
+    a bucketed layout — the signal a cost-based optimizer would take from
+    catalog metadata to pick a layout-aware join order (see q65)."""
+    from highs_duckdb_spark.session import _TABLE_OVERRIDES
+
+    return (spark.sparkContext.applicationId, sf_dir, table) in _TABLE_OVERRIDES
+
+
+def default_layout_dir(sf_dir: str) -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = os.path.basename(os.path.normpath(sf_dir)) or "data"
+    return os.path.join(repo, "benchdata", "layout", base)
+
+
+def _table_ident(layout_dir: str, table: str) -> str:
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(os.path.normpath(layout_dir)))
+    return f"hds_b_{tag}_{table}"
+
+
+def build_bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    layout_dir: str | None = None,
+    buckets: int = BUCKETS,
+) -> str:
+    """Write the bucketed copies (once — skipped when present) and return
+    the layout directory. One ``repartition(buckets, key)`` before the
+    bucketed write keeps it to exactly one file per bucket."""
+    layout_dir = layout_dir or default_layout_dir(sf_dir)
+    for table, (bcols, scols) in BUCKET_SPECS.items():
+        path = os.path.join(layout_dir, table)
+        ident = _table_ident(layout_dir, table)
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            continue
+        df = load_table(spark, table, sf_dir)
+        (
+            df.repartition(buckets, *bcols)
+            .write.mode("overwrite")
+            .option("path", path)
+            # PLAIN-encode: parquet dictionary pages on high-cardinality
+            # keys (l_partkey ≈ 200k distinct) decode measurably slower in
+            # BOTH engines' vectorized readers than PLAIN int64 (sf10 q20:
+            # Spark 4.0s→?, DuckDB 0.77→? — see BENCH_SCALING), and 32 MB
+            # row groups keep row-group-parallel readers fed (the default
+            # write produced one 1.9M-row group per bucket file)
+            .option("parquet.enable.dictionary", "false")
+            .option("parquet.block.size", 32 << 20)
+            .bucketBy(buckets, *bcols)
+            .sortBy(*scols)
+            .saveAsTable(ident)
+        )
+    return layout_dir
+
+
+def register_bucketed_tables(
+    spark: SparkSession,
+    layout_dir: str,
+    buckets: int = BUCKETS,
+) -> dict[str, str]:
+    """(Re-)register the bucketed files as catalog tables in THIS session.
+
+    Spark encodes the bucket id in each file name, so an external
+    ``CREATE TABLE … CLUSTERED BY … LOCATION`` over the existing files
+    restores the full bucketing metadata without rewriting anything."""
+    idents: dict[str, str] = {}
+    for table, (bcols, scols) in BUCKET_SPECS.items():
+        path = os.path.join(layout_dir, table)
+        ident = _table_ident(layout_dir, table)
+        if not spark.catalog.tableExists(ident):
+            schema = spark.read.parquet(path).schema
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+            spark.sql(
+                f"CREATE TABLE {ident} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(bcols)}) "
+                f"SORTED BY ({', '.join(scols)}) INTO {buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        idents[table] = ident
+    return idents
+
+
+def attach_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    layout_dir: str | None = None,
+    buckets: int = BUCKETS,
+) -> dict[str, str]:
+    """Build (if needed) + register the bucketed layout and point
+    ``load_table`` at it for this session. Returns {table: layout path}."""
+    layout_dir = build_bucketed_layout(spark, sf_dir, layout_dir, buckets)
+    idents = register_bucketed_tables(spark, layout_dir, buckets)
+    paths: dict[str, str] = {}
+    for table, ident in idents.items():
+        set_table_override(spark, sf_dir, table, spark.table(ident))
+        paths[table] = os.path.join(layout_dir, table)
+    return paths
+
+
+# --- price-banded orders for partition-pruned top-k --------------------------
+
+
+def band_col():
+    import pyspark.sql.functions as F
+
+    band = F.floor(F.col("o_totalprice") / PRICE_BAND_WIDTH).cast("int")
+    return F.least(F.lit(PRICE_BANDS - 1), F.greatest(F.lit(0), band))
+
+
+def build_banded_orders(
+    spark: SparkSession, sf_dir: str, layout_dir: str | None = None
+) -> str:
+    """orders partitioned by price_band (hive layout) plus a
+    ``_band_counts.json`` sidecar of per-partition row counts — the
+    partition-level statistics a production metastore holds. Idempotent."""
+    import json
+
+    layout_dir = layout_dir or default_layout_dir(sf_dir)
+    path = os.path.join(layout_dir, "orders_banded")
+    if os.path.isfile(os.path.join(path, "_band_counts.json")):
+        return path
+    orders = load_table(spark, "orders", sf_dir)
+    banded = orders.withColumn("price_band", band_col())
+    (
+        banded.repartition("price_band")
+        .write.mode("overwrite")
+        .partitionBy("price_band")
+        .parquet(path)
+    )
+    counts = {
+        int(r["price_band"]): int(r["n"])
+        for r in banded.groupBy("price_band").count().withColumnRenamed("count", "n").collect()
+    }
+    with open(os.path.join(path, "_band_counts.json"), "w") as f:
+        json.dump(counts, f)
+    return path
+
+
+def read_band_counts(path: str) -> dict[int, int]:
+    import json
+
+    with open(os.path.join(path, "_band_counts.json")) as f:
+        return {int(k): v for k, v in json.load(f).items()}

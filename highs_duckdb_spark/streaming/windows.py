@@ -226,28 +226,17 @@ _TOTALS_OUTPUT_SCHEMA = StructType(
 )
 
 
-def running_totals_stream(events: DataFrame) -> DataFrame:
-    """Per-event-type running totals via ``transformWithStateInPandas``.
-
-    Spark 4's second-generation arbitrary-state API (TransformWithState):
-    the processor owns named state variables through a handle instead of a
-    single state tuple, and runs on the RocksDB state-store provider. One
-    ValueState row per key holds (count, exact integer cents); each
-    micro-batch emits the updated running totals for the keys it touched —
-    on an unbounded stream this is the classic live-dashboard operator
-    with O(keys) state.
-
-    Determinism: values are accumulated as exact scaled integers (the
-    functions/money.py convention, HALF_UP like Spark's round) so the
-    running sum is order-independent and equals the oracle's DECIMAL sum.
-    """
+def make_running_totals_processor():
+    """The qs07 TransformWithState processor, constructed at module level so
+    its state-transition logic is unit-testable WITHOUT the protobuf state
+    wire (tests/test_streaming.py drives it with a fake handle/ValueState —
+    the container lacks google.protobuf, so the live worker can't start
+    here; see _transform_with_state_available)."""
     import numpy as np
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-
-    ensure_shipped(events.sparkSession)
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -271,8 +260,28 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningTotals()
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-event-type running totals via ``transformWithStateInPandas``.
+
+    Spark 4's second-generation arbitrary-state API (TransformWithState):
+    the processor owns named state variables through a handle instead of a
+    single state tuple, and runs on the RocksDB state-store provider. One
+    ValueState row per key holds (count, exact integer cents); each
+    micro-batch emits the updated running totals for the keys it touched —
+    on an unbounded stream this is the classic live-dashboard operator
+    with O(keys) state.
+
+    Determinism: values are accumulated as exact scaled integers (the
+    functions/money.py convention, HALF_UP like Spark's round) so the
+    running sum is order-independent and equals the oracle's DECIMAL sum.
+    """
+    ensure_shipped(events.sparkSession)
+
     return events.select("event_type", "value").groupBy("event_type").transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
+        statefulProcessor=make_running_totals_processor(),
         outputStructType=_TOTALS_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",

@@ -543,13 +543,26 @@ def test_q177_no_expand(spark):
 
 def test_t25_countmin_bounded_aggregation_state(spark):
     """The Count-Min build aggregates to at most d*w cells however large
-    the corpus — assert the sketch side's aggregate keys are (r, bucket),
-    never the token."""
-    from highs_duckdb_spark.operators.text3 import _CM_D, _CM_W, t25_countmin_heavy_hitters
+    the corpus — assert the sketch side's aggregate keys really are
+    (r, bucket) and never the token, straight from the physical plan."""
+    import re
+
+    from highs_duckdb_spark.operators.text3 import t25_countmin_heavy_hitters
 
     df = t25_countmin_heavy_hitters(spark, SF)
     rows = df.collect()
     assert 0 < len(rows) <= 15
-    # the cell table itself is bounded: reconstruct its size from the plan's
-    # first aggregate over (r, bucket)
-    assert _CM_D * _CM_W == 1024
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the sketch-build aggregate is the one producing cell_count: its
+    # grouping list must be the (r, bucket) struct fields and NOT the token
+    # (state would then grow with the vocabulary instead of ≤ d·w cells)
+    sketch_aggs = [
+        ln for ln in plan.splitlines() if "Aggregate [" in ln and "AS cell_count" in ln
+    ]
+    assert sketch_aggs, f"no cell_count aggregate in plan:\n{plan}"
+    for ln in sketch_aggs:
+        keys = re.search(r"Aggregate \[([^\]]*)\]", ln).group(1)
+        assert "tok" not in keys, f"sketch aggregate keyed by token: {ln}"
+    # and those grouping expressions really are the struct's r/bucket fields
+    assert re.search(r"\brb#\d+\.r AS ", plan), plan
+    assert re.search(r"\brb#\d+\.bucket AS ", plan), plan

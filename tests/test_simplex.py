@@ -270,3 +270,78 @@ def test_milp_warm_start_prunes_but_stays_exact():
     assert r.status == "Optimal"
     # enumerate: best is x=(1,1,0) → -16
     assert r.objective == pytest.approx(-16.0, abs=1e-9)
+
+
+def test_milp_20_binary_sweep_vs_exhaustive():
+    """VERDICT r03 item 8: random MIPs with 20 binaries checked against a
+    vectorized full 2^20 enumeration — multi-row, two-sided bounds,
+    feasible and infeasible instances, incumbent feasibility asserted."""
+    n = 20
+    masks = np.arange(2**n, dtype=np.uint32)
+    grid = ((masks[:, None] >> np.arange(n)) & 1).astype(np.float32)
+    for seed in range(4):
+        rng = np.random.default_rng(300 + seed)
+        c = rng.uniform(-5, 5, n)
+        m = int(rng.integers(1, 4))
+        a = rng.uniform(-2, 3, (m, n))
+        mid = a @ np.full(n, 0.5)
+        if seed == 3:  # deliberately infeasible band
+            row_lb = mid + 100.0
+            row_ub = mid + 101.0
+        else:
+            row_lb = mid - rng.uniform(0.5, 2.0, m)
+            row_ub = mid + rng.uniform(0.5, 2.0, m)
+        vals = grid @ a.T.astype(np.float32)  # 2^20 × m, float32 screen...
+        near = np.all(
+            (vals >= (row_lb - 1e-3)) & (vals <= (row_ub + 1e-3)), axis=1
+        )
+        # ...then exact float64 confirmation on the (tiny) near-feasible set
+        cand = grid[near].astype(np.float64)
+        if len(cand):
+            av = cand @ a.T
+            keep = np.all((av >= row_lb - 1e-9) & (av <= row_ub + 1e-9), axis=1)
+            cand = cand[keep]
+        r = solve_milp(
+            c, a, list(row_lb), list(row_ub), [0] * n, [1] * n, [True] * n
+        )
+        if not len(cand):
+            assert r.status == "Infeasible", (seed, r.status)
+            continue
+        best = float((cand @ c).min())
+        assert r.status == "Optimal", (seed, r.status)
+        assert r.objective == pytest.approx(best, abs=1e-6), seed
+        ax = np.asarray(a) @ r.x
+        assert np.all(ax >= row_lb - 1e-6) and np.all(ax <= row_ub + 1e-6)
+        assert np.all(np.abs(r.x - np.round(r.x)) <= 1e-6)
+
+
+def test_milp_pseudocost_branching_reduces_nodes():
+    """The cost-initialized pseudo-cost rule must (a) return identical
+    optima to round 3's most-fractional rule and (b) need no more nodes in
+    aggregate — strictly fewer over these fixed knapsack instances
+    (deterministic solver ⇒ reproducible counts; measured 710 vs 718).
+    Best-first + incumbent pruning already explores a near-minimal tree on
+    this family, so the win is small by design — the rules must never
+    diverge on RESULTS, only on node order."""
+    from highs_duckdb_spark.optim import simplex as sx
+
+    totals = {"pseudocost": 0, "most_fractional": 0}
+    n = 18
+    for seed in range(8):
+        rng = np.random.default_rng(500 + seed)
+        c = -rng.uniform(1, 10, n)
+        m = int(rng.integers(1, 3))
+        a = rng.uniform(0.2, 3.0, (m, n))
+        row_ub = a @ np.full(n, 0.5)
+        objs = {}
+        for rule in totals:
+            r = solve_milp(
+                c, a, [-INF] * m, list(row_ub), [0] * n, [1] * n, [True] * n,
+                branching=rule,
+            )
+            assert r.status == "Optimal", (seed, rule, r.status)
+            objs[rule] = r.objective
+            totals[rule] += sx._last_milp_nodes
+        assert objs["pseudocost"] == pytest.approx(objs["most_fractional"], abs=1e-6)
+    # aggregate node-count win (per-instance it may occasionally tie/lose)
+    assert totals["pseudocost"] < totals["most_fractional"], totals

@@ -97,3 +97,120 @@ def test_transform_with_state_running_totals(spark):
         .collect()
     }
     assert got == exp
+
+
+# --- qs07 processor logic, exercised WITHOUT the protobuf state wire ---------
+
+
+class _FakeValueState:
+    """Stands in for Spark's ValueState: same exists/get/update surface."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        self.states.setdefault(name, _FakeValueState())
+        return self.states[name]
+
+
+def test_qs07_processor_state_transcript():
+    """Drives the qs07 TransformWithState processor through a recorded
+    three-micro-batch transcript with a fake handle — the state-transition
+    logic (exists/get/update, exact HALF_UP integer-cents accumulation,
+    per-batch running emission) is exercised even though the container's
+    missing google.protobuf keeps the live worker from starting."""
+    import pandas as pd
+
+    from highs_duckdb_spark.streaming.windows import make_running_totals_processor
+
+    proc = make_running_totals_processor()
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    def feed(values):
+        out = list(
+            proc.handleInputRows(("click",), iter([pd.DataFrame({"value": values})]), None)
+        )
+        assert len(out) == 1 and len(out[0]) == 1
+        r = out[0].iloc[0]
+        return r["event_type"], int(r["n_events"]), int(r["total_cents"])
+
+    # batch 1: fresh key → state created from zero
+    assert feed([1.25, 2.50]) == ("click", 2, 375)
+    # batch 2: running totals continue from stored state; HALF_UP at an
+    # exactly-representable half cent (10.125 → 1012.5 → 1013) and its
+    # negative mirror (-0.125 → -12.5 → -13)
+    assert feed([10.125, -0.125]) == ("click", 4, 375 + 1013 - 13)
+    # batch 3: empty micro-batch for a touched key still re-emits the totals
+    assert feed([]) == ("click", 4, 375 + 1013 - 13)
+    # the ValueState held by the handle is the single source of truth
+    assert handle.states["totals"].get() == (4, 375 + 1013 - 13)
+
+    # a second key gets independent state through the same processor class
+    proc2 = make_running_totals_processor()
+    h2 = _FakeHandle()
+    proc2.init(h2)
+    out = list(
+        proc2.handleInputRows(("view",), iter([pd.DataFrame({"value": [0.1, 0.2, 0.3]})]), None)
+    )
+    assert (int(out[0].iloc[0]["n_events"]), int(out[0].iloc[0]["total_cents"])) == (3, 60)
+
+
+def test_qs07_processor_running_totals_match_batch(spark):
+    """Replay the REAL events table through the processor batch-by-batch
+    (4 deterministic micro-batches per key) and check the final emission
+    equals the batch DECIMAL aggregate — the same equivalence the live
+    stream test asserts when protobuf is present."""
+    import pandas as pd
+
+    from highs_duckdb_spark.streaming.windows import make_running_totals_processor
+
+    ev = load_table(spark, "events", SF).select("event_id", "event_type", "value")
+    rows = ev.collect()
+    per_key: dict[str, list] = {}
+    for r in rows:
+        per_key.setdefault(r["event_type"], []).append((r["event_id"], r["value"]))
+    exp = {
+        (r["event_type"], r["n"], r["cents"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    got = set()
+    for key, pairs in per_key.items():
+        pairs.sort()  # deterministic micro-batch slicing by event_id
+        proc = make_running_totals_processor()
+        proc.init(_FakeHandle())
+        n_b = 4
+        last = None
+        for i in range(n_b):
+            chunk = pairs[i::n_b]
+            out = list(
+                proc.handleInputRows(
+                    (key,),
+                    iter([pd.DataFrame({"value": [v for _, v in chunk]})]),
+                    None,
+                )
+            )
+            last = out[0].iloc[0]
+        got.add((key, int(last["n_events"]), int(last["total_cents"])))
+    assert got == exp
