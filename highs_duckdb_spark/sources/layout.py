@@ -78,7 +78,17 @@ def build_bucketed_layout(
     """Write the bucketed copies (once — skipped when present) and return
     the layout directory. One ``repartition(buckets, key)`` before the
     bucketed write keeps it to exactly one file per bucket."""
+    from highs_duckdb_spark.plans.strategy import dir_bytes
+
     layout_dir = layout_dir or default_layout_dir(sf_dir)
+    # Above ~8 GB of source parquet the pre-write repartition's shuffle
+    # spill (source-sized temp files on the same disk as the output) can
+    # exhaust local disk; coalesce instead — no shuffle at all, each of
+    # the ``buckets`` writer tasks fans its rows out to per-bucket files.
+    # Hash distribution (the exchange-free-join property) is identical;
+    # only the one-file-per-bucket sortedness guarantee is lost, which
+    # SMJ would re-sort and SHJ never needed.
+    big_source = dir_bytes(sf_dir) > (8 << 30)
     for table, (bcols, scols) in BUCKET_SPECS.items():
         path = os.path.join(layout_dir, table)
         ident = _table_ident(layout_dir, table)
@@ -87,17 +97,19 @@ def build_bucketed_layout(
         ):
             continue
         df = load_table(spark, table, sf_dir)
+        shaped = df.coalesce(buckets) if big_source else df.repartition(buckets, *bcols)
         (
-            df.repartition(buckets, *bcols)
-            .write.mode("overwrite")
+            shaped.write.mode("overwrite")
             .option("path", path)
-            # PLAIN-encode: parquet dictionary pages on high-cardinality
-            # keys (l_partkey ≈ 200k distinct) decode measurably slower in
-            # BOTH engines' vectorized readers than PLAIN int64 (sf10 q20:
-            # Spark 4.0s→?, DuckDB 0.77→? — see BENCH_SCALING), and 32 MB
-            # row groups keep row-group-parallel readers fed (the default
-            # write produced one 1.9M-row group per bucket file)
-            .option("parquet.enable.dictionary", "false")
+            # Parquet DEFAULT dictionary behavior on purpose: a round-4
+            # experiment wrote these files PLAIN-encoded on the theory that
+            # big dictionary pages slowed q20's high-cardinality key decode
+            # — measured at sf100 that was a ~2.5× regression on the
+            # scan-bound aggregates (q01 5.0→12.7 s; low-cardinality money
+            # columns lost their RLE-dictionary compression) while q20's
+            # real problem was combine locality, not encoding. 32 MB row
+            # groups keep row-group-parallel readers fed (the default
+            # produced one 1.9M-row group per bucket file).
             .option("parquet.block.size", 32 << 20)
             .bucketBy(buckets, *bcols)
             .sortBy(*scols)

@@ -1,0 +1,129 @@
+"""Storage-layout levers (sources/layout.py): bucketed catalog attach,
+partition-banded top-k, and the layout-aware q65 join order must all be
+result-identical to the plain paths, with the plan properties that justify
+them asserted from the physical plan."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from highs_duckdb_spark.operators.registry import QUERIES
+from highs_duckdb_spark.session import clear_table_overrides, load_table
+from highs_duckdb_spark.sources import layout as L
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def layout_dir(spark):
+    d = tempfile.mkdtemp(prefix="hds_layout_test_")
+    try:
+        yield d
+    finally:
+        clear_table_overrides(spark)
+        for table in L.BUCKET_SPECS:
+            ident = L._table_ident(d, table)
+            spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_attach_bucketed_joins_without_fact_exchange(spark, layout_dir):
+    paths = L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    assert set(paths) == set(L.BUCKET_SPECS)
+    li = load_table(spark, "lineitem", SF)
+    orders = load_table(spark, "orders", SF)
+    joined = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderkey", "l_quantity"
+    )
+    plan = _plan(joined)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_attach_bucketed_results_equal_plain(spark, layout_dir):
+    plain = {
+        tuple(r)
+        for r in QUERIES["q65_tpch_q5_local_volume"].builder(spark, SF).collect()
+    }
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    bucketed = {
+        tuple(r)
+        for r in QUERIES["q65_tpch_q5_local_volume"].builder(spark, SF).collect()
+    }
+    assert plain == bucketed
+
+
+def test_q65_layout_aware_join_order_kicks_in(spark, layout_dir):
+    """With the layout attached, q65 must take the orders⋈customer-first
+    shape: bucketed lineitem scans with NO exchange directly under its
+    join, and the plan carries all three bucketed scans."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    assert L.layout_active(spark, SF)
+    plan = _plan(QUERIES["q65_tpch_q5_local_volume"].builder(spark, SF))
+    # lineitem + orders scan bucketed (customer may legitimately plan as a
+    # broadcast at tiny SF, which skips its bucketed read)
+    assert plan.count("Bucketed: true") >= 2, plan
+    # lineitem and customer scans are exchange-free; the only hash
+    # exchanges are orders→custkey, (orders⋈cust)→orderkey, and the tiny
+    # final n_name aggregation — never a lineitem-sized one
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    li_scan = plan.index("lineitem[")
+    assert "Exchange" not in plan[li_scan - 400 : li_scan].split("ShuffledHashJoin")[-1], plan
+
+
+def test_registration_survives_new_session_semantics(spark, layout_dir):
+    """register_bucketed_tables over EXISTING files (the fresh-session
+    path: CREATE TABLE ... CLUSTERED BY ... LOCATION) must restore bucket
+    metadata — drop the catalog entries, re-register, and the join is
+    still exchange-free."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    clear_table_overrides(spark)
+    for table in L.BUCKET_SPECS:
+        spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(layout_dir, table)}")
+    idents = L.register_bucketed_tables(spark, layout_dir, buckets=4)
+    bo = spark.table(idents["orders"])
+    bl = spark.table(idents["lineitem"])
+    joined = bl.hint("merge").join(bo, bl.l_orderkey == bo.o_orderkey).select(
+        "o_orderkey", "l_quantity"
+    )
+    plan = _plan(joined)
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and the data round-trips exactly
+    assert bo.count() == load_table(spark, "orders", SF).count()
+
+
+def test_banded_orders_counts_and_pruning(spark):
+    d = tempfile.mkdtemp(prefix="hds_band_test_")
+    try:
+        path = L.build_banded_orders(spark, SF, d)
+        counts = L.read_band_counts(path)
+        assert sum(counts.values()) == load_table(spark, "orders", SF).count()
+        # band monotonicity: every row of band b prices within its range
+        banded = spark.read.parquet(path)
+        bad = banded.filter(
+            (F.col("price_band") < L.PRICE_BANDS - 1)
+            & (
+                (F.col("o_totalprice") < F.col("price_band") * L.PRICE_BAND_WIDTH)
+                | (F.col("o_totalprice") >= (F.col("price_band") + 1) * L.PRICE_BAND_WIDTH)
+            )
+        ).count()
+        assert bad == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_q42_banded_equals_plain_topk(spark):
+    plain = [tuple(r) for r in QUERIES["q42_topk"].builder(spark, SF).collect()]
+    banded = [tuple(r) for r in QUERIES["q42_topk_banded"].builder(spark, SF).collect()]
+    assert plain == banded
+    plan = _plan(QUERIES["q42_topk_banded"].builder(spark, SF))
+    assert "PartitionFilters" in plan and "price_band" in plan, plan
