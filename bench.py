@@ -92,8 +92,13 @@ def main() -> None:
     # real and all 32 cores should shuffle. Thousands on a real cluster.
     # At sf1 the same sweep (AQE on: 9.5s; AQE off/8: 6.8s; off/16: 6.6s;
     # off/32: >9s) picks 16; at sf>=5 per-task shuffle work is real and all
-    # 32 cores pay off.
-    _shuffle = "6" if (sf or 0) < 1 else ("16" if (sf or 0) < 5 else "32")
+    # 32 cores pay off. At sf>=50 the 32-partition rule under-partitions:
+    # ~31M rows per window-sort partition spills externally (q30 at sf100:
+    # 124s at 32 parts -> 17.8s at 128, measured; q65 unchanged - its cost
+    # is shuffle volume, which the bucketed layout removes instead). On a
+    # cluster this is the same knob sized into the thousands.
+    _sf = sf or 0
+    _shuffle = "6" if _sf < 1 else ("16" if _sf < 5 else ("32" if _sf < 50 else "128"))
     spark.conf.set("spark.sql.shuffle.partitions", _shuffle)
     # sf0.1 parquet files are ~1-11 MB, so the 128 MB default split size
     # makes every scan a single task; 2 MB splits scan row groups in

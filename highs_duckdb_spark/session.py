@@ -64,6 +64,10 @@ def get_spark(app_name: str = "highs_duckdb_spark", cpus: int | None = None) -> 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver hosts every Arrow result; the 1g cluster
+        # default aborts legitimate large materializations (q30 at sf100
+        # returns ~4.5M rows ≈ 1 GiB serialized once partition count rises)
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
