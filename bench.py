@@ -84,31 +84,14 @@ def main() -> None:
     # is worth far more than one scheduling round there.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    # post-shuffle parallelism: re-measured in round 3 after opt05 learned
-    # to self-repartition and the heavy queries got real per-task work — 6
-    # now beats 2 on the full headline set at sf0.1 (4.45s vs 5.77s; 8
-    # gives 4.60s): q65 0.66→0.53, q20 0.58→0.47, q01 0.52→0.30,
-    # q30 0.41→0.28. At sf≥1 (tools/gen_scale.py data) per-task work is
-    # real and all 32 cores should shuffle. Thousands on a real cluster.
-    # At sf1 the same sweep (AQE on: 9.5s; AQE off/8: 6.8s; off/16: 6.6s;
-    # off/32: >9s) picks 16; at sf>=5 per-task shuffle work is real and all
-    # 32 cores pay off. At sf>=50 the 32-partition rule under-partitions:
-    # ~31M rows per window-sort partition spills externally (q30 at sf100:
-    # 124s at 32 parts -> 17.8s at 128, measured; q65 unchanged - its cost
-    # is shuffle volume, which the bucketed layout removes instead). On a
-    # cluster this is the same knob sized into the thousands.
-    _sf = sf or 0
-    _shuffle = "6" if _sf < 1 else ("16" if _sf < 5 else ("32" if _sf < 50 else "128"))
-    spark.conf.set("spark.sql.shuffle.partitions", _shuffle)
-    # sf0.1 parquet files are ~1-11 MB, so the 128 MB default split size
-    # makes every scan a single task; 2 MB splits scan row groups in
-    # parallel (measured ~12% over the headline set). At sf≥1 the gen_scale
-    # directories are row-group-rich 10-file tables and BOTH small-split
-    # settings REGRESS (16 MB: lineitem empty-schema count 0.46s vs 0.20s
-    # at defaults — splits that straddle row-group boundaries schedule
-    # no-op tasks) — keep the 128 MB default there, as at real scale.
-    if (sf or 0) < 1:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    # Post-shuffle parallelism and scan split size are ENGINE decisions
+    # sized from the data (session.tune_for_data — the measured sf-ladder
+    # that used to live here as a bench-side override; VERDICT r04 item 3
+    # moved it into the library). The bench adds no partition numbers of
+    # its own.
+    from highs_duckdb_spark.session import tune_for_data
+
+    tune_for_data(spark, sf_dir)
 
     # Optional runtime SQLConf overrides for experiments, e.g.
     #   SPARK_GRAFT_EXTRA_SQLCONF="spark.sql.adaptive.enabled=false;k=v"
