@@ -848,32 +848,37 @@ def q42_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 25
     """,
     doc=(
-        "q42's global top-k over a PRICE-BANDED storage layout "
-        "(sources/layout.py: orders hive-partitioned into 16 o_totalprice "
-        "range bands, with per-partition row counts in a metastore-style "
-        "sidecar): the driver picks the smallest suffix of bands whose "
-        "cumulative count covers k from the stats alone — zero scans — and "
-        "the single data scan is partition-pruned to those bands. This is "
-        "the static-layout equivalent of the zone-map row-group skipping "
-        "DuckDB applies dynamically to ORDER BY ... LIMIT: at 100 TB the "
-        "scan touches ~k rows' worth of partitions instead of the table. "
-        "Bands are monotone in price, so the result is provably identical "
-        "to q42 at any SF (same oracle, hash-checked)."
+        "q42's global top-k planned from ZONE-MAP statistics "
+        "(sources/stats.py over the price-banded layout of "
+        "sources/layout.py): the driver reads the metastore-style sidecar "
+        "of per-file/per-row-group min-max stats — zero data scans — picks "
+        "the largest price threshold t whose row groups already guarantee "
+        "k rows, and scans ONLY the files whose max price reaches t, with "
+        "`o_totalprice >= t` pushed so parquet row-group skipping drops "
+        "the rest. This is what DuckDB does dynamically for ORDER BY .. "
+        "LIMIT, done the lakehouse way (file stats in the catalog, footer "
+        "stats below): at 100 TB the scan touches ~k rows' worth of row "
+        "groups instead of the table. The threshold keeps every row ≥ t, "
+        "so the result is provably identical to q42 at any SF (same "
+        "oracle, hash-checked). READ-ONLY: falls back to the plain "
+        "full-scan top-k when the layout isn't built (bench.py builds it "
+        "in its explicit layout step)."
     ),
 )
 def q42_topk_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from highs_duckdb_spark.sources.layout import build_banded_orders, read_band_counts
+    from highs_duckdb_spark.sources import stats as zstats
+    from highs_duckdb_spark.sources.layout import banded_orders_path
 
     k = 25
-    path = build_banded_orders(spark, sf_dir)
-    counts = read_band_counts(path)
-    need, acc = [], 0
-    for band in sorted(counts, reverse=True):
-        need.append(band)
-        acc += counts[band]
-        if acc >= k:
-            break
-    pruned = spark.read.parquet(path).filter(F.col("price_band").isin(need))
+    path = banded_orders_path(sf_dir)
+    stats = zstats.read_sidecar(path) if path else None
+    if stats is None:  # layout not built: identical plain top-k (q42 path)
+        pruned = load_table(spark, "orders", sf_dir)
+    else:
+        files, t = zstats.topk_plan(stats, path, "o_totalprice", k, descending=True)
+        pruned = spark.read.parquet(*files)
+        if t is not None:
+            pruned = pruned.filter(F.col("o_totalprice") >= F.lit(t))
     return (
         pruned.select(
             "o_orderkey",

@@ -229,9 +229,13 @@ def _s02_oracle_sql() -> str:
     accumulates dots dimension-sequentially, so sign bits match
     list_dot_product's fold bit-for-bit."""
     planes = _hyperplanes()
+    # ::DOUBLE on every inlined literal: bare decimal literals type as
+    # DECIMAL in DuckDB and the list common-type coercion can lose ULPs
+    # when element magnitudes differ widely (ADVICE r04) — typing each
+    # element DOUBLE up front keeps the round-trip exact by construction.
     bit_cases = ",\n           ".join(
         "CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(x) for x in p)
+        + ", ".join(f"{x!r}::DOUBLE" for x in p)
         + "]) >= 0 THEN '1' ELSE '0' END"
         for p in planes
     )

@@ -69,6 +69,46 @@ def _table_ident(layout_dir: str, table: str) -> str:
     return f"hds_b_{tag}_{table}"
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap content fingerprint of the SOURCE parquet for ``table``.
+
+    Layout dirs are keyed on the sf_dir basename, so a regenerated dataset
+    (or a different one sharing the basename) must invalidate the built
+    layout (ADVICE r04). The per-file (name, size) list catches any
+    regeneration without scanning data — parquet writes are not
+    byte-stable, so equal sizes on every part-file means the same build.
+    """
+    import hashlib
+    import json
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    files: list[str] = []
+    if os.path.isdir(src):
+        for root, _dirs, fs in os.walk(src):
+            files.extend(os.path.join(root, f) for f in fs if f.endswith(".parquet"))
+    elif os.path.isfile(src):
+        files = [src]
+    sizes = sorted((os.path.basename(f), os.path.getsize(f)) for f in files)
+    return hashlib.md5(json.dumps(sizes).encode()).hexdigest()
+
+
+def _fingerprint_current(path: str, fp: str) -> bool:
+    try:
+        with open(os.path.join(path, "_source_fingerprint.json")) as f:
+            import json
+
+            return json.load(f).get("fingerprint") == fp
+    except OSError:
+        return False
+
+
+def _write_fingerprint(path: str, fp: str) -> None:
+    import json
+
+    with open(os.path.join(path, "_source_fingerprint.json"), "w") as f:
+        json.dump({"fingerprint": fp}, f)
+
+
 def build_bucketed_layout(
     spark: SparkSession,
     sf_dir: str,
@@ -92,10 +132,16 @@ def build_bucketed_layout(
     for table, (bcols, scols) in BUCKET_SPECS.items():
         path = os.path.join(layout_dir, table)
         ident = _table_ident(layout_dir, table)
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
+        fp = _source_fingerprint(sf_dir, table)
+        if (
+            os.path.isdir(path)
+            and any(f.endswith(".parquet") for f in os.listdir(path))
+            and _fingerprint_current(path, fp)
         ):
             continue
+        # stale or absent: drop any prior catalog entry so the overwrite
+        # can't race a schema/metadata mismatch from the old build
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
         df = load_table(spark, table, sf_dir)
         shaped = df.coalesce(buckets) if big_source else df.repartition(buckets, *bcols)
         (
@@ -115,6 +161,10 @@ def build_bucketed_layout(
             .sortBy(*scols)
             .saveAsTable(ident)
         )
+        from highs_duckdb_spark.sources import stats as zstats
+
+        zstats.write_sidecar(path)  # file/row-group zone maps for pruned scans
+        _write_fingerprint(path, fp)
     return layout_dir
 
 
@@ -175,20 +225,40 @@ def band_col():
 def build_banded_orders(
     spark: SparkSession, sf_dir: str, layout_dir: str | None = None
 ) -> str:
-    """orders partitioned by price_band (hive layout) plus a
-    ``_band_counts.json`` sidecar of per-partition row counts — the
-    partition-level statistics a production metastore holds. Idempotent."""
+    """orders partitioned by price_band (hive layout), price-DESC-sorted
+    within each band, plus two metastore-style sidecars: the per-partition
+    row counts (``_band_counts.json``) and the per-file/per-row-group
+    min-max zone stats (``sources/stats.py``). The sort makes every row
+    group's [min, max] a tight price range, so the zone-map top-k planner
+    (stats.topk_plan) prunes to ~k rows' worth of row groups — the static
+    equivalent of DuckDB's dynamic ORDER-BY-LIMIT row-group skip.
+    Idempotent; invalidated when the SOURCE orders data changes
+    (fingerprint, ADVICE r04)."""
     import json
+
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.sources import stats as zstats
 
     layout_dir = layout_dir or default_layout_dir(sf_dir)
     path = os.path.join(layout_dir, "orders_banded")
-    if os.path.isfile(os.path.join(path, "_band_counts.json")):
+    fp = _source_fingerprint(sf_dir, "orders")
+    if os.path.isfile(os.path.join(path, "_band_counts.json")) and _fingerprint_current(
+        path, fp
+    ):
         return path
     orders = load_table(spark, "orders", sf_dir)
     banded = orders.withColumn("price_band", band_col())
     (
         banded.repartition("price_band")
+        # contiguous per-band runs, price-descending inside each band →
+        # tight, disjoint row-group zones for the stats sidecar
+        .sortWithinPartitions("price_band", F.desc("o_totalprice"))
         .write.mode("overwrite")
+        # 8 MB row groups: the zone granule. Top-k needs ~k rows; a small
+        # granule lets the threshold planner stop after one group instead
+        # of a band-sized 128 MB default group.
+        .option("parquet.block.size", 8 << 20)
         .partitionBy("price_band")
         .parquet(path)
     )
@@ -198,6 +268,21 @@ def build_banded_orders(
     }
     with open(os.path.join(path, "_band_counts.json"), "w") as f:
         json.dump(counts, f)
+    zstats.write_sidecar(path)
+    _write_fingerprint(path, fp)
+    return path
+
+
+def banded_orders_path(sf_dir: str, layout_dir: str | None = None) -> str | None:
+    """Path of the built banded-orders layout for ``sf_dir``, or None when
+    absent OR stale (source fingerprint mismatch — a stale layout must
+    never be served, ADVICE r04). Read-only: never triggers a build."""
+    layout_dir = layout_dir or default_layout_dir(sf_dir)
+    path = os.path.join(layout_dir, "orders_banded")
+    if not os.path.isfile(os.path.join(path, "_band_counts.json")):
+        return None
+    if not _fingerprint_current(path, _source_fingerprint(sf_dir, "orders")):
+        return None
     return path
 
 

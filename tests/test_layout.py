@@ -122,8 +122,68 @@ def test_banded_orders_counts_and_pruning(spark):
 
 
 def test_q42_banded_equals_plain_topk(spark):
+    # layout built EXPLICITLY (the query itself is read-only now)
+    L.build_banded_orders(spark, SF)
     plain = [tuple(r) for r in QUERIES["q42_topk"].builder(spark, SF).collect()]
     banded = [tuple(r) for r in QUERIES["q42_topk_banded"].builder(spark, SF).collect()]
     assert plain == banded
     plan = _plan(QUERIES["q42_topk_banded"].builder(spark, SF))
-    assert "PartitionFilters" in plan and "price_band" in plan, plan
+    # zone-map plan: the price threshold is PUSHED to the parquet scan so
+    # row groups below it are footer-skipped
+    assert "GreaterThanOrEqual(o_totalprice" in plan, plan
+
+
+def test_q42_banded_without_layout_falls_back_to_plain(spark, tmp_path):
+    """READ-ONLY contract: with no built layout the query must neither
+    write anything nor diverge from the plain top-k (driver correctness
+    runs never pay a layout build — VERDICT r04 item 8)."""
+    from highs_duckdb_spark.sources import layout as LL
+
+    # point the default layout dir somewhere empty via monkey layout_dir
+    path = LL.banded_orders_path(SF, str(tmp_path))
+    assert path is None
+    plain = [tuple(r) for r in QUERIES["q42_topk"].builder(spark, SF).collect()]
+    import unittest.mock as mock
+
+    with mock.patch.object(LL, "default_layout_dir", lambda _s: str(tmp_path)):
+        banded = [
+            tuple(r) for r in QUERIES["q42_topk_banded"].builder(spark, SF).collect()
+        ]
+        # no build happened
+        assert not (tmp_path / "orders_banded").exists()
+    assert plain == banded
+
+
+def test_banded_layout_invalidates_on_source_change(spark, tmp_path):
+    """Fingerprint guard (ADVICE r04): a layout built from different source
+    bytes under the same basename must not be served."""
+    d = str(tmp_path / "layout")
+    path = L.build_banded_orders(spark, SF, d)
+    assert L.banded_orders_path(SF, d) == path
+    # same layout dir, different source dataset (sf0.01) → stale
+    assert L.banded_orders_path("/root/testdata/sf0.01", d) is None
+
+
+def test_topk_plan_guarantee_and_pruning(spark, tmp_path):
+    """stats.topk_plan unit properties on a freshly built banded layout:
+    the returned (files, threshold) guarantee ≥ k rows above threshold and
+    prune files whose max is below it."""
+    from highs_duckdb_spark.sources import stats as zstats
+
+    d = str(tmp_path / "layout")
+    path = L.build_banded_orders(spark, SF, d)
+    stats = zstats.read_sidecar(path)
+    assert stats is not None and stats["files"]
+    files, t = zstats.topk_plan(stats, path, "o_totalprice", 25)
+    all_files = [f["path"] for f in stats["files"]]
+    assert 0 < len(files) <= len(all_files)
+    if t is not None:
+        n_above = (
+            spark.read.parquet(*files)
+            .filter(F.col("o_totalprice") >= F.lit(t))
+            .count()
+        )
+        assert n_above >= 25
+        # completeness: no row above t lives outside the chosen files
+        full = spark.read.parquet(path).filter(F.col("o_totalprice") >= F.lit(t)).count()
+        assert full == n_above
