@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from highs_duckdb_spark.functions.money import cents, from_cents, money_sum
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.cbo import JoinGraph
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
@@ -323,10 +324,18 @@ def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
     region = load_table(spark, "region", sf_dir)
+    # CBO-lite: orders⋈customer gets the size-picked co-partitioned
+    # strategy (and, under the custkey-bucketed layout, no customer-side
+    # exchange at all); nation/region stay broadcast at every scale
+    # (bounded 25/5 rows).
+    g = JoinGraph(spark, sf_dir)
+    g.fact("orders", orders, sel=0.33)  # 1-of-3 orderstatus values
+    g.fact("customer", cust)
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.dim("nation", nation, F.col("c_nationkey") == F.col("n_nationkey"), after=("customer",))
+    g.dim("region", region, F.col("n_regionkey") == F.col("r_regionkey"), after=("nation",))
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        g.plan()
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_orders"),
@@ -1317,16 +1326,21 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    # Every join side here is fact-scale at 100 TB (customer, orders,
-    # lineitem all grow with SF): strategy hints force the co-partitioned
-    # sort-merge plan — the static planner otherwise broadcasts whichever
-    # filtered fact its estimator thinks is smallest, a decision AQE never
-    # revisits and an OOM at scale (registry-wide plan audit pins this).
+    # Every join side is fact-scale at 100 TB (customer, orders, lineitem
+    # all grow with SF) — the CBO-lite planner (plans/cbo.py) orders the
+    # joins from catalog bytes × declared filter selectivity (ANALYZE
+    # stats, measured on the synthetic data) and the active storage
+    # layout's bucketing, and applies the size-picked co-partitioned
+    # strategy hints; no side is ever a broadcast/hash build (registry-wide
+    # plan audit pins this).
+    g = JoinGraph(spark, sf_dir)
+    g.fact("customer", cust, sel=0.20)  # 1-of-5 mktsegments
+    g.fact("orders", orders, sel=0.48)  # orderdate < 1998-03-15
+    g.fact("lineitem", li, sel=0.53)  # shipdate > 1998-03-15
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
     return (
-        li.join(
-            cust.join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey).hint(fact_join_strategy(sf_dir)),
-            F.col("o_orderkey") == li.l_orderkey,
-        )
+        g.plan()
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             money_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 4).alias(
@@ -1364,55 +1378,37 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
-    from highs_duckdb_spark.sources.layout import layout_active
-
-    if layout_active(spark, sf_dir):
-        # Bucketed layout (orderkey buckets on lineitem/orders, custkey on
-        # customer): join orders⋈customer FIRST — orders shuffles once to
-        # custkey where customer is bucket-aligned (no customer exchange),
-        # then the orders-sized join output shuffles once to hash(orderkey)
-        # where bucketed lineitem needs no exchange at all. Two orders-sized
-        # shuffles replace one lineitem-join-output-sized one: measured
-        # 3.09s → 2.13s at sf10 (the join-order flip a CBO makes from the
-        # layout metadata; results identical, asserted in the experiment).
-        oc = orders.join(
-            cust.hint(fact_join_strategy(sf_dir)), orders.o_custkey == cust.c_custkey
-        ).select("o_orderkey", "c_nationkey")
-        return (
-            li.join(
-                oc.hint(fact_join_strategy(sf_dir)),
-                li.l_orderkey == F.col("o_orderkey"),
-            )
-            .join(
-                F.broadcast(sup),
-                (li.l_suppkey == sup.s_suppkey)
-                & (F.col("c_nationkey") == sup.s_nationkey),
-            )
-            .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
-            .groupBy("n_name")
-            .agg(
-                money_sum(
-                    cents("l_extendedprice") * (100 - cents("l_discount")), 4
-                ).alias("revenue")
-            )
-            .transform(present_sorted, F.desc("revenue"), F.asc("n_name"))
-        )
-    # lineitem is the stream side everywhere: written dims-first, the static
-    # planner (sizes under the broadcast threshold) chose lineitem as a hash
-    # build side — a 600k-row hash relation here, an impossible one at
-    # 100 TB. Fact-first join order + explicit dim hints keeps the fact
-    # table streaming through every BroadcastHashJoin (measured 2.1×);
-    # orders/customer take the size-picked co-partitioned strategy hint
-    # (shuffled hash at bench scale — no sort of either side — sort-merge
-    # at real scale, where li⋈orders is the classic co-partitioned join).
+    # CBO-lite (plans/cbo.py) derives the join order from catalog bytes ×
+    # declared selectivity and the active layout's bucketing. Under the
+    # bucketed layout it picks orders⋈customer FIRST (orders shuffles once
+    # to custkey where customer is bucket-aligned, the orders-sized output
+    # shuffles once to hash(orderkey) where bucketed lineitem needs no
+    # exchange — measured 3.09→2.13 s at sf10 when this flip was
+    # hand-coded in round 4; now it falls out of the cost model). supplier
+    # is a broadcast only while its size clears the scale threshold —
+    # demoted to the co-partitioned strategy at 100 TB, where supplier is
+    # fact-sized. nation is bounded (25 rows) at every scale.
+    g = JoinGraph(spark, sf_dir)
+    g.fact("orders", orders, sel=0.30)  # orderdate in [1996, 1998)
+    g.fact("customer", cust)
+    g.fact("lineitem", li)
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.dim(
+        "supplier",
+        sup,
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+        after=("lineitem", "customer"),
+    )
+    g.dim(
+        "nation",
+        nation,
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        after=("supplier",),
+    )
     return (
-        li.join(orders.hint(fact_join_strategy(sf_dir)), li.l_orderkey == orders.o_orderkey)
-        .join(cust.hint(fact_join_strategy(sf_dir)), orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(sup),
-            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
-        )
-        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        g.plan()
         .groupBy("n_name")
         .agg(
             money_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 4).alias(

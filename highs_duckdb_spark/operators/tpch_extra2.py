@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.plans.cbo import cluster_by
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
@@ -604,9 +605,11 @@ def q111_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shuffle on l_orderkey: hash-partitioning on l_orderkey satisfies
     # the (l_orderkey, l_suppkey) groupBy's clustering requirement (subset
     # rule) AND the window partitioning below, so the fact table moves once
-    # (plan-audited in test_plans.py).
+    # (plan-audited in test_plans.py). Under the orderkey-bucketed layout
+    # cluster_by is a no-op — the scan's bucket partitioning already
+    # satisfies both, and the query runs with ZERO fact shuffles.
     per_supp = (
-        li.repartition(F.col("l_orderkey"))
+        cluster_by(li, spark, sf_dir, "lineitem", "l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("supp_last"))
     )
@@ -726,8 +729,13 @@ def q113_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     per = (
-        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
-        .repartition(F.col("l_partkey"))
+        cluster_by(
+            li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi"),
+            spark,
+            sf_dir,
+            "lineitem",
+            "l_partkey",
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"))
         .withColumn("tq", F.sum("sq").over(Window.partitionBy("l_partkey")))

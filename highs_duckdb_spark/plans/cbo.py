@@ -1,0 +1,327 @@
+"""CBO-lite: layout- and size-aware join planning from catalog metadata.
+
+The reference engine inherits a full cost-based optimizer from its host
+(join ordering, broadcast decisions, storage-aware plan choice — DuckDB's
+optimizer; SURVEY.md §4.2).  This module is the Spark-side equivalent for
+the query shapes this repo registers: a declarative ``JoinGraph`` of fact
+tables plus broadcast-candidate dimensions, planned into a left-deep
+DataFrame join tree by a shuffle-byte cost model driven by exactly the
+statistics a production catalog holds:
+
+- **table bytes** — the source parquet size (``plans.strategy.dir_bytes``
+  per table), scaled by the caller-declared filter selectivity (the
+  ANALYZE-style stat a real catalog keeps; constants are documented at
+  each call site);
+- **storage partitioning** — which tables the active layout
+  (``sources.layout``) has bucketed, and on which keys.  A bucketed table
+  joined on its bucket key needs NO exchange; that asymmetry is what flips
+  join order when the layout is attached (q65's measured 3.09→2.13 s at
+  sf10), and here the flip falls out of the cost model instead of a
+  hand-coded ``if layout_active(...)`` branch.
+
+Cost model (simulated over all connected left-deep orders; n ≤ 5 facts so
+enumeration is exact, the same guarantee DuckDB's DP optimizer gives at
+these arities):
+
+  cost(step) = bytes shuffled by the step
+             = (left bytes   unless the running tree is already hash-
+                partitioned on the join key)
+             + (right bytes  unless the fact's storage bucketing covers
+                its join key)
+
+The tree's partitioning after a join is the join-key pair (both sides of
+an equi-join agree post-join); anything else is conservatively treated as
+unpartitioned.  Intermediate size is estimated as the larger input —
+TPC-H-shaped FK joins return at most child-side cardinality, and the
+model only needs ordinal accuracy to rank orders.
+
+Dimensions are attached as soon as every fact column their condition
+needs is in the tree (earliest legal point → earliest row reduction), and
+take ``F.broadcast`` only when their estimated bytes clear the scale
+threshold — otherwise they are demoted to the size-picked co-partitioned
+strategy (``fact_join_strategy``), so "dim" never hard-codes
+broadcastability that a 1000× scale-up would break.
+
+Reference parity: src/highs_extension.cpp delegates all of this to host
+DuckDB; file:line cites are in SURVEY.md §4.2.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from itertools import permutations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from highs_duckdb_spark.plans.strategy import fact_join_strategy
+
+#: Broadcast a relation only below this estimated SOURCE-parquet size.
+#: 256 MB compressed ≈ ~1 GB decoded — comfortably inside one executor's
+#: memory at any realistic heap, and far under the driver's.  Above it the
+#: planner demotes to the co-partitioned strategy; override per-experiment.
+BROADCAST_CAP_BYTES = int(os.environ.get("HDS_BROADCAST_CAP_BYTES", str(256 << 20)))
+
+
+def table_bytes(sf_dir: str, table: str) -> int:
+    """Source parquet bytes for one logical table (catalog size stat)."""
+    from highs_duckdb_spark.plans.strategy import dir_bytes
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return dir_bytes(path)
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def storage_part_keys(spark: SparkSession, sf_dir: str, table: str) -> frozenset[str]:
+    """Columns the ACTIVE storage layout hash-partitions ``table`` on.
+
+    Empty when no bucketed layout is attached for this (session, sf_dir) —
+    the same answer a catalog's partitioning metadata would give."""
+    from highs_duckdb_spark.sources.layout import BUCKET_SPECS, layout_active
+
+    if table in BUCKET_SPECS and layout_active(spark, sf_dir, table):
+        return frozenset(BUCKET_SPECS[table][0])
+    return frozenset()
+
+
+def cluster_by(
+    df: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    *keys: str,
+) -> DataFrame:
+    """``df.repartition(*keys)`` unless storage already clusters ``table``
+    on exactly these keys, in which case the scan's bucket partitioning
+    satisfies every downstream clustering requirement (Spark's subset
+    rule) and an explicit exchange would be a pure waste (q111's single
+    fact shuffle disappears entirely under the bucketed layout)."""
+    if storage_part_keys(spark, sf_dir, table) == frozenset(keys):
+        return df
+    return df.repartition(*[F.col(k) for k in keys])
+
+
+@dataclass
+class _Fact:
+    name: str
+    df: DataFrame
+    bytes: float  # selectivity-scaled source bytes
+    part_keys: frozenset[str]  # storage hash-partitioning columns
+
+
+@dataclass
+class _Dim:
+    name: str
+    df: DataFrame
+    cond: object  # full join condition (Column)
+    after: tuple[str, ...]  # facts whose columns the condition needs
+    bytes: float
+    how: str = "inner"
+
+
+@dataclass
+class _Edge:
+    a: str
+    ka: str
+    b: str
+    kb: str
+    extra: object | None = None  # additional non-equi predicate, if any
+
+
+@dataclass
+class PlanExplain:
+    """What the planner chose, for tests and debugging."""
+
+    order: tuple[str, ...] = ()
+    shuffled_bytes: float = 0.0
+    broadcasts: tuple[str, ...] = ()
+    demoted_dims: tuple[str, ...] = ()
+
+
+class JoinGraph:
+    """Declarative fact/dim join graph planned by catalog statistics.
+
+    Usage::
+
+        g = JoinGraph(spark, sf_dir)
+        g.fact("orders", orders_df, sel=0.29)     # date filter stat
+        g.fact("customer", cust_df)
+        g.fact("lineitem", li_df)
+        g.edge("orders", "o_custkey", "customer", "c_custkey")
+        g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+        g.dim("supplier", sup_df, cond, after=("lineitem", "customer"))
+        df = g.plan()
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._facts: dict[str, _Fact] = {}
+        self._dims: list[_Dim] = []
+        self._edges: list[_Edge] = []
+        self.explain = PlanExplain()
+
+    # -- declaration ---------------------------------------------------------
+
+    def fact(
+        self,
+        name: str,
+        df: DataFrame,
+        *,
+        table: str | None = None,
+        sel: float = 1.0,
+    ) -> "JoinGraph":
+        """A fact-scale relation. ``table`` (default: ``name``) keys the
+        catalog stats; ``sel`` is the declared selectivity of the filters
+        already applied to ``df`` (a catalog/ANALYZE statistic — affects
+        only join ORDER, never results)."""
+        t = table or name
+        self._facts[name] = _Fact(
+            name=name,
+            df=df,
+            bytes=max(table_bytes(self.sf_dir, t) * sel, 1.0),
+            part_keys=storage_part_keys(self.spark, self.sf_dir, t),
+        )
+        return self
+
+    def edge(self, a: str, ka: str, b: str, kb: str, extra=None) -> "JoinGraph":
+        """Equi-join edge between declared facts on ``a.ka = b.kb``."""
+        self._edges.append(_Edge(a, ka, b, kb, extra))
+        return self
+
+    def dim(
+        self,
+        name: str,
+        df: DataFrame,
+        cond,
+        *,
+        after: tuple[str, ...],
+        table: str | None = None,
+        sel: float = 1.0,
+        how: str = "inner",
+    ) -> "JoinGraph":
+        """A broadcast-candidate relation joined by ``cond`` once every
+        relation in ``after`` (fact OR previously-declared dim — star
+        schemas chain dims, e.g. region off nation) is in the tree."""
+        t = table or name
+        self._dims.append(
+            _Dim(
+                name=name,
+                df=df,
+                cond=cond,
+                after=tuple(after),
+                bytes=max(table_bytes(self.sf_dir, t) * sel, 1.0),
+                how=how,
+            )
+        )
+        return self
+
+    # -- planning ------------------------------------------------------------
+
+    def _edge_between(self, joined: set[str], nxt: str) -> _Edge | None:
+        for e in self._edges:
+            if e.a in joined and e.b == nxt:
+                return e
+            if e.b in joined and e.a == nxt:
+                return _Edge(e.b, e.kb, e.a, e.ka, e.extra)
+        return None
+
+    def _simulate(self, order: tuple[str, ...]) -> float | None:
+        """Total shuffled bytes of a left-deep order; None if disconnected."""
+        facts = self._facts
+        first = facts[order[0]]
+        joined = {order[0]}
+        tree_bytes = first.bytes
+        tree_part: frozenset[str] = first.part_keys
+        cost = 0.0
+        for nxt in order[1:]:
+            e = self._edge_between(joined, nxt)
+            if e is None:
+                return None  # cartesian prefix — never considered
+            rel = facts[nxt]
+            if e.ka not in tree_part:
+                cost += tree_bytes  # tree shuffles to the join key
+            if e.kb not in rel.part_keys:
+                cost += rel.bytes  # fact side shuffles (0 when bucketed)
+            joined.add(nxt)
+            tree_bytes = max(tree_bytes, rel.bytes)
+            tree_part = frozenset((e.ka, e.kb))
+        return cost
+
+    def plan(self) -> DataFrame:
+        """Pick the cheapest connected left-deep order and build the tree."""
+        names = tuple(self._facts)
+        if not names:
+            raise ValueError("JoinGraph.plan() with no facts")
+        best_order: tuple[str, ...] | None = None
+        best_cost = float("inf")
+        for order in permutations(names):
+            cost = self._simulate(order)
+            # strict < keeps the first (declaration-order) optimum: ties are
+            # broken deterministically so plans are stable across runs
+            if cost is not None and cost < best_cost:
+                best_cost, best_order = cost, order
+        if best_order is None:
+            raise ValueError("join graph is disconnected")
+
+        strategy = fact_join_strategy(self.sf_dir)
+        broadcasts: list[str] = []
+        demoted: list[str] = []
+        pending = list(self._dims)
+
+        def attach_ready(tree: DataFrame, joined: set[str]) -> DataFrame:
+            # to fixpoint: attaching one dim can make a chained dim ready
+            progress = True
+            while progress:
+                progress = False
+                for d in list(pending):
+                    if set(d.after) <= joined:
+                        pending.remove(d)
+                        joined.add(d.name)
+                        progress = True
+                        if d.bytes <= BROADCAST_CAP_BYTES:
+                            broadcasts.append(d.name)
+                            tree = tree.join(F.broadcast(d.df), d.cond, d.how)
+                        else:
+                            demoted.append(d.name)
+                            tree = tree.join(d.df.hint(strategy), d.cond, d.how)
+            return tree
+
+        first = self._facts[best_order[0]]
+        joined = {best_order[0]}
+        tree = attach_ready(first.df, joined)
+        tree_bytes = first.bytes
+        for nxt in best_order[1:]:
+            e = self._edge_between(joined, nxt)
+            assert e is not None
+            rel = self._facts[nxt]
+            cond = F.col(e.ka) == F.col(e.kb)
+            if e.extra is not None:
+                cond = cond & e.extra
+            # Size-picked co-partitioned strategy, never a broadcast
+            # (registry invariant: facts don't broadcast). For shuffled
+            # hash the HINTED side becomes the hash-build side — pin it to
+            # the smaller estimated input so the build map is minimal (the
+            # same build-side choice a CBO makes from cardinalities).
+            if strategy == "shuffle_hash" and tree_bytes <= rel.bytes:
+                tree = tree.hint(strategy).join(rel.df, cond)
+            else:
+                tree = tree.join(rel.df.hint(strategy), cond)
+            joined.add(nxt)
+            tree_bytes = max(tree_bytes, rel.bytes)
+            tree = attach_ready(tree, joined)
+        if pending:
+            missing = [d.name for d in pending]
+            raise ValueError(f"dims never became attachable: {missing}")
+        self.explain = PlanExplain(
+            order=best_order,
+            shuffled_bytes=best_cost,
+            broadcasts=tuple(broadcasts),
+            demoted_dims=tuple(demoted),
+        )
+        return tree

@@ -1,0 +1,202 @@
+"""CBO-lite planner (plans/cbo.py): cost model, layout-driven join-order
+flips, dim broadcast/demotion, and cluster_by's bucketing no-op.
+
+The planner replaced round-4's hand-coded ``if layout_active(...)`` branch
+in q65 (VERDICT r04 item 1): these tests pin that the generic cost model
+derives the SAME plan shapes from catalog metadata."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from highs_duckdb_spark.plans import cbo
+from highs_duckdb_spark.session import clear_table_overrides, load_table
+from highs_duckdb_spark.sources import layout as L
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def layout_dir(spark):
+    d = tempfile.mkdtemp(prefix="hds_cbo_test_")
+    try:
+        yield d
+    finally:
+        clear_table_overrides(spark)
+        for table in L.BUCKET_SPECS:
+            spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(d, table)}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _graph_q65(spark):
+    """The q65 fact graph (orders filtered ~0.30) without dims."""
+    orders = load_table(spark, "orders", SF).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("orders", orders, sel=0.30)
+    g.fact("customer", load_table(spark, "customer", SF))
+    g.fact("lineitem", load_table(spark, "lineitem", SF))
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    return g
+
+
+def test_cost_model_prefers_small_tree_shuffles(spark):
+    """Without a layout the planner must never pick a lineitem-first order:
+    lineitem is the largest relation and a lineitem-first left-deep tree
+    shuffles it twice (once to orderkey, its join output again to
+    custkey)."""
+    g = _graph_q65(spark)
+    g.plan()
+    assert g.explain.order[0] != "lineitem", g.explain
+    # the simulated costs agree: lineitem-first is strictly worse
+    li_first = g._simulate(("lineitem", "orders", "customer"))
+    best = g._simulate(g.explain.order)
+    assert li_first is not None and best is not None and best < li_first
+
+
+def test_disconnected_prefixes_never_considered(spark):
+    """(lineitem, customer, ...) has no edge — simulate returns None and
+    plan() never builds a cartesian prefix."""
+    g = _graph_q65(spark)
+    assert g._simulate(("lineitem", "customer", "orders")) is None
+    g.plan()
+    order = g.explain.order
+    # every prefix of the chosen order is connected
+    for i in range(1, len(order)):
+        assert g._edge_between(set(order[:i]), order[i]) is not None
+
+
+def test_layout_flips_join_order_to_bucket_aligned(spark, layout_dir):
+    """With lineitem/orders bucketed on orderkey and customer on custkey,
+    the cost model must choose orders-first (two orders-sized shuffles,
+    customer and lineitem exchange-free) — the flip round 4 hand-coded."""
+    no_layout = _graph_q65(spark)
+    no_layout.plan()
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _graph_q65(spark)
+    g.plan()
+    assert g.explain.order == ("orders", "customer", "lineitem"), g.explain
+    # bucketed sides priced as free: layout plan strictly cheaper
+    assert g.explain.shuffled_bytes < no_layout.explain.shuffled_bytes
+
+
+def test_storage_part_keys_reflect_attached_layout(spark, layout_dir):
+    assert cbo.storage_part_keys(spark, SF, "lineitem") == frozenset()
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    assert cbo.storage_part_keys(spark, SF, "lineitem") == frozenset({"l_orderkey"})
+    assert cbo.storage_part_keys(spark, SF, "customer") == frozenset({"c_custkey"})
+    assert cbo.storage_part_keys(spark, SF, "nation") == frozenset()
+
+
+def test_cluster_by_noop_under_bucketed_layout(spark, layout_dir):
+    """cluster_by must add an exchange on raw parquet and add NOTHING when
+    the scan is already bucket-partitioned on the key."""
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_suppkey")
+    with_shuffle = cbo.cluster_by(li, spark, SF, "lineitem", "l_orderkey")
+    plan = with_shuffle._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" in plan
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    li_b = load_table(spark, "lineitem", SF).select("l_orderkey", "l_suppkey")
+    no_shuffle = cbo.cluster_by(li_b, spark, SF, "lineitem", "l_orderkey")
+    plan_b = no_shuffle._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan_b, plan_b
+
+
+def test_q111_zero_fact_shuffle_under_layout(spark, layout_dir):
+    """Under the orderkey-bucketed layout q111's single fact shuffle
+    disappears entirely: groupBy and window both ride the bucket
+    partitioning (subset rule) — and results match the raw-parquet run."""
+    from highs_duckdb_spark.operators.tpch_extra2 import q111_last_to_ship_suppliers
+
+    plain = [tuple(r) for r in q111_last_to_ship_suppliers(spark, SF).collect()]
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    df = q111_last_to_ship_suppliers(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert [tuple(r) for r in df.collect()] == plain
+
+
+def test_dim_broadcast_and_scale_demotion(spark, monkeypatch):
+    """A dim below the cap broadcasts; above it, it takes the
+    co-partitioned strategy (never an unbounded broadcast at 100 TB)."""
+    orders = load_table(spark, "orders", SF)
+    cust = load_table(spark, "customer", SF)
+    nation = load_table(spark, "nation", SF)
+
+    def build():
+        g = cbo.JoinGraph(spark, SF)
+        g.fact("orders", orders)
+        g.fact("customer", cust)
+        g.edge("orders", "o_custkey", "customer", "c_custkey")
+        g.dim(
+            "nation",
+            nation,
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            after=("customer",),
+        )
+        return g
+
+    g = build()
+    df = g.plan()
+    assert g.explain.broadcasts == ("nation",)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    monkeypatch.setattr(cbo, "BROADCAST_CAP_BYTES", 0)
+    g2 = build()
+    df2 = g2.plan()
+    assert g2.explain.demoted_dims == ("nation",)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan2, plan2
+
+
+def test_dim_chain_attaches_in_dependency_order(spark):
+    """region depends on nation's column: both must attach (fixpoint) and
+    the result must match the flat SQL join."""
+    orders = load_table(spark, "orders", SF)
+    cust = load_table(spark, "customer", SF)
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("orders", orders)
+    g.fact("customer", cust)
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.dim(
+        "nation",
+        load_table(spark, "nation", SF),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        after=("customer",),
+    )
+    g.dim(
+        "region",
+        load_table(spark, "region", SF),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+        after=("nation",),
+    )
+    n = g.plan().count()
+    assert n == orders.count()  # FK chain: every order survives
+
+
+def test_unattachable_dim_raises(spark):
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("orders", load_table(spark, "orders", SF))
+    g.dim(
+        "nation",
+        load_table(spark, "nation", SF),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        after=("customer",),  # never declared
+    )
+    with pytest.raises(ValueError, match="never became attachable"):
+        g.plan()
+
+
+def test_disconnected_graph_raises(spark):
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("orders", load_table(spark, "orders", SF))
+    g.fact("lineitem", load_table(spark, "lineitem", SF))
+    with pytest.raises(ValueError, match="disconnected"):
+        g.plan()
