@@ -250,19 +250,27 @@ def qs06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _transform_with_state_available() -> bool:
-    """transformWithState's Python driver worker requires google.protobuf
-    (state-server protocol); absent in this container. The operator code is
-    real and test-gated — it runs wherever pyspark's [connect]/protobuf
-    extra is installed, which any production Spark 4 deployment has."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """transformWithState's Python workers require google.protobuf (the
+    JVM state-server protocol). A real install is preferred; where absent
+    (this container: no protobuf distribution, no network) the vendored
+    minimal runtime (highs_duckdb_spark/_vendor/protoshim — implements the
+    public wire-format spec for exactly the StateMessage_pb2 surface) is
+    appended to sys.path/PYTHONPATH so driver AND forked workers can
+    import it. On a multi-node cluster, ship the shim dir via --py-files
+    or install real protobuf; PYTHONPATH propagation here covers local
+    mode, which is where this container runs."""
+    from highs_duckdb_spark.streaming.protoshim import enable_protoshim
 
-        return True
-    except ImportError:
-        return False
+    return enable_protoshim()
 
 
 def qs07_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the state-server protocol needs google.protobuf in the JVM-spawned
+    # python workers; attach the vendored runtime to THIS session (no-op
+    # when real protobuf is installed) — must precede stream creation
+    from highs_duckdb_spark.streaming.protoshim import attach_to_session
+
+    attach_to_session(spark)
     table = f"stream_totals_{uuid.uuid4().hex[:8]}"
     stream = running_totals_stream(read_events_stream(spark, sf_dir))
     run_stream_with_rocksdb(stream, table, output_mode="update")
