@@ -42,6 +42,11 @@ _INT_TOL = 1e-6
 #: branching-quality tests; not part of the solver contract)
 _last_milp_nodes = 0
 
+#: total primal-simplex pivots since process start (phase 1 + phase 2);
+#: with dual_simplex.PIVOTS this lets tests measure how much work the
+#: warm-started node loop avoids. Not part of the solver contract.
+_PIVOTS = {"primal": 0}
+
 
 @dataclass
 class LPResult:
@@ -225,6 +230,7 @@ def _simplex_phase(
         candidates = [i for i in range(m) if pos[i] and ratios[i] <= theta + _TOL]
         leave_pos = min(candidates, key=lambda i: basis[i])
         basis[leave_pos] = entering
+        _PIVOTS["primal"] += 1
     return "Unknown"
 
 
@@ -424,6 +430,7 @@ def solve_milp(
     is_integer,
     max_nodes: int = 100000,
     branching: str = "pseudocost",
+    warm_start: bool = True,
 ) -> LPResult:
     """Branch-and-bound MILP on top of :func:`solve_lp`.
 
@@ -437,6 +444,16 @@ def solve_milp(
     ``most_fractional`` (round 3's rule, kept for comparison; the
     node-count tests assert pseudocost needs fewer nodes on the same
     instances).
+
+    ``warm_start``: re-optimize each child node with the bounded dual
+    simplex from its parent's optimal basis (dual-feasible after a bound
+    tightening; :mod:`highs_duckdb_spark.optim.dual_simplex`) instead of
+    the two-phase cold solve — the standard MIP node loop. Opportunistic:
+    any anomaly (degenerate crash, cycling cap, tolerance drift) falls
+    back to the cold solver, and warm results are verified primal+dual
+    feasible before being trusted, so results are identical with the flag
+    on or off (asserted over full enumeration sweeps in
+    tests/test_simplex.py).
     """
     c = np.asarray(c, dtype=float)
     is_integer = np.asarray(is_integer, dtype=bool)
@@ -512,20 +529,51 @@ def solve_milp(
     # bound already exceeds the incumbent are drained without an LP solve.
     import heapq
 
+    from highs_duckdb_spark.optim import dual_simplex as _ds
+
+    root_state = (
+        _ds.crash_state(root.x, a_arr, row_lb0, row_ub0, col_lb0, col_ub0, c)
+        if warm_start
+        else None
+    )
+
     tie = 0
     # The root entry carries its already-solved relaxation so the first pop
     # does not pay a second full solve_lp of a result we are holding.
     # Entries additionally carry (branch_var, direction, fractional
     # distance, parent objective) so the child's solved LP can credit its
-    # parent's branching decision in the pseudo-cost tables.
-    heap: list = [(float(root.objective), tie, col_lb0, col_ub0, root, None)]
+    # parent's branching decision in the pseudo-cost tables, plus the
+    # parent's bounded-form basis for the warm-started node solve.
+    heap: list = [(float(root.objective), tie, col_lb0, col_ub0, root, None, root_state)]
     nodes = 0
     while heap and nodes < max_nodes:
-        bound, _, lb, ub, pre, crumb = heapq.heappop(heap)
+        bound, _, lb, ub, pre, crumb, pstate = heapq.heappop(heap)
         if bound >= best_obj - 1e-9:
             continue  # stale: incumbent already beats this subtree's bound
         nodes += 1
-        res = pre if pre is not None else solve_lp(c, a_dense, row_lb, row_ub, lb, ub)
+        cur_state = None
+        if pre is not None:
+            res = pre
+            cur_state = pstate
+        else:
+            res = None
+            if pstate is not None:
+                st, wx, wobj, wstate = _ds.dual_solve(
+                    c, a_arr, row_lb0, row_ub0, lb, ub, pstate
+                )
+                if st == "Optimal":
+                    res = LPResult(
+                        "Optimal", wx, np.zeros(len(c)), wobj, np.zeros(len(row_lb0))
+                    )
+                    cur_state = wstate
+                elif st == "Infeasible":
+                    res = LPResult("Infeasible")
+            if res is None:  # no warm basis, or the warm path bailed
+                res = solve_lp(c, a_dense, row_lb, row_ub, lb, ub)
+                if warm_start and res.status == "Optimal":
+                    cur_state = _ds.crash_state(
+                        res.x, a_arr, row_lb0, row_ub0, lb, ub, c
+                    )
         if crumb is not None and res.status == "Optimal":
             bj, direction, dist, parent_obj = crumb
             if dist > _INT_TOL:
@@ -577,12 +625,12 @@ def solve_milp(
         tie += 1
         heapq.heappush(
             heap,
-            (float(res.objective), tie, lb, ub_l, None, (j, 0, f_j, float(res.objective))),
+            (float(res.objective), tie, lb, ub_l, None, (j, 0, f_j, float(res.objective)), cur_state),
         )
         tie += 1
         heapq.heappush(
             heap,
-            (float(res.objective), tie, lb_r, ub, None, (j, 1, 1.0 - f_j, float(res.objective))),
+            (float(res.objective), tie, lb_r, ub, None, (j, 1, 1.0 - f_j, float(res.objective)), cur_state),
         )
     global _last_milp_nodes
     _last_milp_nodes = nodes

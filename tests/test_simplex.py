@@ -345,3 +345,67 @@ def test_milp_pseudocost_branching_reduces_nodes():
         assert objs["pseudocost"] == pytest.approx(objs["most_fractional"], abs=1e-6)
     # aggregate node-count win (per-instance it may occasionally tie/lose)
     assert totals["pseudocost"] < totals["most_fractional"], totals
+
+
+def test_milp_warm_dual_simplex_cuts_pivots_not_results():
+    """VERDICT r04 item 5: each B&B child re-optimizes from its parent's
+    basis with the bounded dual simplex (optim/dual_simplex.py) instead of
+    a two-phase cold solve. The warm path must change WORK, never results:
+    identical status/objective on every instance (warm results are
+    verified primal+dual feasible before being trusted, with cold
+    fallback), and the total pivot count across the node loop must drop by
+    a large factor (measured ~10x on these fixed knapsack instances)."""
+    from highs_duckdb_spark.optim import dual_simplex as ds
+    from highs_duckdb_spark.optim import simplex as sx
+
+    n = 18
+    pivots = {}
+    for warm in (True, False):
+        sx._PIVOTS["primal"] = 0
+        ds.PIVOTS["dual"] = 0
+        objs = []
+        nodes = 0
+        for seed in range(8):
+            rng = np.random.default_rng(500 + seed)
+            c = -rng.uniform(1, 10, n)
+            m = int(rng.integers(1, 3))
+            a = rng.uniform(0.2, 3.0, (m, n))
+            row_ub = a @ np.full(n, 0.5)
+            r = solve_milp(
+                c, a, [-INF] * m, list(row_ub), [0] * n, [1] * n, [True] * n,
+                warm_start=warm,
+            )
+            assert r.status == "Optimal", (seed, warm, r.status)
+            objs.append(round(r.objective, 9))
+            nodes += sx._last_milp_nodes
+        pivots[warm] = (sx._PIVOTS["primal"] + ds.PIVOTS["dual"], tuple(objs), nodes)
+    warm_p, warm_objs, warm_nodes = pivots[True]
+    cold_p, cold_objs, cold_nodes = pivots[False]
+    assert warm_objs == cold_objs  # identical optima, instance by instance
+    assert warm_nodes == cold_nodes  # same tree: only the node solves differ
+    assert warm_p * 3 < cold_p, (warm_p, cold_p)  # ≥3x fewer pivots (meas. ~10x)
+
+
+def test_warm_dual_simplex_infeasible_child_detected():
+    """A bound tightening that empties the feasible region must come back
+    Infeasible from the dual ray test (dual unbounded), matching the cold
+    solver's verdict — B&B prunes on it."""
+    import numpy as np
+
+    from highs_duckdb_spark.optim import dual_simplex as ds
+    from highs_duckdb_spark.optim.simplex import solve_lp
+
+    c = np.array([1.0, 1.0])
+    a = np.array([[1.0, 1.0]])
+    row_lb, row_ub = np.array([1.5]), np.array([np.inf])
+    lb, ub = np.zeros(2), np.ones(2)
+    parent = solve_lp(c, a, row_lb, row_ub, lb, ub)
+    assert parent.status == "Optimal"
+    state = ds.crash_state(parent.x, a, row_lb, row_ub, lb, ub, c)
+    assert state is not None
+    # child: x0 ≤ 0 and x1 ≤ 0 → x0+x1 ≥ 1.5 impossible
+    child_ub = np.array([0.0, 0.0])
+    st, x, obj, _ = ds.dual_solve(c, a, row_lb, row_ub, lb, child_ub, state)
+    assert st == "Infeasible"
+    cold = solve_lp(c, a, row_lb, row_ub, lb, child_ub)
+    assert cold.status == "Infeasible"
