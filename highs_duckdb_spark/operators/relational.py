@@ -1371,25 +1371,36 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
+
+    def in_window(df: DataFrame) -> DataFrame:
+        return df.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+
+    orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
     # CBO-lite (plans/cbo.py) derives the join order from catalog bytes ×
     # declared selectivity and the active layout's bucketing. Under the
-    # bucketed layout it picks orders⋈customer FIRST (orders shuffles once
-    # to custkey where customer is bucket-aligned, the orders-sized output
-    # shuffles once to hash(orderkey) where bucketed lineitem needs no
-    # exchange — measured 3.09→2.13 s at sf10 when this flip was
-    # hand-coded in round 4; now it falls out of the cost model). supplier
+    # bucketed layout it picks orders⋈customer FIRST and scans the
+    # custkey-clustered orders COPY (alt_clustered_copies), so that join
+    # is exchange-free on both sides and only the pruned join output
+    # shuffles to hash(orderkey), where bucketed lineitem needs no
+    # exchange. (Round 4 hand-coded the order flip and still paid an
+    # orders shuffle to custkey — measured 3.09→2.13 s at sf10; the copy
+    # selection removes that last orders-sized exchange too.) supplier
     # is a broadcast only while its size clears the scale threshold —
     # demoted to the co-partitioned strategy at 100 TB, where supplier is
     # fact-sized. nation is bounded (25 rows) at every scale.
     g = JoinGraph(spark, sf_dir)
-    g.fact("orders", orders, sel=0.30)  # orderdate in [1996, 1998)
+    # prepare= (rather than pre-filtering) opts orders into the layout's
+    # alternate clustered copies: under the bucketed layout the planner
+    # scans the custkey-clustered orders copy, so orders⋈customer is
+    # exchange-free on BOTH sides and the only fact shuffle left is the
+    # pruned join output moving to hash(orderkey) for bucketed lineitem.
+    g.fact("orders", orders, sel=0.30, prepare=in_window)  # orderdate in [1996, 1998)
     g.fact("customer", cust)
     g.fact("lineitem", li)
     g.edge("orders", "o_custkey", "customer", "c_custkey")

@@ -112,6 +112,10 @@ class _Fact:
     df: DataFrame
     bytes: float  # selectivity-scaled source bytes
     part_keys: frozenset[str]  # storage hash-partitioning columns
+    #: alternate clustered copies of the SAME rows (layout projections):
+    #: {bucket-key set: prepared DataFrame}. The planner scans whichever
+    #: copy matches the join key the fact enters the tree on.
+    copies: dict[frozenset[str], DataFrame] = field(default_factory=dict)
 
 
 @dataclass
@@ -141,6 +145,9 @@ class PlanExplain:
     shuffled_bytes: float = 0.0
     broadcasts: tuple[str, ...] = ()
     demoted_dims: tuple[str, ...] = ()
+    #: facts scanned from an ALTERNATE clustered copy: (fact, key it
+    #: entered the tree on)
+    alt_copies: tuple[tuple[str, str], ...] = ()
 
 
 class JoinGraph:
@@ -175,17 +182,40 @@ class JoinGraph:
         *,
         table: str | None = None,
         sel: float = 1.0,
+        prepare=None,
     ) -> "JoinGraph":
         """A fact-scale relation. ``table`` (default: ``name``) keys the
         catalog stats; ``sel`` is the declared selectivity of the filters
         already applied to ``df`` (a catalog/ANALYZE statistic — affects
-        only join ORDER, never results)."""
+        only join ORDER, never results).
+
+        ``prepare``: optional row-level transform (the query's filters /
+        projections) applied to ``df`` HERE instead of at the call site.
+        Passing it opts the fact into the layout's alternate clustered
+        copies (``sources.layout.alt_clustered_copies``): the planner
+        applies the same ``prepare`` to every copy and scans whichever
+        copy's bucketing matches the key the fact joins on — exchange-free
+        where a single clustering could not be. Without ``prepare`` the
+        planner cannot know ``df``'s filters are reproducible on another
+        copy, so no alternates are considered."""
         t = table or name
+        copies: dict[frozenset[str], DataFrame] = {}
+        if prepare is not None:
+            df = prepare(df)
+            from highs_duckdb_spark.sources.layout import alt_clustered_copies
+
+            copies = {
+                keys: prepare(alt)
+                for keys, alt in alt_clustered_copies(
+                    self.spark, self.sf_dir, t
+                ).items()
+            }
         self._facts[name] = _Fact(
             name=name,
             df=df,
             bytes=max(table_bytes(self.sf_dir, t) * sel, 1.0),
             part_keys=storage_part_keys(self.spark, self.sf_dir, t),
+            copies=copies,
         )
         return self
 
@@ -231,23 +261,38 @@ class JoinGraph:
                 return _Edge(e.b, e.kb, e.a, e.ka, e.extra)
         return None
 
+    @staticmethod
+    def _entry_keys(rel: _Fact, key: str) -> frozenset[str]:
+        """Effective storage partitioning of ``rel`` when it enters the
+        tree on ``key``: the primary copy's, unless an alternate clustered
+        copy covers the key (same rows, different physical clustering)."""
+        if key in rel.part_keys:
+            return rel.part_keys
+        for ks in rel.copies:
+            if key in ks:
+                return ks
+        return rel.part_keys
+
     def _simulate(self, order: tuple[str, ...]) -> float | None:
         """Total shuffled bytes of a left-deep order; None if disconnected."""
         facts = self._facts
         first = facts[order[0]]
         joined = {order[0]}
         tree_bytes = first.bytes
-        tree_part: frozenset[str] = first.part_keys
+        tree_part: frozenset[str] | None = None  # first fact: copy chosen lazily
         cost = 0.0
         for nxt in order[1:]:
             e = self._edge_between(joined, nxt)
             if e is None:
                 return None  # cartesian prefix — never considered
             rel = facts[nxt]
+            if tree_part is None:
+                # the first join fixes which copy of the FIRST fact scans
+                tree_part = self._entry_keys(first, e.ka)
             if e.ka not in tree_part:
                 cost += tree_bytes  # tree shuffles to the join key
-            if e.kb not in rel.part_keys:
-                cost += rel.bytes  # fact side shuffles (0 when bucketed)
+            if e.kb not in self._entry_keys(rel, e.kb):
+                cost += rel.bytes  # fact side shuffles (0 when a copy covers)
             joined.add(nxt)
             tree_bytes = max(tree_bytes, rel.bytes)
             tree_part = frozenset((e.ka, e.kb))
@@ -274,6 +319,28 @@ class JoinGraph:
         demoted: list[str] = []
         pending = list(self._dims)
 
+        # Which copy does each fact scan? Determined by the key it enters
+        # the tree on (the first fact's by the first join's key).
+        entry_key: dict[str, str] = {}
+        walk = {best_order[0]}
+        for nxt in best_order[1:]:
+            e = self._edge_between(walk, nxt)
+            assert e is not None
+            entry_key.setdefault(best_order[0], e.ka)
+            entry_key[nxt] = e.kb
+            walk.add(nxt)
+        alt_used: list[tuple[str, str]] = []
+
+        def scan_df(rel: _Fact) -> DataFrame:
+            key = entry_key.get(rel.name)
+            if key is None or key in rel.part_keys:
+                return rel.df
+            for ks, adf in rel.copies.items():
+                if key in ks:
+                    alt_used.append((rel.name, key))
+                    return adf
+            return rel.df
+
         def attach_ready(tree: DataFrame, joined: set[str]) -> DataFrame:
             # to fixpoint: attaching one dim can make a chained dim ready
             progress = True
@@ -294,12 +361,13 @@ class JoinGraph:
 
         first = self._facts[best_order[0]]
         joined = {best_order[0]}
-        tree = attach_ready(first.df, joined)
+        tree = attach_ready(scan_df(first), joined)
         tree_bytes = first.bytes
         for nxt in best_order[1:]:
             e = self._edge_between(joined, nxt)
             assert e is not None
             rel = self._facts[nxt]
+            rel_df = scan_df(rel)
             cond = F.col(e.ka) == F.col(e.kb)
             if e.extra is not None:
                 cond = cond & e.extra
@@ -309,9 +377,9 @@ class JoinGraph:
             # the smaller estimated input so the build map is minimal (the
             # same build-side choice a CBO makes from cardinalities).
             if strategy == "shuffle_hash" and tree_bytes <= rel.bytes:
-                tree = tree.hint(strategy).join(rel.df, cond)
+                tree = tree.hint(strategy).join(rel_df, cond)
             else:
-                tree = tree.join(rel.df.hint(strategy), cond)
+                tree = tree.join(rel_df.hint(strategy), cond)
             joined.add(nxt)
             tree_bytes = max(tree_bytes, rel.bytes)
             tree = attach_ready(tree, joined)
@@ -323,5 +391,6 @@ class JoinGraph:
             shuffled_bytes=best_cost,
             broadcasts=tuple(broadcasts),
             demoted_dims=tuple(demoted),
+            alt_copies=tuple(alt_used),
         )
         return tree

@@ -178,6 +178,10 @@ def clear_table_overrides(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     for key in [k for k in _TABLE_OVERRIDES if k[0] == app]:
         del _TABLE_OVERRIDES[key]
+    # the layout's alternate clustered copies share the overrides' lifetime
+    from highs_duckdb_spark.sources.layout import clear_alt_copies
+
+    clear_alt_copies(spark)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -42,6 +42,22 @@ BUCKET_SPECS: dict[str, tuple[list[str], list[str]]] = {
     "customer": (["c_custkey"], ["c_custkey"]),
 }
 
+#: table → {variant: (bucket columns, sort columns)} — ALTERNATE clustered
+#: copies of the same rows (projections/secondary clusterings). A fact that
+#: joins on two different keys in the same workload (orders: orderkey to
+#: lineitem, custkey to customer) can't be exchange-free on both from one
+#: copy; a second copy clustered on the other key lets the CBO pick the
+#: copy that matches each query's join entry key (cbo.JoinGraph.fact with
+#: ``prepare=``). Storage cost: one extra orders-sized write at layout
+#: build; at 100 TB this is the classic projection/duplicate-clustering
+#: trade every warehouse makes for its hottest fact.
+ALT_BUCKET_SPECS: dict[str, dict[str, tuple[list[str], list[str]]]] = {
+    "orders": {"by_custkey": (["o_custkey"], ["o_custkey"])},
+}
+
+#: (applicationId, sf_dir, table) → {frozenset(bucket cols): catalog ident}
+_ALT_COPIES: dict[tuple[str, str, str], dict[frozenset[str], str]] = {}
+
 PRICE_BANDS = 16
 #: o_totalprice in TPC-H-ish data spans ~[850, 560k]; a fixed band width
 #: keeps the band ↔ price mapping data-independent (pure arithmetic, no
@@ -62,6 +78,15 @@ def default_layout_dir(sf_dir: str) -> str:
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     base = os.path.basename(os.path.normpath(sf_dir)) or "data"
     return os.path.join(repo, "benchdata", "layout", base)
+
+
+def _all_specs() -> list[tuple[str, str, list[str], list[str]]]:
+    """Every clustered copy to build: (disk/ident name, source table,
+    bucket cols, sort cols) — the primary copies plus the alternates."""
+    specs = [(t, t, b, s) for t, (b, s) in BUCKET_SPECS.items()]
+    for t, variants in ALT_BUCKET_SPECS.items():
+        specs.extend((f"{t}__{v}", t, b, s) for v, (b, s) in variants.items())
+    return specs
 
 
 def _table_ident(layout_dir: str, table: str) -> str:
@@ -129,10 +154,10 @@ def build_bucketed_layout(
     # only the one-file-per-bucket sortedness guarantee is lost, which
     # SMJ would re-sort and SHJ never needed.
     big_source = dir_bytes(sf_dir) > (8 << 30)
-    for table, (bcols, scols) in BUCKET_SPECS.items():
+    for table, source_table, bcols, scols in _all_specs():
         path = os.path.join(layout_dir, table)
         ident = _table_ident(layout_dir, table)
-        fp = _source_fingerprint(sf_dir, table)
+        fp = _source_fingerprint(sf_dir, source_table)
         if (
             os.path.isdir(path)
             and any(f.endswith(".parquet") for f in os.listdir(path))
@@ -142,7 +167,7 @@ def build_bucketed_layout(
         # stale or absent: drop any prior catalog entry so the overwrite
         # can't race a schema/metadata mismatch from the old build
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
-        df = load_table(spark, table, sf_dir)
+        df = load_table(spark, source_table, sf_dir)
         shaped = df.coalesce(buckets) if big_source else df.repartition(buckets, *bcols)
         (
             shaped.write.mode("overwrite")
@@ -179,7 +204,7 @@ def register_bucketed_tables(
     ``CREATE TABLE … CLUSTERED BY … LOCATION`` over the existing files
     restores the full bucketing metadata without rewriting anything."""
     idents: dict[str, str] = {}
-    for table, (bcols, scols) in BUCKET_SPECS.items():
+    for table, _source_table, bcols, scols in _all_specs():
         path = os.path.join(layout_dir, table)
         ident = _table_ident(layout_dir, table)
         if not spark.catalog.tableExists(ident):
@@ -205,11 +230,40 @@ def attach_bucketed(
     ``load_table`` at it for this session. Returns {table: layout path}."""
     layout_dir = build_bucketed_layout(spark, sf_dir, layout_dir, buckets)
     idents = register_bucketed_tables(spark, layout_dir, buckets)
+    app = spark.sparkContext.applicationId
     paths: dict[str, str] = {}
     for table, ident in idents.items():
-        set_table_override(spark, sf_dir, table, spark.table(ident))
+        if table in BUCKET_SPECS:
+            # primary copy: becomes THE table for load_table
+            set_table_override(spark, sf_dir, table, spark.table(ident))
+        else:
+            # alternate clustered copy: exposed to the CBO's copy
+            # selection, never substituted blindly (same rows, different
+            # physical clustering — only a planner should pick it)
+            base, _, variant = table.partition("__")
+            bcols = ALT_BUCKET_SPECS[base][variant][0]
+            _ALT_COPIES.setdefault((app, sf_dir, base), {})[frozenset(bcols)] = ident
         paths[table] = os.path.join(layout_dir, table)
     return paths
+
+
+def alt_clustered_copies(
+    spark: SparkSession, sf_dir: str, table: str
+) -> dict[frozenset[str], DataFrame]:
+    """Alternate clustered copies of ``table`` the attached layout offers:
+    {bucket-key set: DataFrame}. Empty when no layout is attached — the
+    same answer a production catalog's projection metadata would give."""
+    app = spark.sparkContext.applicationId
+    return {
+        keys: spark.table(ident)
+        for keys, ident in _ALT_COPIES.get((app, sf_dir, table), {}).items()
+    }
+
+
+def clear_alt_copies(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _ALT_COPIES if k[0] == app]:
+        del _ALT_COPIES[key]
 
 
 # --- price-banded orders for partition-pruned top-k --------------------------

@@ -27,7 +27,7 @@ def layout_dir(spark):
         yield d
     finally:
         clear_table_overrides(spark)
-        for table in L.BUCKET_SPECS:
+        for table, _src, _b, _s in L._all_specs():
             spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(d, table)}")
         shutil.rmtree(d, ignore_errors=True)
 
@@ -200,3 +200,68 @@ def test_disconnected_graph_raises(spark):
     g.fact("lineitem", load_table(spark, "lineitem", SF))
     with pytest.raises(ValueError, match="disconnected"):
         g.plan()
+
+
+def _graph_q65_prepared(spark):
+    """q65's fact graph with orders declared via prepare= (opts into the
+    layout's alternate clustered copies)."""
+
+    def in_window(df):
+        return df.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("orders", load_table(spark, "orders", SF), sel=0.30, prepare=in_window)
+    g.fact("customer", load_table(spark, "customer", SF))
+    g.fact("lineitem", load_table(spark, "lineitem", SF))
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    return g
+
+
+def test_alt_copy_selected_under_layout(spark, layout_dir):
+    """With the layout attached, orders must scan its custkey-clustered
+    COPY (orders joins customer exchange-free on both sides) and the fact
+    tree must carry exactly ONE hash exchange — the pruned join output
+    moving to hash(orderkey) for bucketed lineitem."""
+    g = _graph_q65_prepared(spark)
+    g.plan()
+    assert g.explain.alt_copies == ()  # no layout: primary copy only
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g2 = _graph_q65_prepared(spark)
+    df = g2.plan()
+    assert g2.explain.alt_copies == (("orders", "o_custkey"),), g2.explain
+    # copy selection is strictly cheaper than the primary-only layout plan
+    assert g2.explain.shuffled_bytes < g.explain.shuffled_bytes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange hashpartitioning(o_orderkey" in plan, plan
+
+
+def test_alt_copy_results_equal_primary(spark, layout_dir):
+    """The alternate clustered copy holds the same rows: plans built from
+    it must return byte-identical results to the primary path."""
+    plain = {tuple(r) for r in _graph_q65_prepared(spark).plan().collect()}
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _graph_q65_prepared(spark)
+    assert {tuple(r) for r in g.plan().collect()} == plain
+    assert g.explain.alt_copies  # the equality above exercised the copy
+
+
+def test_alt_copies_cleared_with_overrides(spark, layout_dir):
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    assert L.alt_clustered_copies(spark, SF, "orders")
+    clear_table_overrides(spark)
+    assert L.alt_clustered_copies(spark, SF, "orders") == {}
+
+
+def test_facts_without_prepare_never_take_alt_copies(spark, layout_dir):
+    """A fact declared with a pre-filtered df (no prepare=) must never be
+    silently re-based onto another copy — the planner can't reproduce the
+    caller's filters there."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _graph_q65(spark)  # pre-filtered orders, no prepare
+    g.plan()
+    assert g.explain.alt_copies == ()

@@ -26,7 +26,7 @@ def layout_dir(spark):
         yield d
     finally:
         clear_table_overrides(spark)
-        for table in L.BUCKET_SPECS:
+        for table, _src, _b, _s in L._all_specs():
             ident = L._table_ident(d, table)
             spark.sql(f"DROP TABLE IF EXISTS {ident}")
         shutil.rmtree(d, ignore_errors=True)
@@ -38,7 +38,7 @@ def _plan(df) -> str:
 
 def test_attach_bucketed_joins_without_fact_exchange(spark, layout_dir):
     paths = L.attach_bucketed(spark, SF, layout_dir, buckets=4)
-    assert set(paths) == set(L.BUCKET_SPECS)
+    assert set(paths) == {t for t, _src, _b, _s in L._all_specs()}
     li = load_table(spark, "lineitem", SF)
     orders = load_table(spark, "orders", SF)
     joined = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -72,10 +72,11 @@ def test_q65_layout_aware_join_order_kicks_in(spark, layout_dir):
     # lineitem + orders scan bucketed (customer may legitimately plan as a
     # broadcast at tiny SF, which skips its bucketed read)
     assert plan.count("Bucketed: true") >= 2, plan
-    # lineitem and customer scans are exchange-free; the only hash
-    # exchanges are orders→custkey, (orders⋈cust)→orderkey, and the tiny
-    # final n_name aggregation — never a lineitem-sized one
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # orders scans its custkey-clustered COPY, so orders⋈customer is
+    # exchange-free on both sides; the only hash exchanges left are the
+    # (orders⋈cust) output→orderkey and the tiny final n_name aggregation
+    # — never an input-fact-sized one
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
     li_scan = plan.index("lineitem[")
     assert "Exchange" not in plan[li_scan - 400 : li_scan].split("ShuffledHashJoin")[-1], plan
 
@@ -87,7 +88,7 @@ def test_registration_survives_new_session_semantics(spark, layout_dir):
     still exchange-free."""
     L.attach_bucketed(spark, SF, layout_dir, buckets=4)
     clear_table_overrides(spark)
-    for table in L.BUCKET_SPECS:
+    for table, _src, _b, _s in L._all_specs():
         spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(layout_dir, table)}")
     idents = L.register_bucketed_tables(spark, layout_dir, buckets=4)
     bo = spark.table(idents["orders"])
