@@ -1320,9 +1320,11 @@ def q63_conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, "orders", sf_dir).filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
+
+    def before_cutoff(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+
+    orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
@@ -1335,7 +1337,9 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     # plan audit pins this).
     g = JoinGraph(spark, sf_dir)
     g.fact("customer", cust, sel=0.20)  # 1-of-5 mktsegments
-    g.fact("orders", orders, sel=0.48)  # orderdate < 1998-03-15
+    # prepare= opts orders into the layout's custkey-clustered copy, so the
+    # customer⋈orders entry join is exchange-free under the bucketed layout
+    g.fact("orders", orders, sel=0.48, prepare=before_cutoff)  # orderdate < 1998-03-15
     g.fact("lineitem", li, sel=0.53)  # shipdate > 1998-03-15
     g.edge("orders", "o_custkey", "customer", "c_custkey")
     g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")

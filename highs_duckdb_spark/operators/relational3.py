@@ -430,8 +430,8 @@ def q79_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1e-9 + CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0, 4)
              AS value_last_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     ORDER BY user_id, event_id
     """,
     doc=(
@@ -446,12 +446,20 @@ def q36_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from highs_duckdb_spark.functions.money import cents
 
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("epoch").rangeBetween(-3600, Window.currentRow)
+    # exact integer MICROSECONDS on both engines: whole-second epochs
+    # diverge on fractional-second timestamps (Spark's unix_timestamp
+    # floors, DuckDB's epoch()::BIGINT rounds — an event pair exactly one
+    # frame-width apart then flips in/out of the frame; caught at sf0.1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
     return (
         ev.select(
             "event_id",
             "user_id",
-            F.unix_timestamp("ts").alias("epoch"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch"),
             cents("value").alias("vc"),
         )
         .select(

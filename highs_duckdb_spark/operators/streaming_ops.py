@@ -196,7 +196,7 @@ def qs05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.user_id,
            c.event_id AS click_id,
            p.event_id AS purchase_id,
-           CAST(floor((CAST(epoch(p.ts) AS BIGINT) - CAST(epoch(c.ts) AS BIGINT)) / 60.0) AS BIGINT) AS gap_minutes
+           CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0) AS BIGINT) AS gap_minutes
     FROM c JOIN p ON c.user_id = p.user_id
                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
     ORDER BY c.user_id, click_id, purchase_id
@@ -238,8 +238,14 @@ def qs06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
+        # exact integer micros: whole-second epochs floor vs round
+        # differently across engines on fractional-second timestamps
         F.floor(
-            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")) / F.lit(60.0)
+            (
+                F.unix_micros(F.col("p_ts").cast("timestamp"))
+                - F.unix_micros(F.col("c_ts").cast("timestamp"))
+            )
+            / F.lit(60_000_000.0)
         )
         .cast("bigint")
         .alias("gap_minutes"),
