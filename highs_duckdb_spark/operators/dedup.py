@@ -26,7 +26,11 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from highs_duckdb_spark.functions.presentation import ordered_wide, present_sorted
+from highs_duckdb_spark.functions.presentation import (
+    ordered_wide,
+    present_sorted,
+    present_sorted_after_barrier,
+)
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import ensure_shipped, load_table
 
@@ -370,7 +374,9 @@ def _d03_pipeline(spark: SparkSession, sf_dir: str, bound: int | None) -> DataFr
         verified.select("doc_a", "doc_b", (inter / uni).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.05)
         .select("doc_a", "doc_b", F.round(F.lit(1e-9) + F.col("jaccard"), 6).alias("jaccard"))
-        .transform(present_sorted, "doc_a", "doc_b")
+        # barrier presentation: the Jaccard verification above must stay
+        # parallel (coalesce(1) serialized it at the 100x corpus)
+        .transform(present_sorted_after_barrier, "doc_a", "doc_b")
     )
 
 
