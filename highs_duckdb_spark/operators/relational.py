@@ -438,7 +438,12 @@ def q14_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multiple COUNT(DISTINCT) in one aggregate (expand-based plan in Spark).",
 )
 def q20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
+    from highs_duckdb_spark.sources.layout import scan_for_keys
+
+    # copy selection: this aggregates on returnflag/partkey/suppkey, which
+    # no layout clusters — under a bucketed layout the override would only
+    # destroy combine locality (BENCH_SCALING r4: +139% at sf100)
+    li = scan_for_keys(spark, sf_dir, "lineitem", "l_returnflag", "l_partkey", "l_suppkey")
     return (
         li.groupBy("l_returnflag")
         .agg(

@@ -184,20 +184,31 @@ def clear_table_overrides(spark: SparkSession) -> None:
     clear_alt_copies(spark)
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    *,
+    use_layout: bool = True,
+) -> DataFrame:
     """Read one synthetic table (TESTDATA.md) as a DataFrame.
 
     Plain ``spark.read.parquet`` so Catalyst keeps full pushdown freedom:
     filters and column pruning reach the parquet scan (`PushedFilters` /
     `ReadSchema` in `.explain`), and partition pruning applies unchanged when
     the path is a partitioned directory tree at real scale.
+
+    ``use_layout=False`` bypasses an attached layout's table override and
+    reads the SOURCE files — for callers that determined the layout's
+    clustering cannot help them (see ``sources.layout.scan_for_keys``).
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    override = _TABLE_OVERRIDES.get(key)
-    if override is not None:
-        return override
+    if use_layout:
+        override = _TABLE_OVERRIDES.get(key)
+        if override is not None:
+            return override
     cached = _READER_CACHE.get(key)
     if cached is not None:
         return cached

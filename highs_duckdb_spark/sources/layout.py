@@ -266,6 +266,28 @@ def clear_alt_copies(spark: SparkSession) -> None:
         del _ALT_COPIES[key]
 
 
+def scan_for_keys(
+    spark: SparkSession, sf_dir: str, table: str, *shuffle_keys: str
+) -> DataFrame:
+    """Copy selection for NON-JOIN scans: honour the attached layout only
+    when its bucketing can actually serve the query.
+
+    A bucketed copy helps exactly when the query's shuffle keys intersect
+    the bucket keys (the exchange disappears). When they are disjoint —
+    e.g. an aggregation on partkey over orderkey-clustered files — the
+    override saves nothing and can only COST: clustering chosen for
+    somebody else's join spreads this query's group keys across every
+    file, so map-side partial aggregates stop compressing (q20 on the
+    bucketed sf100 layout: +139% for both engines, BENCH_SCALING round 4).
+    In that case scan the SOURCE copy. This is the same copy-selection
+    decision ``cbo.JoinGraph`` makes for join entry keys, applied to the
+    scan-only shape."""
+    if table in BUCKET_SPECS and layout_active(spark, sf_dir, table):
+        if not frozenset(BUCKET_SPECS[table][0]) & set(shuffle_keys):
+            return load_table(spark, table, sf_dir, use_layout=False)
+    return load_table(spark, table, sf_dir)
+
+
 # --- price-banded orders for partition-pruned top-k --------------------------
 
 

@@ -188,3 +188,24 @@ def test_topk_plan_guarantee_and_pruning(spark, tmp_path):
         # completeness: no row above t lives outside the chosen files
         full = spark.read.parquet(path).filter(F.col("o_totalprice") >= F.lit(t)).count()
         assert full == n_above
+
+
+def test_scan_for_keys_bypasses_unhelpful_clustering(spark, layout_dir):
+    """An aggregation whose shuffle keys are disjoint from the bucket keys
+    must scan the SOURCE copy (the override can only cost combine
+    locality), while a covered key keeps the bucketed scan — and results
+    are identical either way."""
+    plain = {
+        tuple(r) for r in QUERIES["q20_distinct_agg"].builder(spark, SF).collect()
+    }
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    # disjoint keys: source scan (no bucket metadata in the plan)
+    df = L.scan_for_keys(spark, SF, "lineitem", "l_partkey")
+    assert "Bucketed: true" not in _plan(df.groupBy("l_partkey").count())
+    # covered key: bucketed scan preserved
+    df_b = L.scan_for_keys(spark, SF, "lineitem", "l_orderkey")
+    assert "Bucketed: true" in _plan(df_b.groupBy("l_orderkey").count())
+    # the registered query picks the source copy and matches byte-for-byte
+    q20 = QUERIES["q20_distinct_agg"].builder(spark, SF)
+    assert "Bucketed: true" not in _plan(q20)
+    assert {tuple(r) for r in q20.collect()} == plain
