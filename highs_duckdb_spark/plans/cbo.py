@@ -183,6 +183,7 @@ class JoinGraph:
         table: str | None = None,
         sel: float = 1.0,
         prepare=None,
+        part_keys: frozenset[str] | None = None,
     ) -> "JoinGraph":
         """A fact-scale relation. ``table`` (default: ``name``) keys the
         catalog stats; ``sel`` is the declared selectivity of the filters
@@ -197,7 +198,12 @@ class JoinGraph:
         copy's bucketing matches the key the fact joins on — exchange-free
         where a single clustering could not be. Without ``prepare`` the
         planner cannot know ``df``'s filters are reproducible on another
-        copy, so no alternates are considered."""
+        copy, so no alternates are considered.
+
+        ``part_keys``: explicit storage-partitioning columns for relations
+        the catalog lookup can't describe (e.g. a materialized join
+        projection whose clustering differs from its stat-proxy
+        ``table``)."""
         t = table or name
         copies: dict[frozenset[str], DataFrame] = {}
         if prepare is not None:
@@ -214,7 +220,11 @@ class JoinGraph:
             name=name,
             df=df,
             bytes=max(table_bytes(self.sf_dir, t) * sel, 1.0),
-            part_keys=storage_part_keys(self.spark, self.sf_dir, t),
+            part_keys=(
+                part_keys
+                if part_keys is not None
+                else storage_part_keys(self.spark, self.sf_dir, t)
+            ),
             copies=copies,
         )
         return self

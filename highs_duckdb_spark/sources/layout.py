@@ -58,6 +58,48 @@ ALT_BUCKET_SPECS: dict[str, dict[str, tuple[list[str], list[str]]]] = {
 #: (applicationId, sf_dir, table) → {frozenset(bucket cols): catalog ident}
 _ALT_COPIES: dict[tuple[str, str, str], dict[frozenset[str], str]] = {}
 
+#: Materialized JOIN projections (denormalized pre-joins — the
+#: Vertica-projection / materialized-view lever): name → spec. Built from
+#: the already-bucketed primaries, so the build join is bucket-aligned
+#: (exchange-free) and the writer's bucketBy fans rows into the new
+#: clustering without a shuffle. ``drop`` removes the duplicated join key.
+#: lineitem_orders clustered by o_custkey turns TPC-H Q5-shaped queries
+#: into projection ⋈ customer (both custkey-bucketed: zero fact
+#: exchanges) + broadcast dims.
+JOIN_PROJECTION_SPECS: dict[str, dict] = {
+    "lineitem_orders": {
+        "left": "lineitem",
+        "right": "orders",
+        "on": ("l_orderkey", "o_orderkey"),
+        # column-subset projection (the Vertica-projection shape): carry
+        # only what the Q3/Q5 query class reads. A full-width lineitem x
+        # orders denormalization is ~3x the column bytes and its build
+        # shuffle exceeds a single node's scratch disk at sf100; the
+        # subset builds in one narrow shuffle and scans 3x faster.
+        "columns": [
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+        "bucket_cols": ["o_custkey"],
+        # in-file sort for ENCODING, not join order: clustered custkey +
+        # date runs restore dictionary/RLE locality the hash repartition
+        # destroys (unsorted, the 8-column projection wrote 9.6 GB at
+        # sf100 — bigger per column than the source). The fan-out
+        # repartition bounds each writer task to ~1/256th of the table,
+        # so the writer-side sorter never spills meaningfully.
+        "sort_cols": ["o_custkey", "o_orderdate"],
+    },
+}
+
+#: (applicationId, sf_dir, projection name) → catalog ident
+_PROJECTIONS: dict[tuple[str, str, str], str] = {}
+
 PRICE_BANDS = 16
 #: o_totalprice in TPC-H-ish data spans ~[850, 560k]; a fixed band width
 #: keeps the band ↔ price mapping data-independent (pure arithmetic, no
@@ -230,8 +272,9 @@ def attach_bucketed(
     ``load_table`` at it for this session. Returns {table: layout path}."""
     layout_dir = build_bucketed_layout(spark, sf_dir, layout_dir, buckets)
     idents = register_bucketed_tables(spark, layout_dir, buckets)
+    proj_paths = _build_join_projections(spark, sf_dir, layout_dir, idents, buckets)
     app = spark.sparkContext.applicationId
-    paths: dict[str, str] = {}
+    paths: dict[str, str] = dict(proj_paths)
     for table, ident in idents.items():
         if table in BUCKET_SPECS:
             # primary copy: becomes THE table for load_table
@@ -245,6 +288,104 @@ def attach_bucketed(
             _ALT_COPIES.setdefault((app, sf_dir, base), {})[frozenset(bcols)] = ident
         paths[table] = os.path.join(layout_dir, table)
     return paths
+
+
+def _build_join_projections(
+    spark: SparkSession,
+    sf_dir: str,
+    layout_dir: str,
+    idents: dict[str, str],
+    buckets: int = BUCKETS,
+) -> dict[str, str]:
+    """Build + register the JOIN_PROJECTION_SPECS materializations and
+    record them for ``join_projection``. Returns {name: path}.
+
+    The build joins the BUCKETED primaries bucket-aligned (no exchange)
+    and lets the writer's ``bucketBy`` fan rows into the projection's own
+    clustering — the whole materialization is one map-side pass plus the
+    write. Idempotent on a combined source fingerprint."""
+    import pyspark.sql.functions as F
+
+    app = spark.sparkContext.applicationId
+    paths: dict[str, str] = {}
+    for name, spec in JOIN_PROJECTION_SPECS.items():
+        path = os.path.join(layout_dir, name)
+        ident = _table_ident(layout_dir, name)
+        # fingerprint covers BOTH sources AND the spec itself (columns /
+        # clustering), so editing the projection definition rebuilds it
+        # instead of silently serving the old shape
+        import hashlib as _hashlib
+        import json as _json
+
+        fp = (
+            _source_fingerprint(sf_dir, spec["left"])
+            + _source_fingerprint(sf_dir, spec["right"])
+            + _hashlib.md5(_json.dumps(spec, sort_keys=True).encode()).hexdigest()
+        )
+        built = (
+            os.path.isdir(path)
+            and any(f.endswith(".parquet") for f in os.listdir(path))
+            and _fingerprint_current(path, fp)
+        )
+        if not built:
+            spark.sql(f"DROP TABLE IF EXISTS {ident}")
+            lk, rk = spec["on"]
+            left = spark.table(idents[spec["left"]])
+            right = spark.table(idents[spec["right"]])
+            joined = left.join(right, F.col(lk) == F.col(rk)).select(
+                *spec["columns"]
+            )
+            # High-fan-out repartition on the bucket column BEFORE the
+            # bucketed write: each writer task then holds one small bucket
+            # slice (hash%(8*buckets) refines hash%buckets), so the
+            # writer's per-task bucket sorter never buffers more than
+            # ~1/256th of the table — without this, 32 writer tasks each
+            # sort-buffer a full partition of the lineitem-grained join
+            # and the spill exhausts local disk at sf100.
+            joined = joined.repartition(8 * buckets, *[F.col(c) for c in spec["bucket_cols"]])
+            writer = (
+                joined.write.mode("overwrite")
+                .option("path", path)
+                .option("parquet.block.size", 32 << 20)
+                .bucketBy(buckets, *spec["bucket_cols"])
+            )
+            if spec["sort_cols"]:
+                writer = writer.sortBy(*spec["sort_cols"])
+            writer.saveAsTable(ident)
+            from highs_duckdb_spark.sources import stats as zstats
+
+            zstats.write_sidecar(path)
+            _write_fingerprint(path, fp)
+        elif not spark.catalog.tableExists(ident):
+            schema = spark.read.parquet(path).schema
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+            sorted_by = (
+                f"SORTED BY ({', '.join(spec['sort_cols'])}) "
+                if spec["sort_cols"]
+                else ""
+            )
+            spark.sql(
+                f"CREATE TABLE {ident} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(spec['bucket_cols'])}) "
+                f"{sorted_by}INTO {buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        _PROJECTIONS[(app, sf_dir, name)] = ident
+        paths[name] = path
+    return paths
+
+
+def join_projection(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    """The attached layout's materialized join projection ``name``, or
+    None when no layout (or none by that name) is attached — the answer a
+    catalog's materialized-view registry would give."""
+    app = spark.sparkContext.applicationId
+    ident = _PROJECTIONS.get((app, sf_dir, name))
+    return spark.table(ident) if ident else None
+
+
+def projection_part_keys(name: str) -> frozenset[str]:
+    return frozenset(JOIN_PROJECTION_SPECS[name]["bucket_cols"])
 
 
 def alt_clustered_copies(
@@ -264,6 +405,8 @@ def clear_alt_copies(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     for key in [k for k in _ALT_COPIES if k[0] == app]:
         del _ALT_COPIES[key]
+    for key in [k for k in _PROJECTIONS if k[0] == app]:
+        del _PROJECTIONS[key]
 
 
 def scan_for_keys(

@@ -29,6 +29,8 @@ def layout_dir(spark):
         clear_table_overrides(spark)
         for table, _src, _b, _s in L._all_specs():
             spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(d, table)}")
+        for name in L.JOIN_PROJECTION_SPECS:
+            spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(d, name)}")
         shutil.rmtree(d, ignore_errors=True)
 
 

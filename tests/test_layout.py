@@ -29,6 +29,8 @@ def layout_dir(spark):
         for table, _src, _b, _s in L._all_specs():
             ident = L._table_ident(d, table)
             spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        for name in L.JOIN_PROJECTION_SPECS:
+            spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(d, name)}")
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -38,7 +40,9 @@ def _plan(df) -> str:
 
 def test_attach_bucketed_joins_without_fact_exchange(spark, layout_dir):
     paths = L.attach_bucketed(spark, SF, layout_dir, buckets=4)
-    assert set(paths) == {t for t, _src, _b, _s in L._all_specs()}
+    assert set(paths) == {t for t, _src, _b, _s in L._all_specs()} | set(
+        L.JOIN_PROJECTION_SPECS
+    )
     li = load_table(spark, "lineitem", SF)
     orders = load_table(spark, "orders", SF)
     joined = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -63,22 +67,22 @@ def test_attach_bucketed_results_equal_plain(spark, layout_dir):
 
 
 def test_q65_layout_aware_join_order_kicks_in(spark, layout_dir):
-    """With the layout attached, q65 must take the orders⋈customer-first
-    shape: bucketed lineitem scans with NO exchange directly under its
-    join, and the plan carries all three bucketed scans."""
+    """With the layout attached, q65 matches the lineitem_orders
+    projection: projection ⋈ customer, both custkey-bucketed, so no
+    input-fact hash exchange survives (only the tiny final n_name
+    aggregation's)."""
     L.attach_bucketed(spark, SF, layout_dir, buckets=4)
     assert L.layout_active(spark, SF)
     plan = _plan(QUERIES["q65_tpch_q5_local_volume"].builder(spark, SF))
-    # lineitem + orders scan bucketed (customer may legitimately plan as a
+    # the projection scans bucketed (customer may legitimately plan as a
     # broadcast at tiny SF, which skips its bucketed read)
-    assert plan.count("Bucketed: true") >= 2, plan
-    # orders scans its custkey-clustered COPY, so orders⋈customer is
-    # exchange-free on both sides; the only hash exchanges left are the
-    # (orders⋈cust) output→orderkey and the tiny final n_name aggregation
-    # — never an input-fact-sized one
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
-    li_scan = plan.index("lineitem[")
-    assert "Exchange" not in plan[li_scan - 400 : li_scan].split("ShuffledHashJoin")[-1], plan
+    assert plan.count("Bucketed: true") >= 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    # neither base fact is rescanned: the materialization replaces both
+    # (match on scan locations — "/orders]" can't false-positive against
+    # the projection's ".../lineitem_orders]" path)
+    assert "/lineitem]" not in plan and "/orders]" not in plan, plan
+    assert "lineitem.parquet" not in plan and "orders.parquet" not in plan, plan
 
 
 def test_registration_survives_new_session_semantics(spark, layout_dir):
@@ -209,3 +213,41 @@ def test_scan_for_keys_bypasses_unhelpful_clustering(spark, layout_dir):
     q20 = QUERIES["q20_distinct_agg"].builder(spark, SF)
     assert "Bucketed: true" not in _plan(q20)
     assert {tuple(r) for r in q20.collect()} == plain
+
+
+def test_join_projection_q64_results_and_plan(spark, layout_dir):
+    """q64 matches the projection too (it carries l_shipdate and
+    o_orderpriority for exactly this): same results, no base-fact scan."""
+    plain = [
+        tuple(r)
+        for r in QUERIES["q64_tpch_q3_shipping_priority"].builder(spark, SF).collect()
+    ]
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    df = QUERIES["q64_tpch_q3_shipping_priority"].builder(spark, SF)
+    plan = _plan(df)
+    assert "lineitem.parquet" not in plan and "orders.parquet" not in plan, plan
+    assert [tuple(r) for r in df.collect()] == plain
+
+
+def test_join_projection_makes_q65_fact_tree_exchange_free(spark, layout_dir):
+    """With the lineitem_orders projection attached, q65 is projection ⋈
+    customer (both custkey-bucketed): ZERO input-fact hash exchanges — the
+    only one left is the tiny final n_name aggregation — and results match
+    the normalized plan byte-for-byte."""
+    plain = {
+        tuple(r)
+        for r in QUERIES["q65_tpch_q5_local_volume"].builder(spark, SF).collect()
+    }
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    assert L.join_projection(spark, SF, "lineitem_orders") is not None
+    df = QUERIES["q65_tpch_q5_local_volume"].builder(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert {tuple(r) for r in df.collect()} == plain
+    # projection rows = lineitem rows (inner FK join is lossless)
+    proj = L.join_projection(spark, SF, "lineitem_orders")
+    assert proj.count() == load_table(spark, "lineitem", SF).count()
+    # detach: registry cleared, q65 back on the normalized plan
+    clear_table_overrides(spark)
+    assert L.join_projection(spark, SF, "lineitem_orders") is None
