@@ -905,6 +905,60 @@ def q42_topk_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q178_price_range_pruned",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    WHERE o_totalprice >= 300000 AND o_totalprice < 400000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Range-filter aggregate served by ZONE-MAP FILE PRUNING "
+        "(stats.files_for_range over the banded-orders sidecar): only the "
+        "files whose [min,max] price intersects the predicate range are "
+        "even listed — the filter-scan analog of q42_topk_banded's "
+        "threshold plan, the lever DuckDB applies dynamically on every "
+        "filter. READ-ONLY: with no built layout it is the identical plain "
+        "filtered aggregate, so driver correctness runs never pay a build. "
+        "Pruning can only drop provably-disjoint files (absence of stats "
+        "never prunes), so the result is exact by construction at any SF."
+    ),
+)
+def q178_price_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.sources import stats as zstats
+    from highs_duckdb_spark.sources.layout import banded_orders_path
+
+    lo, hi = 300_000.0, 400_000.0
+    path = banded_orders_path(sf_dir)
+    stats = zstats.read_sidecar(path) if path else None
+    files = (
+        zstats.files_for_range(stats, path, "o_totalprice", lo=lo, hi=hi)
+        if stats is not None
+        else None
+    )
+    if not files:  # layout not built (or nothing intersects): plain scan
+        orders = load_table(spark, "orders", sf_dir)
+    else:
+        orders = spark.read.parquet(*files)
+    return (
+        orders.filter((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("total"),
+        )
+        .transform(present_sorted, "o_orderpriority")
+    )
+
+
+@register(
     "q43_correlated_subquery",
     oracle="""
     SELECT c.c_custkey, round(1e-9 + c.c_acctbal, 2) AS acctbal

@@ -251,3 +251,30 @@ def test_join_projection_makes_q65_fact_tree_exchange_free(spark, layout_dir):
     # detach: registry cleared, q65 back on the normalized plan
     clear_table_overrides(spark)
     assert L.join_projection(spark, SF, "lineitem_orders") is None
+
+
+def test_q178_pruned_range_equals_plain_and_prunes(spark, tmp_path):
+    """files_for_range: with the banded layout built, q178 reads only the
+    files whose [min,max] intersects the price range — and is
+    byte-identical to the plain filtered aggregate."""
+    import unittest.mock as mock
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    d = str(tmp_path / "layout")
+    plain = [
+        tuple(r) for r in QUERIES["q178_price_range_pruned"].builder(spark, SF).collect()
+    ]
+    path = L.build_banded_orders(spark, SF, d)
+    stats = zstats.read_sidecar(path)
+    pruned_files = zstats.files_for_range(
+        stats, path, "o_totalprice", lo=300_000.0, hi=400_000.0
+    )
+    all_files = stats["files"]
+    assert 0 < len(pruned_files) < len(all_files)  # real pruning happened
+    with mock.patch.object(L, "default_layout_dir", lambda _s: d):
+        got = [
+            tuple(r)
+            for r in QUERIES["q178_price_range_pruned"].builder(spark, SF).collect()
+        ]
+    assert got == plain
