@@ -203,19 +203,23 @@ class JoinGraph:
         ``part_keys``: explicit storage-partitioning columns for relations
         the catalog lookup can't describe (e.g. a materialized join
         projection whose clustering differs from its stat-proxy
-        ``table``)."""
+        ``table``). Passing it is also the signal that ``table`` is ONLY a
+        stat proxy — the relation does not hold the same rows as the
+        catalog table — so the alternate-clustered-copies lookup (which IS
+        a same-rows contract) is skipped entirely for such facts."""
         t = table or name
         copies: dict[frozenset[str], DataFrame] = {}
         if prepare is not None:
             df = prepare(df)
-            from highs_duckdb_spark.sources.layout import alt_clustered_copies
+            if part_keys is None:
+                from highs_duckdb_spark.sources.layout import alt_clustered_copies
 
-            copies = {
-                keys: prepare(alt)
-                for keys, alt in alt_clustered_copies(
-                    self.spark, self.sf_dir, t
-                ).items()
-            }
+                copies = {
+                    keys: prepare(alt)
+                    for keys, alt in alt_clustered_copies(
+                        self.spark, self.sf_dir, t
+                    ).items()
+                }
         self._facts[name] = _Fact(
             name=name,
             df=df,

@@ -71,31 +71,47 @@ def main() -> None:
 
     for i in range(k):
         if i == 0:
-            rewrite = "text"
+            # copy 0 is verbatim: no token rewrite
+            con.execute(
+                f"""
+                COPY (
+                  SELECT doc_id, text, lang, source, length(text) AS n_chars
+                  FROM read_parquet('{src}/documents.parquet')
+                ) TO '{doc_dir}/part-{i:04d}.parquet' (FORMAT PARQUET)
+                """
+            )
         else:
             perm = vocab[:]
             random.Random(i).shuffle(perm)
-            # map each whitespace token through the permutation; unknown
-            # tokens (none in the driver corpus) pass through unchanged
-            pairs = ", ".join(
-                f"{duck_str(a)}: {duck_str(b)}" for a, b in zip(vocab, perm)
+            # Materialize the (word, replacement) pairs as a temp table and
+            # build ONE map from it — an inline MAP literal inside the
+            # list_transform lambda makes the statement megabytes at larger
+            # vocabularies and risks per-token re-evaluation (ADVICE r05).
+            con.execute("DROP TABLE IF EXISTS word_map")
+            con.execute("CREATE TEMP TABLE word_map (w VARCHAR, r VARCHAR)")
+            con.executemany(
+                "INSERT INTO word_map VALUES (?, ?)", list(zip(vocab, perm))
             )
-            rewrite = (
-                "list_aggregate(list_transform(string_split(text, ' '), "
-                f"w -> coalesce(map_extract(MAP {{{pairs}}}, w)[1], w)), "
-                "'string_agg', ' ')"
+            # unknown tokens (none in the driver corpus) pass through
+            # unchanged via coalesce; n_chars computed in an outer SELECT
+            # so the rewrite expression is evaluated once per document
+            con.execute(
+                f"""
+                COPY (
+                  SELECT doc_id, text, lang, source, length(text) AS n_chars
+                  FROM (
+                    SELECT doc_id + {i * n_docs} AS doc_id,
+                           list_aggregate(list_transform(string_split(text, ' '),
+                             w -> coalesce(map_extract(m.perm_map, w)[1], w)),
+                             'string_agg', ' ') AS text,
+                           lang, source
+                    FROM read_parquet('{src}/documents.parquet')
+                    CROSS JOIN (SELECT map(list(w), list(r)) AS perm_map
+                                FROM word_map) m
+                  )
+                ) TO '{doc_dir}/part-{i:04d}.parquet' (FORMAT PARQUET)
+                """
             )
-        con.execute(
-            f"""
-            COPY (
-              SELECT doc_id + {i * n_docs} AS doc_id,
-                     {rewrite} AS text,
-                     lang, source,
-                     length({rewrite}) AS n_chars
-              FROM read_parquet('{src}/documents.parquet')
-            ) TO '{doc_dir}/part-{i:04d}.parquet' (FORMAT PARQUET)
-            """
-        )
         con.execute(
             f"""
             COPY (
@@ -106,10 +122,6 @@ def main() -> None:
         )
         print(f"copy {i} written", flush=True)
     print(f"done: {k}x corpus at {out}")
-
-
-def duck_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
 
 
 if __name__ == "__main__":

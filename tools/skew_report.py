@@ -13,9 +13,9 @@ by tools/gen_corpus.py (distribution-preserving, duplicate-free scaling):
    files (best of N runs per engine, same min-protocol as bench.py).
 
 Usage: python tools/skew_report.py CORPUS_DIR [runs]
-The corpus dir needs all registry tables visible; symlink the TPC-H
-tables from the source sf dir (the pipeline queries only read
-documents/embeddings, but the oracle harness registers every view).
+The corpus dir only needs the tables the benched queries read
+(documents/embeddings); views are registered for whichever registry
+tables exist in the dir.
 """
 
 from __future__ import annotations
@@ -101,7 +101,12 @@ def _time_duck(sql: str, sf_dir: str) -> float:
 
     con = duckdb.connect()
     con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    # only register views for tables present in the corpus dir: read_parquet
+    # binds at CREATE VIEW, so a view over an absent file hard-fails even
+    # though the benched queries read only documents/embeddings (ADVICE r05)
     for t in TABLES:
+        if not os.path.exists(f"{sf_dir}/{t}.parquet"):
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
             f"{'/*.parquet' if os.path.isdir(f'{sf_dir}/{t}.parquet') else ''}')"
