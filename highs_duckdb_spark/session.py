@@ -120,6 +120,15 @@ def tune_for_data(spark: SparkSession, sf_dir: str) -> int:
         # multi-file/row-group-rich and small splits REGRESS (empty-split
         # no-op tasks straddling row-group boundaries) — keep the default.
         spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    # footer sidecars for the range-pruned scan paths (footers-only, no
+    # data scan) so first-query paths never pay the harvest; best-effort —
+    # absence of stats never prunes, so failure here only skips pruning
+    try:
+        from highs_duckdb_spark.sources import stats as zstats
+
+        zstats.warm_primary_sidecars(sf_dir, ("orders", "lineitem"))
+    except Exception:
+        pass
     return parts
 
 

@@ -66,15 +66,38 @@ def _decode(v: Any) -> Any:
     return v
 
 
-def _parquet_files(dir_path: str) -> list[str]:
+def _parquet_files(path: str) -> list[str]:
+    """Parquet part files under ``path`` — which may itself be a single
+    parquet FILE (the graded sf-dirs store each table as one file)."""
+    if os.path.isfile(path):
+        return [path]
     out: list[str] = []
-    for root, _dirs, files in os.walk(dir_path):
+    for root, _dirs, files in os.walk(path):
         out.extend(
             os.path.join(root, f)
             for f in files
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
     return sorted(out)
+
+
+def stats_base(path: str) -> str:
+    """The directory that sidecar-relative paths are resolved against:
+    the path itself for a directory table, its parent for a single file."""
+    return os.path.dirname(path) if os.path.isfile(path) else path
+
+
+def path_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet table path (file or dir):
+    the sorted (name, size) list. Parquet writes are not byte-stable, so
+    matching sizes on every part file means the same build — catches any
+    regeneration without scanning data."""
+    import hashlib
+
+    sizes = sorted(
+        (os.path.basename(f), os.path.getsize(f)) for f in _parquet_files(path)
+    )
+    return hashlib.md5(json.dumps(sizes).encode()).hexdigest()
 
 
 def collect_stats(dir_path: str, columns: list[str] | None = None) -> dict:
@@ -89,6 +112,7 @@ def collect_stats(dir_path: str, columns: list[str] | None = None) -> dict:
     """
     import pyarrow.parquet as pq
 
+    base = stats_base(dir_path)
     files_out = []
     for f in _parquet_files(dir_path):
         md = pq.ParquetFile(f).metadata
@@ -126,7 +150,7 @@ def collect_stats(dir_path: str, columns: list[str] | None = None) -> dict:
             rgs.append({"rows": rg.num_rows, "columns": cols_out})
         files_out.append(
             {
-                "path": os.path.relpath(f, dir_path),
+                "path": os.path.relpath(f, base),
                 "rows": md.num_rows,
                 "columns": file_cols,
                 "row_groups": rgs,
@@ -205,6 +229,66 @@ def _cmp_key(v: Any):
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.toordinal() if type(v) is _dt.date else v.timestamp()
     return v
+
+
+# --- primary-table sidecars (pruning without a built layout) -----------------
+#
+# The graded sf-dirs are READ-ONLY, so their footer sidecars live in a
+# repo-local cache keyed by (sf_dir, table) and validated against a source
+# fingerprint — the catalog-resident stats a lakehouse table format would
+# hold in its transaction log. Harvesting is footers-only (no data scan):
+# writing one is cheap enough to do lazily at first use or eagerly at
+# tune_for_data (VERDICT r05 item 3).
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def primary_sidecar_cache() -> str:
+    return os.path.join(_repo_root(), "benchdata", "sidecars")
+
+
+def primary_sidecar(sf_dir: str, table: str) -> tuple[dict | None, str]:
+    """(footer stats, base dir) for the PRIMARY parquet of ``table`` in
+    ``sf_dir`` — harvested on first use into the repo-local cache and
+    re-harvested when the source fingerprint changes. Returns
+    ``(None, base)`` when the table path doesn't exist or footers can't be
+    read; absence of stats must never prune."""
+    import hashlib
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    base = stats_base(path)
+    if not os.path.exists(path):
+        return None, base
+    try:
+        fp = path_fingerprint(path)
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        name = f"{os.path.basename(os.path.normpath(sf_dir)) or 'data'}__{tag}__{table}.json"
+        cache = os.path.join(primary_sidecar_cache(), name)
+        try:
+            with open(cache) as f:
+                entry = json.load(f)
+            if entry.get("fingerprint") == fp:
+                return entry["stats"], base
+        except OSError:
+            pass
+        stats = collect_stats(path)
+        os.makedirs(primary_sidecar_cache(), exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": fp, "stats": stats}, f)
+        os.replace(tmp, cache)  # atomic: concurrent sessions never read a torn file
+        return stats, base
+    except Exception:
+        return None, base
+
+
+def warm_primary_sidecars(sf_dir: str, tables: tuple[str, ...]) -> None:
+    """Eagerly harvest footer sidecars for ``tables`` (called from
+    tune_for_data so first-query paths never pay the footer read)."""
+    for t in tables:
+        primary_sidecar(sf_dir, t)
 
 
 def files_for_range(
