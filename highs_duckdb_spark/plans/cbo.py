@@ -116,6 +116,12 @@ class _Fact:
     #: {bucket-key set: prepared DataFrame}. The planner scans whichever
     #: copy matches the join key the fact enters the tree on.
     copies: dict[frozenset[str], DataFrame] = field(default_factory=dict)
+    # --- view-matching metadata (materialized-projection substitution) ---
+    table: str = ""  # catalog table this fact scans (stat + matching key)
+    sel: float = 1.0
+    prepare: object | None = None  # the declared row-level transform
+    #: columns of this fact the query touches (opt-in to view matching)
+    columns: frozenset[str] | None = None
 
 
 @dataclass
@@ -148,6 +154,9 @@ class PlanExplain:
     #: facts scanned from an ALTERNATE clustered copy: (fact, key it
     #: entered the tree on)
     alt_copies: tuple[tuple[str, str], ...] = ()
+    #: materialized projections substituted for fact subgraphs:
+    #: (projection name, (absorbed fact, absorbed fact))
+    projections: tuple[tuple[str, tuple[str, str]], ...] = ()
 
 
 class JoinGraph:
@@ -184,6 +193,7 @@ class JoinGraph:
         sel: float = 1.0,
         prepare=None,
         part_keys: frozenset[str] | None = None,
+        columns: tuple[str, ...] | None = None,
     ) -> "JoinGraph":
         """A fact-scale relation. ``table`` (default: ``name``) keys the
         catalog stats; ``sel`` is the declared selectivity of the filters
@@ -199,6 +209,18 @@ class JoinGraph:
         where a single clustering could not be. Without ``prepare`` the
         planner cannot know ``df``'s filters are reproducible on another
         copy, so no alternates are considered.
+
+        ``columns``: the columns of this fact the QUERY touches downstream
+        (group/agg/filter/dim-condition columns; include everything
+        ``prepare`` reads too). Declaring it opts the fact into
+        MATERIALIZED-PROJECTION MATCHING and asserts the contract that
+        ``df`` is exactly ``prepare(catalog table)`` as a row set — every
+        row-level transform is captured in ``prepare``. When two declared
+        facts, their equi-join edge, and their combined columns are
+        subsumed by an attached projection (``sources.layout.
+        JOIN_PROJECTION_SPECS``), the planner substitutes the projection
+        for the pair automatically — the DuckDB/Calcite materialized-view
+        rewrite, driven from catalog metadata instead of per-query code.
 
         ``part_keys``: explicit storage-partitioning columns for relations
         the catalog lookup can't describe (e.g. a materialized join
@@ -230,6 +252,10 @@ class JoinGraph:
                 else storage_part_keys(self.spark, self.sf_dir, t)
             ),
             copies=copies,
+            table=t,
+            sel=sel,
+            prepare=prepare,
+            columns=frozenset(columns) if columns is not None else None,
         )
         return self
 
@@ -264,6 +290,104 @@ class JoinGraph:
             )
         )
         return self
+
+    # -- materialized-projection matching --------------------------------------
+
+    def _substitute_projections(self) -> tuple[tuple[str, tuple[str, str]], ...]:
+        """Rewrite fact pairs onto attached materialized join projections.
+
+        A projection ``P = L ⋈_{lk=rk} R`` (with a column subset C and its
+        own clustering) substitutes for declared facts (fl, fr) when:
+
+        - fl/fr scan exactly L and R (``table``), both opted in with
+          ``columns`` (the prepare-completeness contract);
+        - the graph joins them on exactly (lk, rk) with no extra predicate
+          and no parallel edge between the pair;
+        - every column the query touches on either side — declared
+          ``columns`` plus the pair's edges into the REST of the graph —
+          is inside C (inner FK pre-joins are lossless, so row sets match
+          by construction: the build join is the same equi-join).
+
+        The pair collapses into one projection-scan fact carrying both
+        prepares (filters commute), the product selectivity, and the
+        projection's clustering; edges and dim dependencies re-target it.
+        Runs to fixpoint before enumeration so join ORDER is chosen over
+        the relations that will actually scan."""
+        from highs_duckdb_spark.sources.layout import (
+            attached_projections,
+            projection_part_keys,
+        )
+
+        used: list[tuple[str, tuple[str, str]]] = []
+        projs = attached_projections(self.spark, self.sf_dir)
+        changed = True
+        while changed:
+            changed = False
+            for pname, (spec, pdf, pbytes) in projs.items():
+                if pname in self._facts:
+                    continue
+                by_table: dict[str, list[_Fact]] = {}
+                for f in self._facts.values():
+                    by_table.setdefault(f.table, []).append(f)
+                # self-joins (two facts over one table) are ambiguous: skip
+                ls, rs = by_table.get(spec["left"], []), by_table.get(spec["right"], [])
+                if len(ls) != 1 or len(rs) != 1:
+                    continue
+                fl, fr = ls[0], rs[0]
+                if fl.columns is None or fr.columns is None:
+                    continue
+                lk, rk = spec["on"]
+                pair = {fl.name, fr.name}
+                between = [e for e in self._edges if {e.a, e.b} == pair]
+                if len(between) != 1:
+                    continue  # no edge, or parallel edges: not this shape
+                e = between[0]
+                if {e.ka, e.kb} != {lk, rk} or e.extra is not None:
+                    continue
+                pcols = set(spec["columns"])
+                needed = set(fl.columns) | set(fr.columns)
+                for o in self._edges:
+                    if o is e:
+                        continue
+                    for end, key in ((o.a, o.ka), (o.b, o.kb)):
+                        if end in pair:
+                            needed.add(key)
+                if not needed <= pcols:
+                    continue
+                df = pdf
+                for prep in (fl.prepare, fr.prepare):
+                    if prep is not None:
+                        df = prep(df)
+                fused = _Fact(
+                    name=pname,
+                    df=df,
+                    bytes=max(pbytes * fl.sel * fr.sel, 1.0),
+                    part_keys=projection_part_keys(pname),
+                    table=pname,
+                    sel=fl.sel * fr.sel,
+                )
+                # preserve declaration order (deterministic tie-breaks):
+                # the fused fact takes the first absorbed fact's slot
+                facts: dict[str, _Fact] = {}
+                for n, f in self._facts.items():
+                    if n == fl.name or n == fr.name:
+                        if pname not in facts:
+                            facts[pname] = fused
+                    else:
+                        facts[n] = f
+                self._facts = facts
+                retarget = lambda n: pname if n in pair else n  # noqa: E731
+                self._edges = [
+                    _Edge(retarget(o.a), o.ka, retarget(o.b), o.kb, o.extra)
+                    for o in self._edges
+                    if o is not e
+                ]
+                for d in self._dims:
+                    d.after = tuple(dict.fromkeys(retarget(n) for n in d.after))
+                used.append((pname, (fl.name, fr.name)))
+                changed = True
+                break
+        return tuple(used)
 
     # -- planning ------------------------------------------------------------
 
@@ -314,6 +438,7 @@ class JoinGraph:
 
     def plan(self) -> DataFrame:
         """Pick the cheapest connected left-deep order and build the tree."""
+        proj_used = self._substitute_projections()
         names = tuple(self._facts)
         if not names:
             raise ValueError("JoinGraph.plan() with no facts")
@@ -406,5 +531,6 @@ class JoinGraph:
             broadcasts=tuple(broadcasts),
             demoted_dims=tuple(demoted),
             alt_copies=tuple(alt_used),
+            projections=proj_used,
         )
         return tree

@@ -97,8 +97,8 @@ JOIN_PROJECTION_SPECS: dict[str, dict] = {
     },
 }
 
-#: (applicationId, sf_dir, projection name) → catalog ident
-_PROJECTIONS: dict[tuple[str, str, str], str] = {}
+#: (applicationId, sf_dir, projection name) → (catalog ident, files path)
+_PROJECTIONS: dict[tuple[str, str, str], tuple[str, str]] = {}
 
 PRICE_BANDS = 16
 #: o_totalprice in TPC-H-ish data spans ~[850, 560k]; a fixed band width
@@ -390,7 +390,7 @@ def _build_join_projections(
                 f"{sorted_by}INTO {buckets} BUCKETS "
                 f"LOCATION '{path}'"
             )
-        _PROJECTIONS[(app, sf_dir, name)] = ident
+        _PROJECTIONS[(app, sf_dir, name)] = (ident, path)
         paths[name] = path
     return paths
 
@@ -400,8 +400,28 @@ def join_projection(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | 
     None when no layout (or none by that name) is attached — the answer a
     catalog's materialized-view registry would give."""
     app = spark.sparkContext.applicationId
-    ident = _PROJECTIONS.get((app, sf_dir, name))
-    return spark.table(ident) if ident else None
+    entry = _PROJECTIONS.get((app, sf_dir, name))
+    return spark.table(entry[0]) if entry else None
+
+
+def attached_projections(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, tuple[dict, DataFrame, int]]:
+    """Every materialized join projection the attached layout offers:
+    ``{name: (spec, DataFrame, file bytes)}`` — the catalog answer the
+    CBO's view matcher plans from. Empty when no layout is attached."""
+    from highs_duckdb_spark.plans.strategy import dir_bytes
+
+    app = spark.sparkContext.applicationId
+    out: dict[str, tuple[dict, DataFrame, int]] = {}
+    for (a, s, name), (ident, path) in _PROJECTIONS.items():
+        if a == app and s == sf_dir:
+            out[name] = (
+                JOIN_PROJECTION_SPECS[name],
+                spark.table(ident),
+                dir_bytes(path),
+            )
+    return out
 
 
 def projection_part_keys(name: str) -> frozenset[str]:

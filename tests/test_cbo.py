@@ -259,6 +259,112 @@ def test_alt_copies_cleared_with_overrides(spark, layout_dir):
     assert L.alt_clustered_copies(spark, SF, "orders") == {}
 
 
+def _graph_q65_columns(spark, extra_li_cols=()):
+    """q65's fact graph declared with columns= (opts into planner-level
+    materialized-projection matching, VERDICT r05 item 2)."""
+
+    def in_window(df):
+        return df.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+
+    g = cbo.JoinGraph(spark, SF)
+    g.fact(
+        "orders",
+        load_table(spark, "orders", SF),
+        sel=0.30,
+        prepare=in_window,
+        columns=("o_custkey", "o_orderdate"),
+    )
+    g.fact("customer", load_table(spark, "customer", SF))
+    g.fact(
+        "lineitem",
+        load_table(spark, "lineitem", SF),
+        columns=("l_suppkey", "l_extendedprice", "l_discount", *extra_li_cols),
+    )
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    return g
+
+
+def test_projection_matching_substitutes_and_matches_rows(spark, layout_dir):
+    """With the layout attached, the planner must substitute
+    lineitem_orders for the lineitem⋈orders pair — identical answers over
+    the DECLARED columns (the matching contract — the projection carries a
+    column subset, so the query may only touch what it declared), zero
+    base-fact scans, explain records the rewrite."""
+
+    def answer(df):
+        return {
+            tuple(r)
+            for r in df.groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("s"),
+                F.min("o_orderdate").alias("d"),
+                F.max("l_suppkey").alias("k"),
+            )
+            .collect()
+        }
+
+    plain = answer(_graph_q65_columns(spark).plan())
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _graph_q65_columns(spark)
+    df = g.plan()
+    assert g.explain.projections == (("lineitem_orders", ("lineitem", "orders")),)
+    assert "lineitem_orders" in g.explain.order
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "/lineitem]" not in plan and "/orders]" not in plan, plan
+    assert answer(df) == plain
+
+
+def test_projection_matching_requires_column_subsumption(spark, layout_dir):
+    """A query touching a column OUTSIDE the projection (l_returnflag)
+    must NOT be rewritten onto it."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _graph_q65_columns(spark, extra_li_cols=("l_returnflag",))
+    g.plan()
+    assert g.explain.projections == ()
+
+
+def test_projection_matching_requires_opt_in(spark, layout_dir):
+    """Facts without columns= (no prepare-completeness contract) are never
+    rebased onto a projection — the planner can't prove their filters are
+    reproducible there."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _graph_q65_prepared(spark)  # prepare= but no columns=
+    g.plan()
+    assert g.explain.projections == ()
+
+
+def test_projection_matching_without_layout_is_inert(spark):
+    g = _graph_q65_columns(spark)
+    g.plan()
+    assert g.explain.projections == ()
+    assert set(g.explain.order) == {"orders", "customer", "lineitem"}
+
+
+def test_projection_pickup_across_registered_queries(spark, layout_dir):
+    """VERDICT r05 item 2 'done' bar: queries beyond q64/q65 pick the
+    projection up with ZERO query changes — and queries touching columns
+    outside it decline, all result-identical to their plain runs."""
+    from highs_duckdb_spark.operators import QUERIES
+
+    picks = ["q101_volume_shipping", "q102_market_share", "q105_shipping_delay_buckets"]
+    declines = ["q103_product_profit", "q104_returned_items"]
+    plain = {
+        n: [tuple(r) for r in QUERIES[n].builder(spark, SF).collect()]
+        for n in picks + declines
+    }
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    for n in picks + declines:
+        df = QUERIES[n].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ("lineitem_orders" in plan) == (n in picks), (n, plan)
+        assert [tuple(r) for r in df.collect()] == plain[n], n
+
+
 def test_facts_without_prepare_never_take_alt_copies(spark, layout_dir):
     """A fact declared with a pre-filtered df (no prepare=) must never be
     silently re-based onto another copy — the planner can't reproduce the
