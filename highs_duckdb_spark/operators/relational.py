@@ -358,8 +358,22 @@ def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 200000)
+    # planner-built: the filtered key set broadcasts below the scale cap
+    # (semi-join build side) and demotes to the co-partitioned strategy
+    # past it — the same catalog-stat decision every JoinGraph dim gets
+    g = JoinGraph(spark, sf_dir)
+    g.fact("customer", cust)
+    g.dim(
+        "orders",
+        big,
+        F.col("c_custkey") == F.col("o_custkey"),
+        after=("customer",),
+        sel=0.25,  # totalprice > 200k
+        how="left_semi",
+        fact_scale=True,  # raw orders probe: never a static broadcast
+    )
     return (
-        cust.join(big.hint(fact_join_strategy(sf_dir)), cust.c_custkey == big.o_custkey, "left_semi")
+        g.plan()
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
         .orderBy("c_mktsegment")
@@ -379,8 +393,20 @@ def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
+    # planner-built anti join: full orders is the build side — broadcast
+    # only while its catalog bytes clear the cap, co-partitioned at scale
+    g = JoinGraph(spark, sf_dir)
+    g.fact("customer", cust)
+    g.dim(
+        "orders",
+        orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        after=("customer",),
+        how="left_anti",
+        fact_scale=True,  # raw orders probe: never a static broadcast
+    )
     return (
-        cust.join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey, "left_anti")
+        g.plan()
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
         .orderBy("c_mktsegment")
@@ -408,8 +434,22 @@ def q14_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
         .distinct()
     )
+    # planner-built left outer: the distinct qualifying-order key set is
+    # order-count-grained (stat proxy: orders) — broadcast under the cap,
+    # co-partitioned past it; NULL probes survive on the preserved side
+    g = JoinGraph(spark, sf_dir)
+    g.fact("orders", orders)
+    g.dim(
+        "lineitem_keys",
+        li,
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        after=("orders",),
+        table="orders",
+        sel=0.5,  # distinct keys of qty>=45 lineitems
+        how="left",
+    )
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        g.plan()
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),

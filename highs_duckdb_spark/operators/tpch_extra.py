@@ -183,10 +183,27 @@ def q97_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a"
         )
     )
+    # planner-built anti join (the scalar average stays an explicit
+    # single-row broadcast); orders' key set demotes past the byte cap
+    from highs_duckdb_spark.plans.cbo import JoinGraph
+
+    g = JoinGraph(spark, sf_dir)
+    g.fact(
+        "customer",
+        cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a")),
+        table="customer",
+        sel=0.5,
+    )
+    g.dim(
+        "orders",
+        orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        after=("customer",),
+        how="left_anti",
+        fact_scale=True,  # raw orders probe: never a static broadcast
+    )
     return (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("a"))
-        .join(orders.hint(fact_join_strategy(sf_dir)), cust.c_custkey == orders.o_custkey, "left_anti")
+        g.plan()
         .groupBy(F.substring("c_name", 10, 2).alias("cust_group"))
         .agg(
             F.count("*").alias("numcust"),

@@ -9,10 +9,14 @@ engine would port: EXISTS/NOT-EXISTS decorrelation, disjunctive predicate
 pushdown, conditional-aggregate ratios, two-level aggregation histograms,
 scalar-max subqueries, and correlated-average filters.
 
-Scale notes: every dimension join is broadcast; the fact table (lineitem)
-is never shuffled except on aggregation keys; correlated subqueries are
-decorrelated into single-pass window/groupBy plans rather than per-row
-re-scans, so each query is one or two shuffles of the fact table at most.
+Scale notes: the multi-join shapes declare fact/dim graphs to the CBO-lite
+planner (plans/cbo.py) — join order, co-partitioned strategy hints,
+broadcast-vs-demotion, alternate-copy and materialized-projection
+substitution are all planner decisions from catalog stats; raw fact-class
+probe sides declare ``fact_scale=True`` so they can never become a static
+broadcast. Correlated subqueries are decorrelated into single-pass
+window/groupBy plans rather than per-row re-scans, so each query is one
+or two shuffles of the fact table at most.
 """
 
 from __future__ import annotations
@@ -64,18 +68,25 @@ def q100_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    # strategy hint: both sides are fact-scale at 100 TB — the static planner
-    # otherwise broadcasts the raw lineitem projection as the semi-join
-    # build side (fine at sf0.1, impossible at scale; a static broadcast
-    # is never revisited by AQE, so the encoding must forbid it).
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate").hint(fact_join_strategy(sf_dir))
+    # planner-built semi join: the raw lineitem projection is fact-scale at
+    # 100 TB, so the dim demotes from broadcast to the co-partitioned
+    # strategy past the catalog-byte cap (a static broadcast is never
+    # revisited by AQE, so the encoding must forbid it at scale). The
+    # non-equi lateness predicate rides the join condition.
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    g = JoinGraph(spark, sf_dir)
+    g.fact("orders", orders, sel=0.17)  # one year of orderdates
+    g.dim(
+        "lineitem",
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        after=("orders",),
+        how="left_semi",
+        fact_scale=True,  # raw lineitem probe: never a static broadcast
+    )
     return (
-        orders.join(
-            li,
-            (orders.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
-            "left_semi",
-        )
+        g.plan()
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
@@ -471,12 +482,21 @@ def q105_shipping_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q106_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
+    # planner-built left outer with the ON-clause filter kept in the join
+    # condition (zero-order customers survive); orders is fact-scale so the
+    # dim demotes past the byte cap instead of hard-coding the strategy
+    g = JoinGraph(spark, sf_dir)
+    g.fact("customer", cust)
+    g.dim(
+        "orders",
+        orders.select("o_custkey", "o_orderkey", "o_orderstatus"),
+        (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderstatus") != "P"),
+        after=("customer",),
+        how="left_outer",
+        fact_scale=True,  # raw orders side: never a static broadcast
+    )
     per_cust = (
-        cust.join(
-            orders.hint(fact_join_strategy(sf_dir)),
-            (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus != "P"),
-            "left_outer",
-        )
+        g.plan()
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
     )

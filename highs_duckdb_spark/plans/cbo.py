@@ -132,6 +132,11 @@ class _Dim:
     after: tuple[str, ...]  # facts whose columns the condition needs
     bytes: float
     how: str = "inner"
+    #: True = the relation is a RAW fact-class scan (grows with SF): never
+    #: a static broadcast, whatever today's measured bytes say — a static
+    #: broadcast decision is not revisited by AQE, so the plan ENCODING
+    #: must forbid it (registry-wide no-raw-fact-broadcast invariant)
+    fact_scale: bool = False
 
 
 @dataclass
@@ -274,10 +279,18 @@ class JoinGraph:
         table: str | None = None,
         sel: float = 1.0,
         how: str = "inner",
+        fact_scale: bool = False,
     ) -> "JoinGraph":
         """A broadcast-candidate relation joined by ``cond`` once every
         relation in ``after`` (fact OR previously-declared dim — star
-        schemas chain dims, e.g. region off nation) is in the tree."""
+        schemas chain dims, e.g. region off nation) is in the tree.
+
+        ``fact_scale=True`` declares the relation a RAW fact-class scan
+        (its size grows with SF): it always takes the co-partitioned
+        strategy, never a static broadcast — today's measured bytes are a
+        test-scale artifact, and the catalog's growth class is the stat
+        that matters for an encoding that must survive a 1000x scale-up.
+        Semi/anti/outer probes against raw orders/lineitem declare this."""
         t = table or name
         self._dims.append(
             _Dim(
@@ -287,6 +300,7 @@ class JoinGraph:
                 after=tuple(after),
                 bytes=max(table_bytes(self.sf_dir, t) * sel, 1.0),
                 how=how,
+                fact_scale=fact_scale,
             )
         )
         return self
@@ -490,7 +504,7 @@ class JoinGraph:
                         pending.remove(d)
                         joined.add(d.name)
                         progress = True
-                        if d.bytes <= BROADCAST_CAP_BYTES:
+                        if not d.fact_scale and d.bytes <= BROADCAST_CAP_BYTES:
                             broadcasts.append(d.name)
                             tree = tree.join(F.broadcast(d.df), d.cond, d.how)
                         else:

@@ -158,6 +158,28 @@ def test_dim_broadcast_and_scale_demotion(spark, monkeypatch):
     assert "BroadcastHashJoin" not in plan2, plan2
 
 
+def test_fact_scale_dim_never_broadcasts(spark):
+    """A dim declared fact_scale=True must take the co-partitioned
+    strategy even when today's measured bytes clear the broadcast cap —
+    the growth class, not the test-scale size, drives the encoding."""
+    cust = load_table(spark, "customer", SF)
+    orders = load_table(spark, "orders", SF)
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("customer", cust)
+    g.dim(
+        "orders",
+        orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        after=("customer",),
+        how="left_semi",
+        fact_scale=True,
+    )
+    df = g.plan()
+    assert g.explain.demoted_dims == ("orders",)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_dim_chain_attaches_in_dependency_order(spark):
     """region depends on nation's column: both must attach (fixpoint) and
     the result must match the flat SQL join."""
