@@ -1010,6 +1010,50 @@ def _price_range_aggregate(
 
 
 @register(
+    "q179_string_range_pruned",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(1e-9 + CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    WHERE o_orderpriority >= '1-URGENT' AND o_orderpriority <= '2-HIGH'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc=(
+        "STRING-range aggregate served by zone-map file pruning (round 6): "
+        "string footer min/max are valid bounds by the parquet spec even "
+        "when truncated, so files provably outside the priority range are "
+        "dropped driver-side (stats.files_for_range via pruned_scan; "
+        "UTF-8 byte order == code-point order, matching the footer's "
+        "unsigned sort). Absence of stats never prunes, and the row-level "
+        "filter still applies, so the result is exact at any SF — on "
+        "priority-clustered layouts the scan touches only matching files."
+    ),
+)
+def q179_string_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.sources.layout import pruned_scan
+
+    lo, hi = "1-URGENT", "2-HIGH"
+    orders = pruned_scan(spark, sf_dir, "orders", "o_orderpriority", lo=lo, hi=hi)
+    return (
+        orders.filter(
+            (F.col("o_orderpriority") >= lo) & (F.col("o_orderpriority") <= hi)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("total"),
+        )
+        .transform(present_sorted, "o_orderstatus")
+    )
+
+
+@register(
     "q43_correlated_subquery",
     oracle="""
     SELECT c.c_custkey, round(1e-9 + c.c_acctbal, 2) AS acctbal

@@ -25,9 +25,20 @@ transaction log, Parquet row-group stats below them):
 At 100 TB the sidecar is the catalog-resident artifact (KBs per thousands
 of files) and the pruning decision is a driver-side metadata lookup —
 exactly how a production table format plans the scan before any task
-launches. String columns are excluded: parquet writers may truncate string
-min/max in footers, and a truncated max is not a sound upper bound for
-pruning.
+launches.
+
+String columns ARE prunable (round 6; rounds 4-5 excluded them): the
+parquet format REQUIRES footer statistics to be valid bounds even when
+truncated — a writer that shortens ``max`` must round the last byte UP so
+the stored value stays ≥ every row (parquet-format Statistics
+``is_max_value_exact``; parquet-mr's BinaryTruncator increments, DuckDB
+and arrow write untruncated values) — and range pruning needs only bound
+validity, never exactness: a file is dropped exactly when ``stored_max <
+lo`` (≥ true max, so no row reaches lo) or ``stored_min > hi`` (≤ true
+min, so every row exceeds hi). UTF-8 byte order equals code-point order,
+so Python ``str`` comparison matches the footer's UNSIGNED sort order.
+Non-UTF-8 binary stats (raw bytes, decimals) are still skipped — absence
+of stats never prunes.
 
 Reference parity: host DuckDB's dynamic zone-map skipping
 (src/highs_extension.cpp inherits it for every table the extension's SQL
@@ -43,18 +54,23 @@ from typing import Any
 
 SIDECAR = "_zone_stats.json"
 
+#: harvest-logic version: bump when collect_stats starts recording MORE
+#: than before (e.g. round 6 added string columns) so caches keyed only on
+#: the SOURCE fingerprint re-harvest instead of serving the narrower stats
+STATS_VERSION = 2
+
 #: sidecar-serializable primitive kinds
 _NUM = (int, float)
 
 
 def _encode(v: Any) -> Any:
-    if isinstance(v, bool) or v is None or isinstance(v, _NUM):
+    if isinstance(v, bool) or v is None or isinstance(v, (str, *_NUM)):
         return v
     if isinstance(v, _dt.datetime):
         return {"$ts": v.isoformat()}
     if isinstance(v, _dt.date):
         return {"$date": v.isoformat()}
-    raise TypeError(type(v))
+    raise TypeError(type(v))  # bytes / decimals: not sidecar-prunable
 
 
 def _decode(v: Any) -> Any:
@@ -123,8 +139,10 @@ def collect_stats(dir_path: str, columns: list[str] | None = None) -> dict:
             name = col.path
             if "." in name:  # nested/list leaves: not prunable scalars
                 continue
-            if col.physical_type == "BYTE_ARRAY":  # strings: truncation risk
-                continue
+            # BYTE_ARRAY is included: UTF-8 stats decode to str and footer
+            # min/max are valid bounds by the format spec even when
+            # truncated (module doc); non-UTF-8 binary stats surface as
+            # bytes and are dropped by _encode below
             if columns is None or name in columns:
                 want[i] = name
         rgs = []
@@ -269,7 +287,10 @@ def primary_sidecar(sf_dir: str, table: str) -> tuple[dict | None, str]:
         try:
             with open(cache) as f:
                 entry = json.load(f)
-            if entry.get("fingerprint") == fp:
+            if (
+                entry.get("fingerprint") == fp
+                and entry.get("stats_version") == STATS_VERSION
+            ):
                 return entry["stats"], base
         except OSError:
             pass
@@ -277,7 +298,9 @@ def primary_sidecar(sf_dir: str, table: str) -> tuple[dict | None, str]:
         os.makedirs(primary_sidecar_cache(), exist_ok=True)
         tmp = cache + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"fingerprint": fp, "stats": stats}, f)
+            json.dump(
+                {"fingerprint": fp, "stats_version": STATS_VERSION, "stats": stats}, f
+            )
         os.replace(tmp, cache)  # atomic: concurrent sessions never read a torn file
         return stats, base
     except Exception:
