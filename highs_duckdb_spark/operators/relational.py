@@ -434,9 +434,12 @@ def q14_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
         .distinct()
     )
-    # planner-built left outer: the distinct qualifying-order key set is
-    # order-count-grained (stat proxy: orders) — broadcast under the cap,
-    # co-partitioned past it; NULL probes survive on the preserved side
+    # planner-built left outer; NULL probes survive on the preserved side.
+    # The distinct qualifying-order key set GROWS with SF (order-count
+    # grained): fact_scale pins it to the co-partitioned strategy — at sf10
+    # the broadcast of the ~7M-key hash relation measured 1.15→3.14 s
+    # (build + driver round trip), exactly the cliff the class exists to
+    # forbid at 100 TB.
     g = JoinGraph(spark, sf_dir)
     g.fact("orders", orders)
     g.dim(
@@ -447,6 +450,7 @@ def q14_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         table="orders",
         sel=0.5,  # distinct keys of qty>=45 lineitems
         how="left",
+        fact_scale=True,
     )
     return (
         g.plan()
