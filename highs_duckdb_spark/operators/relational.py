@@ -1103,7 +1103,13 @@ def q43_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Date-part extraction + range pruning (year/quarter grouping).",
 )
 def q50_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
+    from highs_duckdb_spark.sources.layout import pruned_scan_dates
+
+    # time-window zone-map pruning: on date-clustered multi-file sources
+    # only the files intersecting the window are listed (inert otherwise)
+    orders = pruned_scan_dates(
+        spark, sf_dir, "orders", "o_orderdate", lo="1996-01-01", hi="1999-01-01"
+    )
     return (
         orders.filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))

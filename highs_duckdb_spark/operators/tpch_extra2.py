@@ -28,6 +28,7 @@ from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.cbo import JoinGraph, cluster_by
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.sources.layout import pruned_scan_dates
 
 # exact-decimal revenue term shared by most TPC-H shapes (see module doc in
 # relational.py: money sums are DECIMAL-exact so both engines agree bitwise)
@@ -64,7 +65,9 @@ _DISC_PRICE_SQL = (
     ),
 )
 def q100_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir).filter(
+    orders = pruned_scan_dates(
+        spark, sf_dir, "orders", "o_orderdate", lo="1996-01-01", hi="1997-01-01"
+    ).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
@@ -355,7 +358,9 @@ def q104_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     def returned(df: DataFrame) -> DataFrame:
         return df.filter(F.col("l_returnflag") == "R")
 
-    orders = load_table(spark, "orders", sf_dir)
+    orders = pruned_scan_dates(
+        spark, sf_dir, "orders", "o_orderdate", lo="1997-01-01", hi="1997-07-01"
+    )
     li = load_table(spark, "lineitem", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
     # planner-built; prepare= opts orders into the layout's alternate
@@ -418,7 +423,9 @@ def q104_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q105_shipping_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
+    li = pruned_scan_dates(
+        spark, sf_dir, "lineitem", "l_shipdate", lo="1997-01-01", hi="1998-01-01"
+    )
 
     def shipped_1997(df: DataFrame) -> DataFrame:
         return df.filter(
@@ -525,7 +532,9 @@ def q106_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
 )
 def q107_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir).filter(
+    li = pruned_scan_dates(
+        spark, sf_dir, "lineitem", "l_shipdate", lo="1997-03-01", hi="1997-04-01"
+    ).filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
@@ -577,7 +586,9 @@ def q107_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q108_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir).filter(
+    li = pruned_scan_dates(
+        spark, sf_dir, "lineitem", "l_shipdate", lo="1997-01-01", hi="1997-04-01"
+    ).filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
@@ -850,7 +861,9 @@ def q112_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q113_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
-        load_table(spark, "lineitem", sf_dir)
+        pruned_scan_dates(
+            spark, sf_dir, "lineitem", "l_shipdate", lo="1996-01-01", hi="1997-01-01"
+        )
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))

@@ -512,6 +512,31 @@ def pruned_scan(
     return spark.read.parquet(*files)
 
 
+def pruned_scan_dates(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    col: str,
+    lo: str | None = None,
+    hi: str | None = None,
+) -> DataFrame:
+    """:func:`pruned_scan` with ISO-date string bounds — the time-window
+    shape every decision-support query filters on. On time-partitioned /
+    time-clustered deployments (how fact data lands in practice) this is
+    the highest-leverage prune there is; on unclustered or single-file
+    sources it degrades to the plain cached scan."""
+    import datetime as dt
+
+    return pruned_scan(
+        spark,
+        sf_dir,
+        table,
+        col,
+        lo=dt.datetime.fromisoformat(lo) if lo else None,
+        hi=dt.datetime.fromisoformat(hi) if hi else None,
+    )
+
+
 # --- price-banded orders for partition-pruned top-k --------------------------
 
 
