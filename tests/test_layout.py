@@ -354,7 +354,8 @@ def test_pruned_scan_multifile_prunes_and_matches(spark, tmp_path):
     from highs_duckdb_spark.sources import stats as zstats
 
     sf2 = _write_multifile_orders(spark, tmp_path)
-    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: str(tmp_path / "sc")):
+    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: str(tmp_path / "sc")), \
+         mock.patch.object(L, "PRUNE_MIN_FILES", 0):
         pruned = L.pruned_scan(spark, sf2, "orders", "o_totalprice", lo=300e3, hi=400e3)
         full = load_table(spark, "orders", sf2)
         assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
@@ -389,7 +390,8 @@ def test_pruned_scan_strings(spark, tmp_path):
         F.col("o_orderpriority") >= "4",
     ]:
         orders.filter(cond).coalesce(1).write.mode("append").parquet(dest)
-    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: str(tmp_path / "sc")):
+    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: str(tmp_path / "sc")), \
+         mock.patch.object(L, "PRUNE_MIN_FILES", 0):
         stats, base = zstats.primary_sidecar(sf2, "orders")
         assert any(
             "o_orderpriority" in f["columns"] for f in stats["files"]
@@ -401,6 +403,25 @@ def test_pruned_scan_strings(spark, tmp_path):
         assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
         cond = F.col("o_orderpriority") == "3-MEDIUM"
         assert pruned.filter(cond).count() == full.filter(cond).count()
+
+
+def test_pruned_scan_file_count_threshold(spark, tmp_path):
+    """Below PRUNE_MIN_FILES the planner scans plain (pushdown already
+    row-group-skips the data; a narrower reader only costs parallelism —
+    measured at sf10), while a provably-EMPTY intersection still returns
+    zero files at any count."""
+    import unittest.mock as mock
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    sf2 = _write_multifile_orders(spark, tmp_path)
+    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: str(tmp_path / "sc")):
+        assert L.PRUNE_MIN_FILES > 4  # this table is below the threshold
+        pruned = L.pruned_scan(spark, sf2, "orders", "o_totalprice", lo=300e3, hi=400e3)
+        full = load_table(spark, "orders", sf2)
+        assert len(pruned.inputFiles()) == len(full.inputFiles())  # plain path
+        empty = L.pruned_scan(spark, sf2, "orders", "o_totalprice", lo=1e12)
+        assert empty.inputFiles() == [] and empty.count() == 0
 
 
 def test_pruned_scan_dates(spark, tmp_path):
@@ -425,7 +446,8 @@ def test_pruned_scan_dates(spark, tmp_path):
             .write.mode("append")
             .parquet(dest)
         )
-    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: str(tmp_path / "sc")):
+    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: str(tmp_path / "sc")), \
+         mock.patch.object(L, "PRUNE_MIN_FILES", 0):
         pruned = L.pruned_scan(
             spark, sf2, "orders", "o_orderdate", hi=dt.datetime(1996, 6, 1)
         )
