@@ -294,8 +294,14 @@ def q10_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
     rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))  # scale 4, exact
+    # planner-built: the filtered part dim broadcasts under the byte cap
+    # (the asserted plan property at test scale) and demotes to the
+    # co-partitioned strategy when a scale-up makes part fact-sized
+    g = JoinGraph(spark, sf_dir)
+    g.fact("lineitem", li)
+    g.dim("part", part, F.col("l_partkey") == F.col("p_partkey"), after=("lineitem",), sel=0.2)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        g.plan()
         .groupBy("p_brand")
         .agg(
             money_sum(rev_c, 4).alias("revenue"),

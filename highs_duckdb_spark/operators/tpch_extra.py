@@ -44,9 +44,19 @@ def q94_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    best = supply.groupBy("partkey").agg(F.min("unit_cost").alias("best_cost"))
+    best = supply.groupBy(F.col("partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    # planner-built: both sides are part-grained aggregates of lineitem
+    # (part is their size stat); the per-part minimum joins back
+    # co-partitioned on partkey past the byte cap, broadcast under it
+    from highs_duckdb_spark.plans.cbo import JoinGraph
+
+    g = JoinGraph(spark, sf_dir)
+    g.fact("supply", supply, table="part", sel=5.0)  # (part, supp) pairs
+    g.dim("best", best, F.col("partkey") == F.col("b_partkey"), after=("supply",), table="part")
     return (
-        supply.join(best, ["partkey"])
+        g.plan()
         .filter((F.col("unit_cost") == F.col("best_cost")) & (F.col("partkey") < 300))
         .groupBy("partkey")
         .agg(
@@ -85,9 +95,26 @@ def q95_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select(F.col("s_suppkey").alias("bad_suppkey"))
     )
+    # planner-built: the filtered part dim and the (aggregated, bounded-
+    # selectivity) negative-balance blocklist both broadcast under the cap
+    # and demote past it; the anti join attaches first (earliest legal
+    # point = maximal early row reduction)
+    from highs_duckdb_spark.plans.cbo import JoinGraph
+
+    g = JoinGraph(spark, sf_dir)
+    g.fact("lineitem", li)
+    g.dim(
+        "blocklist",
+        blocklist,
+        F.col("l_suppkey") == F.col("bad_suppkey"),
+        after=("lineitem",),
+        table="supplier",
+        sel=0.5,
+        how="left_anti",
+    )
+    g.dim("part", part, F.col("l_partkey") == F.col("p_partkey"), after=("lineitem",), sel=0.8)
     return (
-        li.join(F.broadcast(blocklist), li.l_suppkey == blocklist.bad_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        g.plan()
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
