@@ -10,7 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.plans.strategy import fact_join_strategy
+from highs_duckdb_spark.plans.cbo import JoinGraph
 from highs_duckdb_spark.session import load_table
 
 
@@ -50,8 +50,6 @@ def q94_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planner-built: both sides are part-grained aggregates of lineitem
     # (part is their size stat); the per-part minimum joins back
     # co-partitioned on partkey past the byte cap, broadcast under it
-    from highs_duckdb_spark.plans.cbo import JoinGraph
-
     g = JoinGraph(spark, sf_dir)
     g.fact("supply", supply, table="part", sel=5.0)  # (part, supp) pairs
     g.dim("best", best, F.col("partkey") == F.col("b_partkey"), after=("supply",), table="part")
@@ -99,8 +97,6 @@ def q95_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selectivity) negative-balance blocklist both broadcast under the cap
     # and demote past it; the anti join attaches first (earliest legal
     # point = maximal early row reduction)
-    from highs_duckdb_spark.plans.cbo import JoinGraph
-
     g = JoinGraph(spark, sf_dir)
     g.fact("lineitem", li)
     g.dim(
@@ -155,8 +151,6 @@ def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the AGGREGATED big-order key set broadcasts). o_orderkey is outside
     # the lineitem_orders projection's columns, so the matcher correctly
     # declines and the pair plans on base tables.
-    from highs_duckdb_spark.plans.cbo import JoinGraph
-
     g = JoinGraph(spark, sf_dir)
     g.fact("customer", cust)
     g.fact("orders", orders, columns=("o_custkey", "o_orderkey", "o_orderdate"))
@@ -212,8 +206,6 @@ def q97_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # planner-built anti join (the scalar average stays an explicit
     # single-row broadcast); orders' key set demotes past the byte cap
-    from highs_duckdb_spark.plans.cbo import JoinGraph
-
     g = JoinGraph(spark, sf_dir)
     g.fact(
         "customer",

@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.cbo import JoinGraph, cluster_by
-from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 from highs_duckdb_spark.sources.layout import pruned_scan_dates
 

@@ -332,6 +332,11 @@ class JoinGraph:
             projection_part_keys,
         )
 
+        # gate: matching needs at least two opted-in facts — skip the
+        # catalog round trips entirely for graphs that can never match
+        # (builder-time construct cost is the sf0.1 floor, floor_probe.py)
+        if sum(1 for f in self._facts.values() if f.columns is not None) < 2:
+            return ()
         used: list[tuple[str, tuple[str, str]]] = []
         projs = attached_projections(self.spark, self.sf_dir)
         changed = True

@@ -109,6 +109,9 @@ _PRUNED_CACHE: dict[tuple, "DataFrame"] = {}
 #: reader only costs scan parallelism — measured in pruned_scan's comment)
 PRUNE_MIN_FILES = 64
 
+#: projection path → source bytes (size stat computed once per process)
+_PROJECTION_BYTES: dict[str, int] = {}
+
 PRICE_BANDS = 16
 #: o_totalprice in TPC-H-ish data spans ~[850, 560k]; a fixed band width
 #: keeps the band ↔ price mapping data-independent (pure arithmetic, no
@@ -172,8 +175,13 @@ def _fingerprint_current(path: str, fp: str) -> bool:
 def _write_fingerprint(path: str, fp: str, **extra) -> None:
     import json
 
-    with open(os.path.join(path, "_source_fingerprint.json"), "w") as f:
+    # atomic replace: a process killed mid-write must never leave a torn
+    # marker that bricks every future attach/rebuild of this layout
+    target = os.path.join(path, "_source_fingerprint.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"fingerprint": fp, **extra}, f)
+    os.replace(tmp, target)
 
 
 def _layout_marker(path: str) -> dict:
@@ -182,8 +190,23 @@ def _layout_marker(path: str) -> dict:
             import json
 
             return json.load(f)
-    except OSError:
+    except (OSError, ValueError):  # absent OR torn: caller treats as stale
         return {}
+
+
+def _bucket_sorted(path: str, buckets: int) -> bool:
+    """Whether each bucket of the layout at ``path`` is one sorted file.
+
+    The marker records it for new builds; for pre-marker layouts the
+    FILES are the ground truth — more parquet files than buckets means
+    some bucket has several files and per-bucket global sortedness is
+    gone (a big-source coalesce build), so the DDL must not claim it."""
+    marker = _layout_marker(path)
+    if "bucket_sorted" in marker:
+        return bool(marker["bucket_sorted"])
+    from highs_duckdb_spark.sources import stats as zstats
+
+    return len(zstats._parquet_files(path)) <= buckets
 
 
 def build_bucketed_layout(
@@ -271,11 +294,10 @@ def register_bucketed_tables(
             # SORTED BY only when the build actually left each bucket
             # globally sorted (one file per bucket — the repartition path);
             # the big-source coalesce path loses that property and must not
-            # advertise it (default True covers pre-marker layouts, which
-            # were always repartition-built)
+            # advertise it. Pre-marker layouts are judged by their files.
             sorted_ddl = (
                 f"SORTED BY ({', '.join(scols)}) "
-                if _layout_marker(path).get("bucket_sorted", True)
+                if _bucket_sorted(path, buckets)
                 else ""
             )
             spark.sql(
@@ -390,7 +412,7 @@ def _build_join_projections(
             cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
             sorted_by = (
                 f"SORTED BY ({', '.join(spec['sort_cols'])}) "
-                if spec["sort_cols"] and _layout_marker(path).get("bucket_sorted", False)
+                if spec["sort_cols"] and _bucket_sorted(path, buckets)
                 else ""
             )
             spark.sql(
@@ -425,11 +447,11 @@ def attached_projections(
     out: dict[str, tuple[dict, DataFrame, int]] = {}
     for (a, s, name), (ident, path) in _PROJECTIONS.items():
         if a == app and s == sf_dir:
-            out[name] = (
-                JOIN_PROJECTION_SPECS[name],
-                spark.table(ident),
-                dir_bytes(path),
-            )
+            nbytes = _PROJECTION_BYTES.get(path)
+            if nbytes is None:  # walk the files once per process, not per plan
+                nbytes = dir_bytes(path)
+                _PROJECTION_BYTES[path] = nbytes
+            out[name] = (JOIN_PROJECTION_SPECS[name], spark.table(ident), nbytes)
     return out
 
 
@@ -512,6 +534,13 @@ def pruned_scan(
         return load_table(spark, table, sf_dir)
     if os.environ.get("HDS_DISABLE_PRUNING") == "1":  # A/B + ops kill-switch
         return load_table(spark, table, sf_dir)
+    # cache FIRST: the per-call work the cache exists to remove includes
+    # the sidecar handshake itself (fingerprint walk + JSON parse), not
+    # just the spark.read construction
+    key = (spark.sparkContext.applicationId, sf_dir, table, col, repr(lo), repr(hi))
+    cached = _PRUNED_CACHE.get(key)
+    if cached is not None:
+        return cached
     stats, base = zstats.primary_sidecar(sf_dir, table)
     if stats is None:
         return load_table(spark, table, sf_dir)
@@ -540,10 +569,6 @@ def pruned_scan(
     # session-immutable source (the same assumption the reader cache
     # makes); the schema is borrowed from the cached full scan so zero
     # footers are sniffed at plan time.
-    key = (spark.sparkContext.applicationId, sf_dir, table, col, repr(lo), repr(hi))
-    cached = _PRUNED_CACHE.get(key)
-    if cached is not None:
-        return cached
     schema = load_table(spark, table, sf_dir).schema
     df = spark.read.schema(schema).parquet(*files)
     _PRUNED_CACHE[key] = df

@@ -317,7 +317,8 @@ def test_primary_sidecar_harvest_and_cache(spark, tmp_path):
     from highs_duckdb_spark.sources import stats as zstats
 
     cache = str(tmp_path / "sidecars")
-    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: cache):
+    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: cache), \
+         mock.patch.dict(zstats._SIDECAR_MEMO, clear=True):
         stats, base = zstats.primary_sidecar(SF, "orders")
         assert stats is not None and len(stats["files"]) == 1
         assert base == SF  # single-file table: base is the sf dir itself
@@ -403,6 +404,36 @@ def test_pruned_scan_strings(spark, tmp_path):
         assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
         cond = F.col("o_orderpriority") == "3-MEDIUM"
         assert pruned.filter(cond).count() == full.filter(cond).count()
+
+
+def test_files_for_range_incomparable_stats_never_prune_or_crash(spark):
+    """tz-aware footer stats (TIMESTAMP isAdjustedToUTC=true) or DATE
+    stats vs a naive datetime bound must degrade to KEEP (no pruning),
+    never raise — 'absence of usable stats never prunes'."""
+    import datetime as dt
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    aware = dt.datetime(1997, 1, 1, tzinfo=dt.timezone.utc)
+    stats = {
+        "files": [
+            {"path": "a.parquet", "rows": 1,
+             "columns": {"d": {"min": {"$ts": aware.isoformat()},
+                                "max": {"$ts": aware.isoformat()}}}},
+            {"path": "b.parquet", "rows": 1,
+             "columns": {"d": {"min": {"$date": "1997-01-01"},
+                                "max": {"$date": "1997-06-01"}}}},
+        ]
+    }
+    kept = zstats.files_for_range(
+        stats, "/x", "d", lo=dt.datetime(1998, 1, 1), hi=dt.datetime(1999, 1, 1)
+    )
+    assert len(kept) == 2  # incomparable: both kept, no TypeError
+    # comparable naive stats still prune as before
+    naive = {"files": [{"path": "c.parquet", "rows": 1,
+                         "columns": {"d": {"min": {"$ts": "1995-01-01T00:00:00"},
+                                            "max": {"$ts": "1995-06-01T00:00:00"}}}}]}
+    assert zstats.files_for_range(naive, "/x", "d", lo=dt.datetime(1998, 1, 1)) == []
 
 
 def test_pruned_scan_file_count_threshold(spark, tmp_path):
