@@ -326,16 +326,22 @@ def q10_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="4-way star join: shuffle join on the fact key, broadcast for nation/region.",
 )
 def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    orders = load_table(spark, "orders", sf_dir)
+
+    def finished(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("o_orderstatus") == "F")
+
     cust = load_table(spark, "customer", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
     region = load_table(spark, "region", sf_dir)
     # CBO-lite: orders⋈customer gets the size-picked co-partitioned
-    # strategy (and, under the custkey-bucketed layout, no customer-side
-    # exchange at all); nation/region stay broadcast at every scale
-    # (bounded 25/5 rows).
+    # strategy; prepare= opts orders into the layout's alternate clustered
+    # copies, so under the bucketed layout the planner scans the
+    # custkey-clustered orders COPY and the star join is exchange-free on
+    # BOTH sides; nation/region stay broadcast at every scale (bounded
+    # 25/5 rows).
     g = JoinGraph(spark, sf_dir)
-    g.fact("orders", orders, sel=0.33)  # 1-of-3 orderstatus values
+    g.fact("orders", orders, sel=0.33, prepare=finished)  # 1-of-3 statuses
     g.fact("customer", cust)
     g.edge("orders", "o_custkey", "customer", "c_custkey")
     g.dim("nation", nation, F.col("c_nationkey") == F.col("n_nationkey"), after=("customer",))
