@@ -369,20 +369,26 @@ def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
-    big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 200000)
-    # planner-built: the filtered key set broadcasts below the scale cap
-    # (semi-join build side) and demotes to the co-partitioned strategy
-    # past it — the same catalog-stat decision every JoinGraph dim gets
+
+    def big_orders(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("o_totalprice") > 200000)
+
+    # planner-built: the raw-orders build side never broadcasts
+    # (fact_scale); prepare=/key= let the planner scan the layout's
+    # custkey-clustered orders COPY, making the demoted semi join
+    # exchange-free on BOTH sides (customer is custkey-bucketed)
     g = JoinGraph(spark, sf_dir)
     g.fact("customer", cust)
     g.dim(
         "orders",
-        big,
+        load_table(spark, "orders", sf_dir),
         F.col("c_custkey") == F.col("o_custkey"),
         after=("customer",),
         sel=0.25,  # totalprice > 200k
         how="left_semi",
         fact_scale=True,  # raw orders probe: never a static broadcast
+        prepare=big_orders,
+        key="o_custkey",
     )
     return (
         g.plan()
@@ -405,17 +411,20 @@ def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    # planner-built anti join: full orders is the build side — broadcast
-    # only while its catalog bytes clear the cap, co-partitioned at scale
+    # planner-built anti join: full orders is the build side — never a
+    # static broadcast (fact_scale); under the layout the custkey-
+    # clustered copy makes the co-partitioned anti join exchange-free
     g = JoinGraph(spark, sf_dir)
     g.fact("customer", cust)
     g.dim(
         "orders",
-        orders.select("o_custkey"),
+        orders,
         F.col("c_custkey") == F.col("o_custkey"),
         after=("customer",),
         how="left_anti",
         fact_scale=True,  # raw orders probe: never a static broadcast
+        prepare=lambda df: df.select("o_custkey"),
+        key="o_custkey",
     )
     return (
         g.plan()

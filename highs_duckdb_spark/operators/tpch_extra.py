@@ -215,11 +215,13 @@ def q97_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g.dim(
         "orders",
-        orders.select("o_custkey"),
+        orders,
         F.col("c_custkey") == F.col("o_custkey"),
         after=("customer",),
         how="left_anti",
         fact_scale=True,  # raw orders probe: never a static broadcast
+        prepare=lambda df: df.select("o_custkey"),
+        key="o_custkey",  # layout's custkey copy → exchange-free anti join
     )
     return (
         g.plan()

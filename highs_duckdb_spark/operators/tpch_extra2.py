@@ -495,11 +495,13 @@ def q106_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     g.fact("customer", cust)
     g.dim(
         "orders",
-        orders.select("o_custkey", "o_orderkey", "o_orderstatus"),
+        orders,
         (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderstatus") != "P"),
         after=("customer",),
         how="left_outer",
         fact_scale=True,  # raw orders side: never a static broadcast
+        prepare=lambda df: df.select("o_custkey", "o_orderkey", "o_orderstatus"),
+        key="o_custkey",  # layout's custkey copy → exchange-free outer join
     )
     per_cust = (
         g.plan()

@@ -137,6 +137,11 @@ class _Dim:
     #: broadcast decision is not revisited by AQE, so the plan ENCODING
     #: must forbid it (registry-wide no-raw-fact-broadcast invariant)
     fact_scale: bool = False
+    #: alternate clustered copy covering the dim's join key (same rows,
+    #: different physical clustering) — taken on the DEMOTED path only,
+    #: where a key-clustered scan makes the co-partitioned join
+    #: exchange-free on the dim side
+    alt_df: DataFrame | None = None
 
 
 @dataclass
@@ -162,6 +167,8 @@ class PlanExplain:
     #: materialized projections substituted for fact subgraphs:
     #: (projection name, (absorbed fact, absorbed fact))
     projections: tuple[tuple[str, tuple[str, str]], ...] = ()
+    #: demoted dims scanned from a key-clustered alternate copy
+    dim_alt_copies: tuple[str, ...] = ()
 
 
 class JoinGraph:
@@ -280,6 +287,8 @@ class JoinGraph:
         sel: float = 1.0,
         how: str = "inner",
         fact_scale: bool = False,
+        prepare=None,
+        key: str | None = None,
     ) -> "JoinGraph":
         """A broadcast-candidate relation joined by ``cond`` once every
         relation in ``after`` (fact OR previously-declared dim — star
@@ -290,8 +299,26 @@ class JoinGraph:
         strategy, never a static broadcast — today's measured bytes are a
         test-scale artifact, and the catalog's growth class is the stat
         that matters for an encoding that must survive a 1000x scale-up.
-        Semi/anti/outer probes against raw orders/lineitem declare this."""
+        Semi/anti/outer probes against raw orders/lineitem declare this.
+
+        ``prepare`` + ``key``: same contract as ``fact(prepare=)`` — the
+        row-level transform is captured so the planner may reproduce it on
+        an ALTERNATE clustered copy of ``table`` whose bucketing covers
+        ``key`` (the dim-side column of this join). Taken only on the
+        DEMOTED path, where a key-clustered scan makes the co-partitioned
+        semi/anti/outer join exchange-free on the dim side (the broadcast
+        path doesn't care about clustering)."""
         t = table or name
+        if prepare is not None:
+            df = prepare(df)
+        alt_df = None
+        if prepare is not None and key is not None:
+            from highs_duckdb_spark.sources.layout import alt_clustered_copies
+
+            for keys, alt in alt_clustered_copies(self.spark, self.sf_dir, t).items():
+                if key in keys:
+                    alt_df = prepare(alt)
+                    break
         self._dims.append(
             _Dim(
                 name=name,
@@ -301,6 +328,7 @@ class JoinGraph:
                 bytes=max(table_bytes(self.sf_dir, t) * sel, 1.0),
                 how=how,
                 fact_scale=fact_scale,
+                alt_df=alt_df,
             )
         )
         return self
@@ -475,6 +503,7 @@ class JoinGraph:
         strategy = fact_join_strategy(self.sf_dir)
         broadcasts: list[str] = []
         demoted: list[str] = []
+        dim_alt_used: list[str] = []
         pending = list(self._dims)
 
         # Which copy does each fact scan? Determined by the key it enters
@@ -514,7 +543,12 @@ class JoinGraph:
                             tree = tree.join(F.broadcast(d.df), d.cond, d.how)
                         else:
                             demoted.append(d.name)
-                            tree = tree.join(d.df.hint(strategy), d.cond, d.how)
+                            # key-clustered copy: the co-partitioned join
+                            # needs no dim-side exchange (same rows)
+                            ddf = d.alt_df if d.alt_df is not None else d.df
+                            if d.alt_df is not None:
+                                dim_alt_used.append(d.name)
+                            tree = tree.join(ddf.hint(strategy), d.cond, d.how)
             return tree
 
         first = self._facts[best_order[0]]
@@ -551,5 +585,6 @@ class JoinGraph:
             demoted_dims=tuple(demoted),
             alt_copies=tuple(alt_used),
             projections=proj_used,
+            dim_alt_copies=tuple(dim_alt_used),
         )
         return tree

@@ -158,6 +158,28 @@ def test_dim_broadcast_and_scale_demotion(spark, monkeypatch):
     assert "BroadcastHashJoin" not in plan2, plan2
 
 
+def test_dim_alt_copy_makes_semi_join_exchange_free(spark, layout_dir):
+    """A fact_scale dim declared with prepare=/key= scans the layout's
+    key-clustered copy: the demoted semi/anti join is exchange-free on
+    BOTH sides (q12/q13-class) and results match the plain run."""
+    from highs_duckdb_spark.operators import QUERIES
+
+    plain = {
+        n: [tuple(r) for r in QUERIES[n].builder(spark, SF).collect()]
+        for n in ("q12_semi_join", "q13_anti_join")
+    }
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    for n in ("q12_semi_join", "q13_anti_join"):
+        df = QUERIES[n].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "orders__by_custkey" in plan, (n, plan)
+        # the join itself is exchange-free: the only hash exchange left is
+        # the tiny final mktsegment aggregation's
+        assert plan.count("Exchange hashpartitioning(c_custkey") == 0, (n, plan)
+        assert plan.count("Exchange hashpartitioning(o_custkey") == 0, (n, plan)
+        assert [tuple(r) for r in df.collect()] == plain[n], n
+
+
 def test_fact_scale_dim_never_broadcasts(spark):
     """A dim declared fact_scale=True must take the co-partitioned
     strategy even when today's measured bytes clear the broadcast cap —
