@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
 #: the EDGE_TOP_K densest trade routes form the graph. A fixed-size graph
@@ -68,14 +67,24 @@ _EDGES_SQL = f"""
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected (n1 < n2) nation trade edges above the density threshold."""
+    from highs_duckdb_spark.plans.cbo import JoinGraph
+
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
+    # CBO-planned three-fact tree (same shape as q101); columns= opts the
+    # lineitem⋈orders pair into projection matching, so the whole g01-g07
+    # family inherits the lineitem_orders materialization under a layout
+    g = JoinGraph(spark, sf_dir)
+    g.fact("lineitem", li, columns=("l_suppkey",))
+    g.fact("orders", orders, columns=("o_custkey",))
+    g.fact("customer", cust)
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.dim("supplier", sup, F.col("l_suppkey") == F.col("s_suppkey"), after=("lineitem",))
     trade = (
-        li.join(orders.hint(fact_join_strategy(sf_dir)), li.l_orderkey == orders.o_orderkey)
-        .join(cust.hint(fact_join_strategy(sf_dir)), orders.o_custkey == cust.c_custkey)
-        .join(sup, li.l_suppkey == sup.s_suppkey)
+        g.plan()
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy(
             F.least("c_nationkey", "s_nationkey").alias("n1"),
