@@ -139,6 +139,11 @@ def collect_stats(dir_path: str, columns: list[str] | None = None) -> dict:
             name = col.path
             if "." in name:  # nested/list leaves: not prunable scalars
                 continue
+            # nanosecond timestamps: pyarrow surfaces their stats as
+            # MICROSECOND datetimes — a max truncated downward is not a
+            # sound upper bound, so these columns stay unprunable
+            if "nanoseconds" in str(col.logical_type):
+                continue
             # BYTE_ARRAY is included: UTF-8 stats decode to str and footer
             # min/max are valid bounds by the format spec even when
             # truncated (module doc); non-UTF-8 binary stats surface as
