@@ -253,8 +253,23 @@ def q45_generator_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = spark.sql(
         "SELECT explode(sequence(DATE'1996-01-01', DATE'1996-03-31')) AS d"
     )
+    # planner-built: the generated calendar is the tiny preserved side;
+    # raw orders is fact-scale, so the dim pins to the co-partitioned
+    # strategy (never a static broadcast)
+    from highs_duckdb_spark.plans.cbo import JoinGraph
+
+    g = JoinGraph(spark, sf_dir)
+    g.fact("cal", cal, table="region")  # rows-from-nothing: any tiny stat
+    g.dim(
+        "orders",
+        orders,
+        F.col("o_orderdate").cast("date") == F.col("d"),
+        after=("cal",),
+        how="left",
+        fact_scale=True,
+    )
     return (
-        cal.join(orders.hint(fact_join_strategy(sf_dir)), F.col("o_orderdate").cast("date") == F.col("d"), "left")
+        g.plan()
         .groupBy("d")
         .agg(F.count("o_orderkey").alias("n_orders"))
         .transform(present_sorted, "d")
@@ -1102,9 +1117,30 @@ def dq05_financial_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     orders = load_table(spark, "orders", sf_dir)
     diff = F.abs(F.col("o_cents") - F.col("li_cents"))
+    # planner-built: the per-order lineitem rollup is orders-grained but
+    # grows with SF — fact_scale keeps the reconciliation co-partitioned;
+    # under the orderkey-bucketed layout both sides join exchange-free
+    from highs_duckdb_spark.plans.cbo import JoinGraph
+
+    g = JoinGraph(spark, sf_dir)
+    g.fact(
+        "orders_sel",
+        orders.select(
+            "o_orderkey", "o_orderpriority", cents("o_totalprice").alias("o_cents")
+        ),
+        table="orders",
+    )
+    g.dim(
+        "li_rollup",
+        li,
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        after=("orders_sel",),
+        table="orders",
+        how="left",
+        fact_scale=True,
+    )
     return (
-        orders.select("o_orderkey", "o_orderpriority", cents("o_totalprice").alias("o_cents"))
-        .join(li.hint(fact_join_strategy(sf_dir)), F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        g.plan()
         .select(
             "o_orderpriority",
             "o_cents",

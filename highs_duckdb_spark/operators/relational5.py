@@ -27,7 +27,6 @@ from highs_duckdb_spark.operators.relational import (
     _hll_max_rank,
     _hll_zs_v,
 )
-from highs_duckdb_spark.plans.strategy import fact_join_strategy
 from highs_duckdb_spark.session import load_table
 
 # Bloom geometry: m must be a power of two so pmod(xxhash64, m) is uniform;
@@ -104,12 +103,17 @@ def q114_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
         return reduce(lambda a, b: a & b, checks)
 
     pre = li.filter(might_contain(F.col("l_orderkey")))
-    # the filtered orders side is still fact-scale (grows with SF): the
-    # exact join stays co-partitioned, never a static fact broadcast
+    # planner-built: the filtered orders side is still fact-scale (grows
+    # with SF) — the exact join stays co-partitioned, never a static
+    # fact broadcast
+    from highs_duckdb_spark.plans.cbo import JoinGraph
+
+    g = JoinGraph(spark, sf_dir)
+    g.fact("lineitem_pre", pre, table="lineitem", sel=0.2)
+    g.fact("orders", orders)
+    g.edge("lineitem_pre", "l_orderkey", "orders", "o_orderkey")
     return (
-        pre.join(
-            orders.hint(fact_join_strategy(sf_dir)), pre.l_orderkey == orders.o_orderkey
-        )
+        g.plan()
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
