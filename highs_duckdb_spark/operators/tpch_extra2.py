@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.cbo import JoinGraph, cluster_by
 from highs_duckdb_spark.session import load_table
-from highs_duckdb_spark.sources.layout import pruned_scan_dates
+from highs_duckdb_spark.sources.layout import pruned_scan_dates, range_selectivity
 
 # exact-decimal revenue term shared by most TPC-H shapes (see module doc in
 # relational.py: money sums are DECIMAL-exact so both engines agree bitwise)
@@ -77,7 +77,12 @@ def q100_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-equi lateness predicate rides the join condition.
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
     g = JoinGraph(spark, sf_dir)
-    g.fact("orders", orders, sel=0.17)  # one year of orderdates
+    g.fact(
+        "orders",
+        orders,
+        sel=range_selectivity(sf_dir, "orders", "o_orderdate",
+                              lo="1996-01-01", hi="1997-01-01", default=0.17),
+    )
     g.dim(
         "lineitem",
         li,
@@ -370,7 +375,8 @@ def q104_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.fact(
         "orders",
         orders,
-        sel=0.08,  # half-year of ~6 years of dates
+        sel=range_selectivity(sf_dir, "orders", "o_orderdate",
+                              lo="1997-01-01", hi="1997-07-01", default=0.08),
         prepare=in_half_year,
         columns=("o_custkey", "o_orderdate"),
     )
@@ -446,7 +452,8 @@ def q105_shipping_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.fact(
         "lineitem",
         li,
-        sel=0.17,  # one year of shipdates
+        sel=range_selectivity(sf_dir, "lineitem", "l_shipdate",
+                              lo="1997-01-01", hi="1998-01-01", default=0.17),
         prepare=shipped_1997,
         columns=("l_shipdate",),
     )

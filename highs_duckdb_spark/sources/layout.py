@@ -575,6 +575,39 @@ def pruned_scan(
     return df
 
 
+def range_selectivity(
+    sf_dir: str,
+    table: str,
+    col: str,
+    lo=None,
+    hi=None,
+    default: float = 1.0,
+) -> float:
+    """Selectivity of ``lo <= col <= hi`` on ``table``, DERIVED from the
+    footer sidecar (stats.estimate_range_selectivity) — the ANALYZE-style
+    statistic JoinGraph's cost model consumes, computed from the same
+    zones the pruning planner holds instead of hand-declared. Falls back
+    to ``default`` (the declared estimate) without usable stats; bounds
+    accept ISO date strings for temporal columns."""
+    import datetime as dt
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    def conv(v):
+        if isinstance(v, str):
+            try:
+                return dt.datetime.fromisoformat(v)
+            except ValueError:
+                return v  # non-date string bound: estimator will decline
+        return v
+
+    stats, _base = zstats.primary_sidecar(sf_dir, table)
+    if stats is None:
+        return default
+    est = zstats.estimate_range_selectivity(stats, col, lo=conv(lo), hi=conv(hi))
+    return est if est is not None else default
+
+
 def pruned_scan_dates(
     spark: SparkSession,
     sf_dir: str,

@@ -341,6 +341,47 @@ def warm_primary_sidecars(sf_dir: str, tables: tuple[str, ...]) -> None:
         primary_sidecar(sf_dir, t)
 
 
+def estimate_range_selectivity(
+    stats: dict, col: str, lo: Any = None, hi: Any = None
+) -> float | None:
+    """Fraction of rows satisfying ``lo <= col <= hi``, estimated from the
+    per-row-group zones with uniform interpolation inside each group (the
+    System-R textbook estimator, computed from the SAME footer stats the
+    pruning planner holds — a derived optimizer statistic, not a declared
+    one). Returns None when the column has no numeric/temporal stats
+    anywhere (strings interpolate meaninglessly; callers fall back to
+    their declared default)."""
+    total = 0
+    est = 0.0
+    usable = False
+    for f in stats.get("files", []):
+        for rg in f.get("row_groups", []):
+            rows = rg.get("rows", 0)
+            total += rows
+            c = rg.get("columns", {}).get(col)
+            if not c:
+                est += rows  # no stats: assume all rows qualify (upper bound)
+                continue
+            fmin, fmax = _decode(c["min"]), _decode(c["max"])
+            try:
+                a, b = float(_cmp_key(fmin)), float(_cmp_key(fmax))
+                lo_v = float(_cmp_key(lo)) if lo is not None else a
+                hi_v = float(_cmp_key(hi)) if hi is not None else b
+            except (TypeError, ValueError):
+                est += rows  # incomparable (strings, mixed): keep all
+                continue
+            usable = True
+            if b <= a:  # degenerate zone: one value
+                frac = 1.0 if lo_v <= a <= hi_v else 0.0
+            else:
+                overlap = min(hi_v, b) - max(lo_v, a)
+                frac = max(0.0, min(1.0, overlap / (b - a)))
+            est += rows * frac
+    if not usable or total == 0:
+        return None
+    return est / total
+
+
 def _provably_lt(a: Any, b: Any) -> bool:
     """True only when ``a < b`` PROVABLY holds. Incomparable pairs —
     tz-aware vs naive datetimes (parquet TIMESTAMP with

@@ -406,6 +406,28 @@ def test_pruned_scan_strings(spark, tmp_path):
         assert pruned.filter(cond).count() == full.filter(cond).count()
 
 
+def test_range_selectivity_derived_from_zones(spark):
+    """The System-R interpolation over row-group zones tracks ground truth
+    closely on the graded data (the derived ANALYZE stat JoinGraph's cost
+    model consumes), and degrades to the declared default for string
+    columns (interpolation meaningless) and missing tables."""
+    import duckdb
+
+    from highs_duckdb_spark.sources.layout import range_selectivity
+
+    est = range_selectivity(SF, "orders", "o_orderdate", hi="1998-03-15", default=-1)
+    con = duckdb.connect()
+    true = con.execute(
+        f"SELECT avg((o_orderdate < TIMESTAMP '1998-03-15')::INT) "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert abs(est - true) < 0.05, (est, true)
+    # string column: interpolation meaningless → declared default
+    assert range_selectivity(SF, "orders", "o_orderpriority", lo="1", hi="2", default=0.4) == 0.4
+    # missing table → default
+    assert range_selectivity("/nonexistent", "orders", "o_orderdate", default=0.7) == 0.7
+
+
 def test_files_for_range_incomparable_stats_never_prune_or_crash(spark):
     """tz-aware footer stats (TIMESTAMP isAdjustedToUTC=true) or DATE
     stats vs a naive datetime bound must degrade to KEEP (no pruning),
