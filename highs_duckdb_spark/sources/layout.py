@@ -109,9 +109,6 @@ _PRUNED_CACHE: dict[tuple, "DataFrame"] = {}
 #: reader only costs scan parallelism — measured in pruned_scan's comment)
 PRUNE_MIN_FILES = 64
 
-#: projection path → source bytes (size stat computed once per process)
-_PROJECTION_BYTES: dict[str, int] = {}
-
 PRICE_BANDS = 16
 #: o_totalprice in TPC-H-ish data spans ~[850, 560k]; a fixed band width
 #: keeps the band ↔ price mapping data-independent (pure arithmetic, no
@@ -447,11 +444,9 @@ def attached_projections(
     out: dict[str, tuple[dict, DataFrame, int]] = {}
     for (a, s, name), (ident, path) in _PROJECTIONS.items():
         if a == app and s == sf_dir:
-            nbytes = _PROJECTION_BYTES.get(path)
-            if nbytes is None:  # walk the files once per process, not per plan
-                nbytes = dir_bytes(path)
-                _PROJECTION_BYTES[path] = nbytes
-            out[name] = (JOIN_PROJECTION_SPECS[name], spark.table(ident), nbytes)
+            # dir_bytes memoizes per path (plans.strategy._DIR_BYTES_CACHE):
+            # one file walk per process, not per plan
+            out[name] = (JOIN_PROJECTION_SPECS[name], spark.table(ident), dir_bytes(path))
     return out
 
 
@@ -601,6 +596,10 @@ def range_selectivity(
                 return v  # non-date string bound: estimator will decline
         return v
 
+    if os.environ.get("HDS_DISABLE_PRUNING") == "1":
+        # the A/B switch must disable the WHOLE sidecar-derived surface,
+        # or the "off" arm pays the harvest inside its first timed query
+        return default
     stats, _base = zstats.primary_sidecar(sf_dir, table)
     if stats is None:
         return default

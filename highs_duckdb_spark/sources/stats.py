@@ -290,7 +290,8 @@ def primary_sidecar(sf_dir: str, table: str) -> tuple[dict | None, str]:
     if memo is not None:
         return memo
     out = _primary_sidecar_uncached(sf_dir, table)
-    _SIDECAR_MEMO[memo_key] = out
+    if out[0] is not None:  # never pin a transient failure: retry next call
+        _SIDECAR_MEMO[memo_key] = out
     return out
 
 
@@ -364,9 +365,9 @@ def estimate_range_selectivity(
                 continue
             fmin, fmax = _decode(c["min"]), _decode(c["max"])
             try:
-                a, b = float(_cmp_key(fmin)), float(_cmp_key(fmax))
-                lo_v = float(_cmp_key(lo)) if lo is not None else a
-                hi_v = float(_cmp_key(hi)) if hi is not None else b
+                a, b = _num_key(fmin), _num_key(fmax)
+                lo_v = _num_key(lo) if lo is not None else a
+                hi_v = _num_key(hi) if hi is not None else b
             except (TypeError, ValueError):
                 est += rows  # incomparable (strings, mixed): keep all
                 continue
@@ -380,6 +381,22 @@ def estimate_range_selectivity(
     if not usable or total == 0:
         return None
     return est / total
+
+
+def _num_key(v: Any) -> float:
+    """One NUMERIC scale for interpolation: temporals become epoch
+    SECONDS regardless of date-vs-datetime representation (``_cmp_key``
+    maps dates to toordinal and datetimes to epoch — fine for same-type
+    ordering, catastrophically wrong when a DATE zone meets a datetime
+    bound: ~7e5 vs ~9e8 fabricates selectivity 1.0/0.0). Raises TypeError
+    for non-numeric/non-temporal values so callers decline."""
+    if isinstance(v, _dt.datetime):
+        return v.timestamp()
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).timestamp()
+    if isinstance(v, bool) or isinstance(v, str):
+        raise TypeError(type(v))
+    return float(v)
 
 
 def _provably_lt(a: Any, b: Any) -> bool:

@@ -535,3 +535,24 @@ def test_q178_pruned_range_equals_plain_and_prunes(spark, tmp_path):
             for r in QUERIES["q178_price_range_pruned"].builder(spark, SF).collect()
         ]
     assert got == plain
+
+
+def test_estimator_date_stats_vs_datetime_bound(spark):
+    """DATE-typed zones vs datetime bounds must interpolate on ONE numeric
+    scale (epoch seconds), not _cmp_key's mixed toordinal/epoch scales
+    that fabricated selectivity 1.0/0.0 (round-6 review repro)."""
+    import datetime as dt
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    stats = {"files": [{"path": "a.parquet", "rows": 100, "row_groups": [
+        {"rows": 100, "columns": {"d": {"min": {"$date": "1995-01-01"},
+                                         "max": {"$date": "1999-01-01"}}}}]}]}
+    est = zstats.estimate_range_selectivity(
+        stats, "d", hi=dt.datetime(1997, 1, 1)
+    )
+    assert est is not None and 0.3 < est < 0.7, est  # ~half the span
+    lo_est = zstats.estimate_range_selectivity(
+        stats, "d", lo=dt.datetime(1998, 1, 1)
+    )
+    assert lo_est is not None and 0.1 < lo_est < 0.4, lo_est

@@ -1,14 +1,15 @@
 #!/usr/bin/env python
 """Build a DATE-CLUSTERED variant of an sf dir: lineitem range-partitioned
-by l_shipdate and orders by o_orderdate (each a directory of ~32 files
+by l_shipdate and orders by o_orderdate (each a directory of ~128 files
 with tight per-file date zones); every other table symlinked from the
 source. This is the layout time-series fact data lands in on any real
 ingestion pipeline — the shape where footer-sidecar time-window pruning
 (sources/layout.py::pruned_scan_dates) pays.
 
 Usage: python tools/gen_datesorted.py [src_dir] [out_dir] [files]
-Defaults: src=<repo>/benchdata/sf10, out=<repo>/benchdata/sf10_dates, 32.
-Idempotent per source fingerprint (same guard the layouts use).
+Defaults: src=<repo>/benchdata/sf10, out=<repo>/benchdata/sf10_dates, 128
+(above layout.PRUNE_MIN_FILES, so the corpus actually engages file
+pruning). Idempotent per (source fingerprint, file count).
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ def main() -> None:
         if len(sys.argv) > 2
         else os.path.join(REPO, "benchdata", "sf10_dates")
     )
-    nfiles = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    nfiles = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     import pyspark.sql.functions as F  # noqa: F401
@@ -42,14 +43,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
-        src_path = os.path.join(src, f"{t}.parquet")
+        src_path = os.path.abspath(os.path.join(src, f"{t}.parquet"))
         dst = os.path.join(out, f"{t}.parquet")
         if t not in SORTED:
             if not os.path.lexists(dst):
                 os.symlink(src_path, dst)
             continue
         marker = os.path.join(out, f"_{t}_fingerprint.txt")
-        fp = zstats.path_fingerprint(src_path)
+        fp = f"{zstats.path_fingerprint(src_path)}:{nfiles}"
         if os.path.isfile(marker) and open(marker).read() == fp:
             print(f"{t}: up to date", flush=True)
             continue
