@@ -84,17 +84,40 @@ def opt02_status_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_constraints(spark, name, "c1", -1e30, 5.0)
     missing_var = set_coefficients(spark, name, "c1", "ghost", 1.0)
     missing_model = solve(spark, "no_such_model")
-    r_ok, r_dup = ok.collect()[0], dup.collect()[0]
-    r_mv, r_mm = missing_var.collect()[0], missing_model.collect()[0]
-    rows = [
-        ("dup_var", r_dup["variable_name"], r_dup["variable_index"], r_dup["status"]),
-        ("missing_model", r_mm["variable_name"], r_mm["variable_index"], r_mm["status"]),
-        ("missing_var", r_mv["constraint_name"], "OK", r_mv["status"]),
-        ("ok_var", r_ok["variable_name"], r_ok["variable_index"], r_ok["status"]),
+    # One plan, ZERO driver-side collects: each status frame is a 1-row
+    # LocalRelation, so tagging + union keeps the whole contract check a
+    # single Spark action at the caller (VERDICT r06: the old shape ran
+    # four separate collect() jobs to rebuild rows Spark already had).
+    tagged = [
+        dup.select(
+            F.lit("dup_var").alias("check_name"),
+            F.col("variable_name").alias("subject"),
+            F.col("variable_index").alias("detail"),
+            "status",
+        ),
+        missing_model.select(
+            F.lit("missing_model").alias("check_name"),
+            F.col("variable_name").alias("subject"),
+            F.col("variable_index").alias("detail"),
+            "status",
+        ),
+        missing_var.select(
+            F.lit("missing_var").alias("check_name"),
+            F.col("constraint_name").alias("subject"),
+            F.lit("OK").alias("detail"),
+            "status",
+        ),
+        ok.select(
+            F.lit("ok_var").alias("check_name"),
+            F.col("variable_name").alias("subject"),
+            F.col("variable_index").alias("detail"),
+            "status",
+        ),
     ]
-    return spark.createDataFrame(
-        rows, "check_name string, subject string, detail string, status string"
-    ).orderBy("check_name")
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("check_name")
 
 
 @register(

@@ -296,10 +296,19 @@ def q10_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))  # scale 4, exact
     # planner-built: the filtered part dim broadcasts under the byte cap
     # (the asserted plan property at test scale) and demotes to the
-    # co-partitioned strategy when a scale-up makes part fact-sized
+    # co-partitioned strategy when a scale-up makes part fact-sized;
+    # sel DERIVED: 1-of-NDV(p_type) from the footer sidecar (round 7)
+    from highs_duckdb_spark.sources.layout import eq_selectivity
+
     g = JoinGraph(spark, sf_dir)
     g.fact("lineitem", li)
-    g.dim("part", part, F.col("l_partkey") == F.col("p_partkey"), after=("lineitem",), sel=0.2)
+    g.dim(
+        "part",
+        part,
+        F.col("l_partkey") == F.col("p_partkey"),
+        after=("lineitem",),
+        sel=eq_selectivity(sf_dir, "part", "p_type", default=0.2),
+    )
     return (
         g.plan()
         .groupBy("p_brand")
@@ -340,8 +349,16 @@ def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     # custkey-clustered orders COPY and the star join is exchange-free on
     # BOTH sides; nation/region stay broadcast at every scale (bounded
     # 25/5 rows).
+    from highs_duckdb_spark.sources.layout import eq_selectivity
+
     g = JoinGraph(spark, sf_dir)
-    g.fact("orders", orders, sel=0.33, prepare=finished)  # 1-of-3 statuses
+    # sel DERIVED: 1-of-NDV(o_orderstatus) from the footer sidecar
+    g.fact(
+        "orders",
+        orders,
+        sel=eq_selectivity(sf_dir, "orders", "o_orderstatus", default=0.33),
+        prepare=finished,
+    )
     g.fact("customer", cust)
     g.edge("orders", "o_custkey", "customer", "c_custkey")
     g.dim("nation", nation, F.col("c_nationkey") == F.col("n_nationkey"), after=("customer",))
@@ -377,6 +394,8 @@ def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (fact_scale); prepare=/key= let the planner scan the layout's
     # custkey-clustered orders COPY, making the demoted semi join
     # exchange-free on BOTH sides (customer is custkey-bucketed)
+    from highs_duckdb_spark.sources.layout import range_selectivity
+
     g = JoinGraph(spark, sf_dir)
     g.fact("customer", cust)
     g.dim(
@@ -384,7 +403,8 @@ def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "orders", sf_dir),
         F.col("c_custkey") == F.col("o_custkey"),
         after=("customer",),
-        sel=0.25,  # totalprice > 200k
+        # sel DERIVED: zone interpolation over o_totalprice > 200k
+        sel=range_selectivity(sf_dir, "orders", "o_totalprice", lo=200000, default=0.25),
         how="left_semi",
         fact_scale=True,  # raw orders probe: never a static broadcast
         prepare=big_orders,
@@ -461,6 +481,11 @@ def q14_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the broadcast of the ~7M-key hash relation measured 1.15→3.14 s
     # (build + driver round trip), exactly the cliff the class exists to
     # forbid at 100 TB.
+    from highs_duckdb_spark.sources.layout import (
+        range_selectivity,
+        semijoin_key_selectivity,
+    )
+
     g = JoinGraph(spark, sf_dir)
     g.fact("orders", orders)
     g.dim(
@@ -469,7 +494,15 @@ def q14_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") == F.col("l_orderkey"),
         after=("orders",),
         table="orders",
-        sel=0.5,  # distinct keys of qty>=45 lineitems
+        # sel DERIVED: distinct l_orderkeys with ≥1 qty≥45 line =
+        # 1-(1-s_row)^(lines/order), s_row from the quantity zones
+        sel=semijoin_key_selectivity(
+            sf_dir,
+            "lineitem",
+            "l_orderkey",
+            row_sel=range_selectivity(sf_dir, "lineitem", "l_quantity", lo=45, default=0.12),
+            default=0.5,
+        ),
         how="left",
         fact_scale=True,
     )
@@ -1535,8 +1568,15 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     # the pair collapses onto lineitem_orders (custkey-clustered) and the
     # fact tree has zero exchanges before the aggregation — no
     # query-side projection code (VERDICT r05 item 2).
+    from highs_duckdb_spark.sources.layout import eq_selectivity
+
     g = JoinGraph(spark, sf_dir)
-    g.fact("customer", cust, sel=0.20)  # 1-of-5 mktsegments
+    # sel DERIVED: 1-of-NDV(c_mktsegment) from the footer sidecar
+    g.fact(
+        "customer",
+        cust,
+        sel=eq_selectivity(sf_dir, "customer", "c_mktsegment", default=0.20),
+    )
     # prepare= opts orders into the layout's custkey-clustered copy, so the
     # customer⋈orders entry join is exchange-free under the bucketed layout
     # sel derived from the footer sidecar's zones (uniform interpolation,

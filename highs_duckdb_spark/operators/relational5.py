@@ -109,6 +109,9 @@ def q114_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
     from highs_duckdb_spark.plans.cbo import JoinGraph
 
     g = JoinGraph(spark, sf_dir)
+    # sel is the bloom filter's expected pass rate — a property of the
+    # filter's bit density, not of any column distribution, so no catalog
+    # statistic can derive it
     g.fact("lineitem_pre", pre, table="lineitem", sel=0.2)
     g.fact("orders", orders)
     g.edge("lineitem_pre", "l_orderkey", "orders", "o_orderkey")

@@ -97,6 +97,8 @@ def q95_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selectivity) negative-balance blocklist both broadcast under the cap
     # and demote past it; the anti join attaches first (earliest legal
     # point = maximal early row reduction)
+    from highs_duckdb_spark.sources.layout import eq_selectivity, range_selectivity
+
     g = JoinGraph(spark, sf_dir)
     g.fact("lineitem", li)
     g.dim(
@@ -105,10 +107,20 @@ def q95_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey") == F.col("bad_suppkey"),
         after=("lineitem",),
         table="supplier",
-        sel=0.5,
+        # sel DERIVED: zone interpolation over s_acctbal < 0
+        sel=range_selectivity(sf_dir, "supplier", "s_acctbal", hi=0, default=0.5),
         how="left_anti",
     )
-    g.dim("part", part, F.col("l_partkey") == F.col("p_partkey"), after=("lineitem",), sel=0.8)
+    # sel DERIVED: two negated equality-class predicates, each keeping
+    # (NDV-1)/NDV of the domain under the uniform-frequency assumption
+    g.dim(
+        "part",
+        part,
+        F.col("l_partkey") == F.col("p_partkey"),
+        after=("lineitem",),
+        sel=(1.0 - eq_selectivity(sf_dir, "part", "p_brand", default=0.2))
+        * (1.0 - eq_selectivity(sf_dir, "part", "p_type", default=0.2)),
+    )
     return (
         g.plan()
         .groupBy("p_brand", "p_type")
@@ -211,6 +223,8 @@ def q97_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer",
         cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a")),
         table="customer",
+        # comparison against a query-computed scalar: no stat can size it
+        # at plan time — the System-R unknown-bound default applies
         sel=0.5,
     )
     g.dim(

@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.cbo import JoinGraph, cluster_by
 from highs_duckdb_spark.session import load_table
-from highs_duckdb_spark.sources.layout import pruned_scan_dates, range_selectivity
+from highs_duckdb_spark.sources.layout import (
+    eq_selectivity,
+    pruned_scan_dates,
+    range_selectivity,
+)
 
 # exact-decimal revenue term shared by most TPC-H shapes (see module doc in
 # relational.py: money sums are DECIMAL-exact so both engines agree bitwise)
@@ -237,7 +241,14 @@ def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.dim("supplier", sup, F.col("s_suppkey") == F.col("l_suppkey"), after=("lineitem",))
     g.dim("n1", n1, F.col("s_nationkey") == F.col("n1_key"), after=("supplier",), table="nation")
     g.dim("n2", n2, F.col("c_nationkey") == F.col("n2_key"), after=("customer",), table="nation")
-    g.dim("region", region, F.col("n2_region") == F.col("r_regionkey"), after=("n2",), sel=0.2)
+    # sel DERIVED: 1-of-NDV(r_name) from the footer sidecar
+    g.dim(
+        "region",
+        region,
+        F.col("n2_region") == F.col("r_regionkey"),
+        after=("n2",),
+        sel=eq_selectivity(sf_dir, "region", "r_name", default=0.2),
+    )
     return (
         g.plan()
         .withColumn("volume", volume)
@@ -315,7 +326,14 @@ def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g.fact("orders", orders, columns=("o_orderdate",))
     g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
-    g.dim("part", part, F.col("p_partkey") == F.col("l_partkey"), after=("lineitem",), sel=0.2)
+    # sel DERIVED: 1-of-NDV(p_type) from the footer sidecar
+    g.dim(
+        "part",
+        part,
+        F.col("p_partkey") == F.col("l_partkey"),
+        after=("lineitem",),
+        sel=eq_selectivity(sf_dir, "part", "p_type", default=0.2),
+    )
     g.dim("supplier", sup, F.col("s_suppkey") == F.col("l_suppkey"), after=("lineitem",))
     g.dim("nation", nation, F.col("s_nationkey") == F.col("n_nationkey"), after=("supplier",))
     return (
@@ -383,7 +401,8 @@ def q104_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.fact(
         "lineitem",
         li,
-        sel=0.33,  # 1-of-3 returnflags
+        # sel DERIVED: 1-of-NDV(l_returnflag) from the footer sidecar
+        sel=eq_selectivity(sf_dir, "lineitem", "l_returnflag", default=0.33),
         prepare=returned,
         columns=("l_returnflag", "l_extendedprice", "l_discount"),
     )
@@ -553,7 +572,13 @@ def q107_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast below the scale cap, co-partitioned above it (part grows
     # with SF; a hard-coded broadcast would break a 1000x scale-up)
     g = JoinGraph(spark, sf_dir)
-    g.fact("lineitem", li, sel=0.014)  # one month of shipdates
+    # sel DERIVED: zone interpolation over the one-month shipdate window
+    g.fact(
+        "lineitem",
+        li,
+        sel=range_selectivity(sf_dir, "lineitem", "l_shipdate",
+                              lo="1997-03-01", hi="1997-04-01", default=0.014),
+    )
     g.dim("part", part, F.col("l_partkey") == F.col("p_partkey"), after=("lineitem",))
     return (
         g.plan()
@@ -661,7 +686,14 @@ def q109_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.fact("lineitem", li)
     g.fact("per_part", per_part, table="part")
     g.edge("lineitem", "l_partkey", "per_part", "ap_partkey")
-    g.dim("part", part, F.col("p_partkey") == F.col("l_partkey"), after=("lineitem",), sel=0.1)
+    # sel DERIVED: 1-of-NDV(p_brand) from the footer sidecar
+    g.dim(
+        "part",
+        part,
+        F.col("p_partkey") == F.col("l_partkey"),
+        after=("lineitem",),
+        sel=eq_selectivity(sf_dir, "part", "p_brand", default=0.1),
+    )
     return (
         g.plan()
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))

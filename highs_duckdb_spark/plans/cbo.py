@@ -31,9 +31,19 @@ these arities):
 
 The tree's partitioning after a join is the join-key pair (both sides of
 an equi-join agree post-join); anything else is conservatively treated as
-unpartitioned.  Intermediate size is estimated as the larger input —
-TPC-H-shaped FK joins return at most child-side cardinality, and the
-model only needs ordinal accuracy to rank orders.
+unpartitioned.  Intermediate CARDINALITY is estimated the way every
+System-R descendant does it (round 7; host DuckDB orders joins from
+per-column distinct counts on every query, SURVEY.md §4.2):
+
+  |T ⋈_{ka=kb} R| = |T|·|R| / max(V(T,ka), V(R,kb))
+
+with V() the footer-sidecar sample-NDV statistic (``sources.stats.
+collect_ndv``) capped at the relation's filtered row estimate, and
+intermediate bytes = rows × the concatenated per-row widths.  Tables
+without an NDV harvest fall back to the round-6 rule (larger input) —
+correct for TPC-H FK shapes, mis-ranked for many-to-many keys, which is
+exactly what the NDV statistic fixes (``tests/test_cbo.py`` pins a
+many-to-many case where the byte-only rule picks the wrong order).
 
 Dimensions are attached as soon as every fact column their condition
 needs is in the tree (earliest legal point → earliest row reduction), and
@@ -62,6 +72,45 @@ from highs_duckdb_spark.plans.strategy import fact_join_strategy
 #: memory at any realistic heap, and far under the driver's.  Above it the
 #: planner demotes to the co-partitioned strategy; override per-experiment.
 BROADCAST_CAP_BYTES = int(os.environ.get("HDS_BROADCAST_CAP_BYTES", str(256 << 20)))
+
+
+def table_card(sf_dir: str, table: str) -> tuple[float | None, dict[str, float]]:
+    """(total row count, {col: NDV estimate}) for one catalog table, from
+    the footer sidecar (``stats.primary_sidecar`` — memoized per process).
+    ``(None, {})`` without a sidecar, and under ``HDS_DISABLE_PRUNING=1``
+    (the kill switch disables the WHOLE sidecar-derived surface, so the
+    A/B's "off" arm never pays a harvest)."""
+    if os.environ.get("HDS_DISABLE_PRUNING") == "1":
+        return None, {}
+    from highs_duckdb_spark.sources import stats as zstats
+
+    stats, _base = zstats.primary_sidecar(sf_dir, table)
+    if stats is None:
+        return None, {}
+    rows = zstats.stats_total_rows(stats)
+    ndv = {
+        c: float(e["ndv"])
+        for c, e in stats.get("ndv", {}).get("columns", {}).items()
+    }
+    return (float(rows) if rows else None), ndv
+
+
+def _sidecar_card(path: str) -> tuple[float | None, dict[str, float]]:
+    """(rows, NDV map) from a layout dir's own zone-stats sidecar (e.g. a
+    materialized projection's) — same shape as :func:`table_card`."""
+    if os.environ.get("HDS_DISABLE_PRUNING") == "1":
+        return None, {}
+    from highs_duckdb_spark.sources import stats as zstats
+
+    stats = zstats.read_sidecar(path)
+    if stats is None:
+        return None, {}
+    rows = zstats.stats_total_rows(stats)
+    ndv = {
+        c: float(e["ndv"])
+        for c, e in stats.get("ndv", {}).get("columns", {}).items()
+    }
+    return (float(rows) if rows else None), ndv
 
 
 def table_bytes(sf_dir: str, table: str) -> int:
@@ -122,6 +171,18 @@ class _Fact:
     prepare: object | None = None  # the declared row-level transform
     #: columns of this fact the query touches (opt-in to view matching)
     columns: frozenset[str] | None = None
+    #: True = ``table`` is only a STAT PROXY (explicit part_keys passed):
+    #: the relation does not hold the catalog table's rows, so same-rows
+    #: contracts (alternate copies, projection matching) must decline
+    #: (ADVICE r06)
+    stat_proxy: bool = False
+    # --- cardinality statistics (round 7: NDV-aware join estimates) ---
+    #: selectivity-scaled row estimate (None: no sidecar row count)
+    rows: float | None = None
+    #: source bytes per row (unscaled width; None with rows)
+    row_bytes: float | None = None
+    #: per-column sample-NDV estimates of the CATALOG table
+    ndv: dict[str, float] = field(default_factory=dict)
 
 
 @dataclass
@@ -142,6 +203,53 @@ class _Dim:
     #: where a key-clustered scan makes the co-partitioned join
     #: exchange-free on the dim side
     alt_df: DataFrame | None = None
+
+
+class _TreeEst:
+    """Running (bytes, rows, NDV) estimate of the left-deep join tree —
+    the planner's intermediate-cardinality model (module doc). Shared by
+    order enumeration (_simulate) and tree building (plan's build-side
+    choice) so both rank from the same numbers."""
+
+    __slots__ = ("bytes", "rows", "row_bytes", "ndv")
+
+    def __init__(self, first: _Fact):
+        self.bytes = first.bytes
+        self.rows = first.rows
+        self.row_bytes = first.row_bytes
+        self.ndv = dict(first.ndv)
+
+    def join(self, rel: _Fact, ka: str, kb: str) -> None:
+        if self.rows is not None and rel.rows is not None:
+            # System-R: |T⋈R| = |T|·|R| / max(V(T,ka), V(R,kb)), each NDV
+            # capped at its side's filtered row estimate (a filter can only
+            # reduce distinct keys)
+            nl, nr = self.ndv.get(ka), rel.ndv.get(kb)
+            if nl and nr:
+                nl_eff = min(nl, self.rows)
+                nr_eff = min(nr, rel.rows)
+                rows_out = self.rows * rel.rows / max(nl_eff, nr_eff, 1.0)
+                key_ndv = min(nl_eff, nr_eff)
+            else:
+                # no key NDV on one side: the round-6 FK-shape rule
+                rows_out = max(self.rows, rel.rows)
+                key_ndv = None
+            self.row_bytes = (self.row_bytes or 0.0) + (rel.row_bytes or 0.0)
+            self.rows = rows_out
+            self.bytes = (
+                max(rows_out * self.row_bytes, 1.0)
+                if self.row_bytes
+                else max(self.bytes, rel.bytes)
+            )
+            for k, v in rel.ndv.items():
+                self.ndv.setdefault(k, v)
+            if key_ndv is not None:
+                # post-join, both key columns hold the matched key set
+                self.ndv[ka] = self.ndv[kb] = key_ndv
+        else:
+            self.bytes = max(self.bytes, rel.bytes)
+            for k, v in rel.ndv.items():
+                self.ndv.setdefault(k, v)
 
 
 @dataclass
@@ -254,10 +362,12 @@ class JoinGraph:
                         self.spark, self.sf_dir, t
                     ).items()
                 }
+        raw_bytes = table_bytes(self.sf_dir, t)
+        rows_total, ndv = table_card(self.sf_dir, t)
         self._facts[name] = _Fact(
             name=name,
             df=df,
-            bytes=max(table_bytes(self.sf_dir, t) * sel, 1.0),
+            bytes=max(raw_bytes * sel, 1.0),
             part_keys=(
                 part_keys
                 if part_keys is not None
@@ -268,6 +378,10 @@ class JoinGraph:
             sel=sel,
             prepare=prepare,
             columns=frozenset(columns) if columns is not None else None,
+            stat_proxy=part_keys is not None,
+            rows=rows_total * sel if rows_total else None,
+            row_bytes=raw_bytes / rows_total if rows_total else None,
+            ndv=ndv,
         )
         return self
 
@@ -370,7 +484,7 @@ class JoinGraph:
         changed = True
         while changed:
             changed = False
-            for pname, (spec, pdf, pbytes) in projs.items():
+            for pname, (spec, pdf, pbytes, ppath) in projs.items():
                 if pname in self._facts:
                     continue
                 by_table: dict[str, list[_Fact]] = {}
@@ -382,6 +496,11 @@ class JoinGraph:
                     continue
                 fl, fr = ls[0], rs[0]
                 if fl.columns is None or fr.columns is None:
+                    continue
+                # a stat-proxy fact's rows are NOT the catalog table's
+                # (explicit part_keys= contract), so fusing it onto a
+                # projection of that table would be wrong rows (ADVICE r06)
+                if fl.stat_proxy or fr.stat_proxy:
                     continue
                 lk, rk = spec["on"]
                 pair = {fl.name, fr.name}
@@ -405,6 +524,11 @@ class JoinGraph:
                 for prep in (fl.prepare, fr.prepare):
                     if prep is not None:
                         df = prep(df)
+                # cardinality stats from the projection's OWN sidecar
+                # (written at build): its rows are the FK-join grain, its
+                # NDVs the post-join distinct counts — better than any
+                # re-derivation from the absorbed pair
+                prows, pndv = _sidecar_card(ppath)
                 fused = _Fact(
                     name=pname,
                     df=df,
@@ -412,6 +536,9 @@ class JoinGraph:
                     part_keys=projection_part_keys(pname),
                     table=pname,
                     sel=fl.sel * fr.sel,
+                    rows=prows * fl.sel * fr.sel if prows else None,
+                    row_bytes=pbytes / prows if prows else None,
+                    ndv=pndv,
                 )
                 # preserve declaration order (deterministic tie-breaks):
                 # the fused fact takes the first absorbed fact's slot
@@ -463,7 +590,7 @@ class JoinGraph:
         facts = self._facts
         first = facts[order[0]]
         joined = {order[0]}
-        tree_bytes = first.bytes
+        est = _TreeEst(first)
         tree_part: frozenset[str] | None = None  # first fact: copy chosen lazily
         cost = 0.0
         for nxt in order[1:]:
@@ -475,13 +602,56 @@ class JoinGraph:
                 # the first join fixes which copy of the FIRST fact scans
                 tree_part = self._entry_keys(first, e.ka)
             if e.ka not in tree_part:
-                cost += tree_bytes  # tree shuffles to the join key
+                cost += est.bytes  # tree shuffles to the join key
             if e.kb not in self._entry_keys(rel, e.kb):
                 cost += rel.bytes  # fact side shuffles (0 when a copy covers)
             joined.add(nxt)
-            tree_bytes = max(tree_bytes, rel.bytes)
+            est.join(rel, e.ka, e.kb)
             tree_part = frozenset((e.ka, e.kb))
         return cost
+
+    #: exhaustive left-deep enumeration up to this many facts (7! = 5040
+    #: simulations — sub-millisecond); beyond it, permutations explode
+    #: (10! = 3.6 M) and the planner switches to the greedy-from-every-
+    #: start fallback so a wide graph gets a plan, not a hang (VERDICT r06)
+    EXHAUSTIVE_MAX_FACTS = 7
+
+    def _greedy_order(self) -> tuple[tuple[str, ...] | None, float]:
+        """Best greedy left-deep order over all starting facts: from each
+        start, repeatedly attach the joinable fact with the cheapest
+        marginal step cost (same cost model as _simulate, O(n³) total).
+        Not exhaustive-optimal, but connected and cost-driven — the
+        standard fallback every optimizer applies past its DP arity."""
+        names = tuple(self._facts)
+        best: tuple[str, ...] | None = None
+        best_cost = float("inf")
+        for start in names:
+            order = [start]
+            remaining = set(names) - {start}
+            joined = {start}
+            total = 0.0
+            while remaining:
+                step_best: tuple[float, str] | None = None
+                for nxt in remaining:
+                    if self._edge_between(joined, nxt) is None:
+                        continue
+                    cost = self._simulate(tuple(order) + (nxt,))
+                    if cost is not None and (
+                        step_best is None or cost < step_best[0]
+                    ):
+                        step_best = (cost, nxt)
+                if step_best is None:
+                    total = float("inf")  # disconnected from this start
+                    break
+                total, picked = step_best
+                order.append(picked)
+                joined.add(picked)
+                remaining.remove(picked)
+            if remaining or total == float("inf"):
+                continue
+            if total < best_cost:
+                best_cost, best = total, tuple(order)
+        return best, best_cost
 
     def plan(self) -> DataFrame:
         """Pick the cheapest connected left-deep order and build the tree."""
@@ -491,12 +661,15 @@ class JoinGraph:
             raise ValueError("JoinGraph.plan() with no facts")
         best_order: tuple[str, ...] | None = None
         best_cost = float("inf")
-        for order in permutations(names):
-            cost = self._simulate(order)
-            # strict < keeps the first (declaration-order) optimum: ties are
-            # broken deterministically so plans are stable across runs
-            if cost is not None and cost < best_cost:
-                best_cost, best_order = cost, order
+        if len(names) <= self.EXHAUSTIVE_MAX_FACTS:
+            for order in permutations(names):
+                cost = self._simulate(order)
+                # strict < keeps the first (declaration-order) optimum: ties
+                # are broken deterministically so plans are stable across runs
+                if cost is not None and cost < best_cost:
+                    best_cost, best_order = cost, order
+        else:
+            best_order, best_cost = self._greedy_order()
         if best_order is None:
             raise ValueError("join graph is disconnected")
 
@@ -554,7 +727,7 @@ class JoinGraph:
         first = self._facts[best_order[0]]
         joined = {best_order[0]}
         tree = attach_ready(scan_df(first), joined)
-        tree_bytes = first.bytes
+        est = _TreeEst(first)
         for nxt in best_order[1:]:
             e = self._edge_between(joined, nxt)
             assert e is not None
@@ -567,13 +740,14 @@ class JoinGraph:
             # (registry invariant: facts don't broadcast). For shuffled
             # hash the HINTED side becomes the hash-build side — pin it to
             # the smaller estimated input so the build map is minimal (the
-            # same build-side choice a CBO makes from cardinalities).
-            if strategy == "shuffle_hash" and tree_bytes <= rel.bytes:
+            # same build-side choice a CBO makes from cardinalities; est
+            # is the NDV-aware running estimate _simulate ranked with).
+            if strategy == "shuffle_hash" and est.bytes <= rel.bytes:
                 tree = tree.hint(strategy).join(rel_df, cond)
             else:
                 tree = tree.join(rel_df.hint(strategy), cond)
             joined.add(nxt)
-            tree_bytes = max(tree_bytes, rel.bytes)
+            est.join(rel, e.ka, e.kb)
             tree = attach_ready(tree, joined)
         if pending:
             missing = [d.name for d in pending]

@@ -195,15 +195,28 @@ def _bucket_sorted(path: str, buckets: int) -> bool:
     """Whether each bucket of the layout at ``path`` is one sorted file.
 
     The marker records it for new builds; for pre-marker layouts the
-    FILES are the ground truth — more parquet files than buckets means
-    some bucket has several files and per-bucket global sortedness is
-    gone (a big-source coalesce build), so the DDL must not claim it."""
+    FILES are the ground truth — Spark encodes the bucket id in each file
+    name (``..._00007.c000...``), so per-bucket sortedness holds exactly
+    when no bucket id appears on more than one file. A total-count
+    comparison is NOT equivalent (ADVICE r06: a coalesce-path build whose
+    writer tasks fanned into fewer total files can still have multi-file
+    buckets); unparseable names fall back to the count rule."""
     marker = _layout_marker(path)
     if "bucket_sorted" in marker:
         return bool(marker["bucket_sorted"])
     from highs_duckdb_spark.sources import stats as zstats
 
-    return len(zstats._parquet_files(path)) <= buckets
+    files = zstats._parquet_files(path)
+    seen: set[int] = set()
+    for f in files:
+        m = re.search(r"_(\d{5})\.c\d+", os.path.basename(f))
+        if m is None:
+            return len(files) <= buckets  # not Spark-bucketed names
+        bucket_id = int(m.group(1))
+        if bucket_id in seen:
+            return False  # some bucket has several files: not sorted
+        seen.add(bucket_id)
+    return True
 
 
 def build_bucketed_layout(
@@ -434,19 +447,24 @@ def join_projection(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | 
 
 def attached_projections(
     spark: SparkSession, sf_dir: str
-) -> dict[str, tuple[dict, DataFrame, int]]:
+) -> dict[str, tuple[dict, DataFrame, int, str]]:
     """Every materialized join projection the attached layout offers:
-    ``{name: (spec, DataFrame, file bytes)}`` — the catalog answer the
-    CBO's view matcher plans from. Empty when no layout is attached."""
+    ``{name: (spec, DataFrame, file bytes, path)}`` — the catalog answer
+    the CBO's view matcher plans from. Empty when no layout is attached."""
     from highs_duckdb_spark.plans.strategy import dir_bytes
 
     app = spark.sparkContext.applicationId
-    out: dict[str, tuple[dict, DataFrame, int]] = {}
+    out: dict[str, tuple[dict, DataFrame, int, str]] = {}
     for (a, s, name), (ident, path) in _PROJECTIONS.items():
         if a == app and s == sf_dir:
             # dir_bytes memoizes per path (plans.strategy._DIR_BYTES_CACHE):
             # one file walk per process, not per plan
-            out[name] = (JOIN_PROJECTION_SPECS[name], spark.table(ident), dir_bytes(path))
+            out[name] = (
+                JOIN_PROJECTION_SPECS[name],
+                spark.table(ident),
+                dir_bytes(path),
+                path,
+            )
     return out
 
 
@@ -605,6 +623,60 @@ def range_selectivity(
         return default
     est = zstats.estimate_range_selectivity(stats, col, lo=conv(lo), hi=conv(hi))
     return est if est is not None else default
+
+
+def eq_selectivity(
+    sf_dir: str,
+    table: str,
+    col: str,
+    nvalues: int = 1,
+    default: float = 1.0,
+) -> float:
+    """Selectivity of an equality / IN-list predicate matching ``nvalues``
+    distinct values of ``col`` on ``table``: ``nvalues / NDV``, the
+    textbook uniform-frequency estimate every System-R descendant uses —
+    DERIVED from the footer sidecar's sample-NDV statistic
+    (stats.collect_ndv) instead of hand-declared (VERDICT r06 item 1).
+    Falls back to ``default`` when the column has no NDV harvest."""
+    from highs_duckdb_spark.sources import stats as zstats
+
+    if os.environ.get("HDS_DISABLE_PRUNING") == "1":
+        return default  # same kill-switch contract as range_selectivity
+    stats, _base = zstats.primary_sidecar(sf_dir, table)
+    if stats is None:
+        return default
+    ndv = zstats.column_ndv(stats, col)
+    if not ndv or ndv <= 0:
+        return default
+    return min(1.0, nvalues / ndv)
+
+
+def semijoin_key_selectivity(
+    sf_dir: str,
+    table: str,
+    key: str,
+    row_sel: float,
+    default: float = 1.0,
+) -> float:
+    """Fraction of DISTINCT ``key`` values of ``table`` with at least one
+    row surviving a row-level predicate of selectivity ``row_sel``:
+    ``1 - (1 - s)^(rows/NDV)`` under uniform key fan-out — the estimate a
+    System-R optimizer uses to size a filtered-fact DISTINCT key set (the
+    probe side of TPC-H Q4-shaped semi/outer joins). Derived from the
+    footer sidecar's row count and sample NDV; ``default`` without them."""
+    from highs_duckdb_spark.sources import stats as zstats
+
+    if os.environ.get("HDS_DISABLE_PRUNING") == "1":
+        return default
+    stats, _base = zstats.primary_sidecar(sf_dir, table)
+    if stats is None:
+        return default
+    rows = zstats.stats_total_rows(stats)
+    ndv = zstats.column_ndv(stats, key)
+    if not rows or not ndv or ndv <= 0:
+        return default
+    fanout = max(rows / ndv, 1.0)
+    return min(1.0, 1.0 - (1.0 - min(max(row_sel, 0.0), 1.0)) ** fanout)
 
 
 def pruned_scan_dates(

@@ -417,3 +417,129 @@ def test_facts_without_prepare_never_take_alt_copies(spark, layout_dir):
     g = _graph_q65(spark)  # pre-filtered orders, no prepare
     g.plan()
     assert g.explain.alt_copies == ()
+
+
+# --- round 7: NDV-aware cardinality, arity fallback, stat-proxy guard -------
+
+
+def _write_m2m_tables(tmp_path):
+    """Three parquet tables where BYTE-ONLY ranking picks the wrong join
+    order: `b` (smaller bytes) joins `a` on a 10-distinct many-to-many key
+    (output explodes to |a|·|b|/10), while `c` (slightly larger bytes)
+    joins `a` on a unique FK (output stays |a|-sized)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_a, n_b, n_c = 10_000, 5_000, 8_000
+    pq.write_table(
+        pa.table(
+            {
+                "a_m2m": pa.array([i % 10 for i in range(n_a)], pa.int64()),
+                "a_fk": pa.array(list(range(n_a)), pa.int64()),
+                "a_pay": pa.array([f"a{i:08d}" for i in range(n_a)]),
+            }
+        ),
+        str(tmp_path / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "b_key": pa.array([i % 10 for i in range(n_b)], pa.int64()),
+                "b_pay": pa.array([f"b{i:08d}" for i in range(n_b)]),
+            }
+        ),
+        str(tmp_path / "b.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_key": pa.array(list(range(n_c)), pa.int64()),
+                "c_pay": pa.array([f"c{i:08d}" for i in range(n_c)]),
+            }
+        ),
+        str(tmp_path / "c.parquet"),
+    )
+
+
+def _m2m_graph(spark, sf_dir):
+    g = cbo.JoinGraph(spark, str(sf_dir))
+    for t in ("a", "b", "c"):
+        g.fact(t, spark.read.parquet(str(sf_dir / f"{t}.parquet")))
+    g.edge("a", "a_m2m", "b", "b_key")
+    g.edge("a", "a_fk", "c", "c_key")
+    return g
+
+
+def test_ndv_ranking_defers_many_to_many_join(spark, tmp_path):
+    """VERDICT r06 item 1 'done' bar: byte-only ranking (stats disabled)
+    joins the smaller-bytes many-to-many side first; NDV-aware ranking
+    sees the |a|·|b|/10 explosion and defers it to last."""
+    _write_m2m_tables(tmp_path)
+    g = _m2m_graph(spark, tmp_path)
+    order = g.plan() and g.explain.order
+    assert order.index("c") < order.index("b"), order
+    # the estimate itself shows the explosion: an (a, b, c) prefix carries
+    # a multi-million-row intermediate into the c join
+    est = cbo._TreeEst(g._facts["a"])
+    est.join(g._facts["b"], "a_m2m", "b_key")
+    assert est.rows == pytest.approx(10_000 * 5_000 / 10)
+
+
+def test_byte_only_ranking_misranks_without_stats(spark, tmp_path, monkeypatch):
+    """The same graph WITHOUT the NDV statistic (kill switch): bytes rank
+    the smaller b first — the mis-ranking the statistic exists to fix. If
+    this ever starts passing NDV-style, the fallback model changed."""
+    _write_m2m_tables(tmp_path)
+    monkeypatch.setenv("HDS_DISABLE_PRUNING", "1")
+    g = _m2m_graph(spark, tmp_path)
+    assert all(f.rows is None for f in g._facts.values())
+    g.plan()
+    order = g.explain.order
+    assert order.index("b") < order.index("c"), order
+
+
+def test_wide_graph_plans_via_greedy_fallback(spark):
+    """VERDICT r06 item 4 'done' bar: a 10-fact chain (10! = 3.6 M
+    permutations — a hang under exhaustive enumeration) plans through the
+    greedy fallback in well under 100 ms of enumeration time, with a
+    connected left-deep order."""
+    import time
+
+    n = 10
+    g = cbo.JoinGraph(spark, SF)
+    for i in range(n):
+        df = spark.range(5).select(
+            F.col("id").alias(f"a{i}"), F.col("id").alias(f"b{i}")
+        )
+        g.fact(f"f{i}", df, table=f"nosuch{i}")
+    for i in range(n - 1):
+        g.edge(f"f{i}", f"b{i}", f"f{i+1}", f"a{i+1}")
+    t0 = time.perf_counter()
+    order, cost = g._greedy_order()
+    enum_s = time.perf_counter() - t0
+    assert enum_s < 0.1, enum_s
+    assert order is not None and len(order) == n
+    for i in range(1, n):
+        assert g._edge_between(set(order[:i]), order[i]) is not None
+    df = g.plan()  # full build path (joins construct through Py4J)
+    assert len(g.explain.order) == n
+    assert df.count() == 5  # chained equi-joins over identical ranges
+
+
+def test_stat_proxy_fact_never_fused_onto_projection(spark, layout_dir):
+    """ADVICE r06: a fact with explicit part_keys= (table is only a stat
+    proxy — different rows) must decline projection matching even when it
+    also declares columns=."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _graph_q65_columns(spark)
+    # re-declare lineitem as a stat proxy: same df, explicit part_keys
+    li = g._facts["lineitem"]
+    g.fact(
+        "lineitem",
+        li.df,
+        table="lineitem",
+        part_keys=frozenset(),
+        columns=tuple(li.columns),
+    )
+    g.plan()
+    assert g.explain.projections == ()

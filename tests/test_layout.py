@@ -556,3 +556,170 @@ def test_estimator_date_stats_vs_datetime_bound(spark):
         stats, "d", lo=dt.datetime(1998, 1, 1)
     )
     assert lo_est is not None and 0.1 < lo_est < 0.4, lo_est
+
+
+# --- round 7: ns-timestamp zone maps, sidecar versioning, NDV selectivities --
+
+
+def _write_ns_clustered(tmp_path):
+    """Three parquet files of a timestamp[ns] column, time-clustered and
+    DISJOINT by file, with file 0's true max at .999999999 ns — the case
+    where a µs-truncated (pre-round-7) max would prune UNSOUNDLY."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00
+    day = 86_400_000_000_000
+    dest = tmp_path / "events_ns"
+    dest.mkdir()
+    for i in range(3):
+        vals = np.arange(100, dtype=np.int64) * (day // 200) + base_ns + i * day
+        if i == 0:
+            vals[-1] = base_ns + day - 1  # ...T23:59:59.999999999
+        arr = pa.array(vals, type=pa.timestamp("ns"))
+        pq.write_table(
+            pa.table({"ts": arr, "n": pa.array(range(100), pa.int64())}),
+            str(dest / f"part-{i}.parquet"),
+        )
+    return str(dest)
+
+
+def test_ns_timestamp_zone_maps_prune_soundly(tmp_path):
+    """VERDICT r06 item 3 'done' bar: a time-clustered ns-timestamp corpus
+    prunes files on a timestamp predicate with identical qualifying rows,
+    and the µs-WIDENED max keeps the .999999999 row reachable (the exact
+    row a truncated bound would lose)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    dest = _write_ns_clustered(tmp_path)
+    stats = zstats.write_sidecar(dest)
+    ts_stats = [f["columns"].get("ts") for f in stats["files"]]
+    assert all(ts_stats), "ns-timestamp column missing from sidecar"
+    # a mid-day-2 window prunes to one file: file 0's WIDENED max is
+    # exactly 2024-01-02T00:00:00 (ceil of ...T23:59:59.999999999), which
+    # is provably < 01:00, so file 0 drops; file 2 starts day 3
+    lo, hi = dt.datetime(2024, 1, 2, 1), dt.datetime(2024, 1, 2, 23)
+    keep = zstats.files_for_range(stats, dest, "ts", lo=lo, hi=hi)
+    assert len(keep) == 1 and keep[0].endswith("part-1.parquet")
+    # soundness at the widened boundary: the last ns of day 1 lives in
+    # file 0 and its ceiled max TOUCHES midnight — a window starting at
+    # midnight must keep file 0 (a truncated max would have dropped it,
+    # losing the .999999999 row from any scan that reads ns precision)
+    keep = zstats.files_for_range(stats, dest, "ts", lo=dt.datetime(2024, 1, 2))
+    names = {os.path.basename(k) for k in keep}
+    assert "part-0.parquet" in names, names
+    # identical qualifying rows: every row in the window is in kept files
+    keep_day2 = zstats.files_for_range(stats, dest, "ts", lo=lo, hi=hi)
+    import pyarrow.dataset as ds
+
+    import pyarrow.compute as pc
+
+    def rows_in(files):
+        n = 0
+        for f in files:
+            t = pq.read_table(f)
+            mask = pc.and_(
+                pc.greater_equal(t["ts"], pa_scalar(lo)),
+                pc.less_equal(t["ts"], pa_scalar(hi)),
+            )
+            n += pc.sum(pc.cast(mask, "int64")).as_py() or 0
+        return n
+
+    import pyarrow as pa
+
+    def pa_scalar(v):
+        return pa.scalar(v, type=pa.timestamp("ns"))
+
+    all_files = [os.path.join(dest, f["path"]) for f in stats["files"]]
+    assert rows_in(keep_day2) == rows_in(all_files) > 0
+
+
+def test_read_sidecar_version_mismatch_reharvests(tmp_path):
+    """ADVICE r06 (medium): a sidecar with a stale payload version must be
+    re-harvested in place, never trusted — and when the dir is read-only,
+    the answer is None (absence never prunes)."""
+    import json
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    dest = _write_ns_clustered(tmp_path)
+    fresh = zstats.write_sidecar(dest)
+    assert fresh["version"] == zstats.STATS_VERSION
+    # forge a pre-round-7 sidecar: version 1, truncated (unsound) bounds
+    with open(os.path.join(dest, zstats.SIDECAR), "w") as f:
+        json.dump({"version": 1, "files": [{"path": "bogus", "rows": 0}]}, f)
+    back = zstats.read_sidecar(dest)
+    assert back is not None and back["version"] == zstats.STATS_VERSION
+    assert all(f["path"] != "bogus" for f in back["files"])
+    # unwritable destination (read-only mount): re-harvest can't persist →
+    # no stats served (chmod can't model this under root, so patch the
+    # write to raise what a read-only fs would)
+    import unittest.mock as mock
+
+    with open(os.path.join(dest, zstats.SIDECAR), "w") as f:
+        json.dump({"version": 1, "files": []}, f)
+    with mock.patch.object(zstats, "write_sidecar", side_effect=OSError("read-only")):
+        assert zstats.read_sidecar(dest) is None
+
+
+def test_bucket_sorted_detects_multifile_bucket(tmp_path):
+    """ADVICE r06: pre-marker layouts are judged per BUCKET ID (parsed
+    from Spark's file names), not by total file count — two files in one
+    bucket means the DDL must not claim SORTED BY even when total files ≤
+    buckets."""
+    d = tmp_path / "bucketed"
+    d.mkdir()
+    # bucket 0 has TWO files; buckets 1..2 empty; total 3 files < 4 buckets
+    for name in [
+        "part-00000-aaaa_00000.c000.snappy.parquet",
+        "part-00001-bbbb_00000.c000.snappy.parquet",
+        "part-00002-cccc_00001.c000.snappy.parquet",
+    ]:
+        (d / name).write_bytes(b"x")  # content never read: names are parsed
+    assert L._bucket_sorted(str(d), buckets=4) is False
+    # one file per bucket id: sorted claim stands
+    d2 = tmp_path / "bucketed_ok"
+    d2.mkdir()
+    for b in range(3):
+        (d2 / f"part-0000{b}-aaaa_0000{b}.c000.snappy.parquet").write_bytes(b"x")
+    assert L._bucket_sorted(str(d2), buckets=4) is True
+    # unparseable names: conservative count rule
+    d3 = tmp_path / "plainfiles"
+    d3.mkdir()
+    for b in range(5):
+        (d3 / f"chunk{b}.parquet").write_bytes(b"x")
+    assert L._bucket_sorted(str(d3), buckets=4) is False
+
+
+def test_eq_and_semijoin_selectivity_derived(tmp_path, monkeypatch):
+    """eq_selectivity = 1/NDV from the footer sidecar's sample-NDV
+    statistic; semijoin_key_selectivity = 1-(1-s)^fanout; both honour the
+    kill switch and fall back without stats."""
+    import unittest.mock as mock
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    with mock.patch.object(zstats, "primary_sidecar_cache", lambda: str(tmp_path / "sc")):
+        zstats._SIDECAR_MEMO.clear()
+        # c_mktsegment has 5 segments in the TPC-H-ish data
+        s = L.eq_selectivity(SF, "customer", "c_mktsegment", default=-1.0)
+        assert s == pytest.approx(0.2, abs=0.05)
+        # IN-list of 2 values doubles it
+        s2 = L.eq_selectivity(SF, "customer", "c_mktsegment", nvalues=2, default=-1.0)
+        assert s2 == pytest.approx(2 * s)
+        # no harvest for the column → declared default
+        assert L.eq_selectivity(SF, "customer", "no_such_col", default=0.7) == 0.7
+        # semi-join key fraction: bounded by [row_sel, 1], monotone in s
+        lo = L.semijoin_key_selectivity(SF, "lineitem", "l_orderkey", 0.1, default=-1.0)
+        hi = L.semijoin_key_selectivity(SF, "lineitem", "l_orderkey", 0.5, default=-1.0)
+        assert 0.1 <= lo <= hi <= 1.0
+        assert L.semijoin_key_selectivity(SF, "lineitem", "l_orderkey", 0.0, default=-1.0) == 0.0
+        monkeypatch.setenv("HDS_DISABLE_PRUNING", "1")
+        assert L.eq_selectivity(SF, "customer", "c_mktsegment", default=0.3) == 0.3
+        assert L.semijoin_key_selectivity(SF, "lineitem", "l_orderkey", 0.2, default=0.4) == 0.4
+    zstats._SIDECAR_MEMO.clear()
