@@ -95,6 +95,11 @@ def table_card(sf_dir: str, table: str) -> tuple[float | None, dict[str, float]]
     return (float(rows) if rows else None), ndv
 
 
+def _spec_tables(spec: dict) -> list[str]:
+    """Tables a projection spec pre-joins (2-table or chain form)."""
+    return list(spec["tables"]) if "tables" in spec else [spec["left"], spec["right"]]
+
+
 def _sidecar_card(path: str) -> tuple[float | None, dict[str, float]]:
     """(rows, NDV map) from a layout dir's own zone-stats sidecar (e.g. a
     materialized projection's) — same shape as :func:`table_card`."""
@@ -449,119 +454,214 @@ class JoinGraph:
 
     # -- materialized-projection matching --------------------------------------
 
-    def _substitute_projections(self) -> tuple[tuple[str, tuple[str, str]], ...]:
-        """Rewrite fact pairs onto attached materialized join projections.
+    def _substitute_projections(self) -> tuple[tuple[str, tuple[str, ...]], ...]:
+        """Rewrite fact subgraphs onto attached materialized projections.
 
-        A projection ``P = L ⋈_{lk=rk} R`` (with a column subset C and its
-        own clustering) substitutes for declared facts (fl, fr) when:
+        A projection ``P`` over spec tables T₁..Tₙ (pre-joined on the
+        spec's equi-join chain, carrying a column subset C and its own
+        clustering) substitutes for declared facts f₁..fₙ when:
 
-        - fl/fr scan exactly L and R (``table``), both opted in with
-          ``columns`` (the prepare-completeness contract);
-        - the graph joins them on exactly (lk, rk) with no extra predicate
-          and no parallel edge between the pair;
-        - every column the query touches on either side — declared
-          ``columns`` plus the pair's edges into the REST of the graph —
-          is inside C (inner FK pre-joins are lossless, so row sets match
-          by construction: the build join is the same equi-join).
+        - each fᵢ scans exactly Tᵢ (``table``), is opted in with
+          ``columns`` (the prepare-completeness contract), and is not a
+          stat proxy (ADVICE r06);
+        - the graph joins them on exactly the spec's key pairs with no
+          extra predicates and no other internal edges;
+        - every column the query touches — declared ``columns`` plus the
+          subgraph's edges into the REST of the graph — is served by C,
+          by JOIN-KEY ALIASING (a missing key column of an absorbed
+          equi-join equals its surviving twin on every projection row),
+          or by a RESIDUAL REJOIN: base-table columns pulled back through
+          a spec-declared unique key the projection carries (catalog
+          primary-key metadata; lossless because the build join was an
+          inner FK equi-join). Residual matches must also pass a byte
+          guard — projection + residual scans smaller than the absorbed
+          base scans — so the rewrite never trades a cheap base join for
+          a more expensive reconstruction.
 
-        The pair collapses into one projection-scan fact carrying both
-        prepares (filters commute), the product selectivity, and the
+        The subgraph collapses into one projection-scan fact carrying all
+        prepares (filters commute; applied AFTER aliasing/rejoin so every
+        declared column exists), the product selectivity, and the
         projection's clustering; edges and dim dependencies re-target it.
         Runs to fixpoint before enumeration so join ORDER is chosen over
-        the relations that will actually scan."""
-        from highs_duckdb_spark.sources.layout import (
-            attached_projections,
-            projection_part_keys,
-        )
+        the relations that will actually scan. (Calcite/DuckDB's
+        materialized-view rewrite, driven from catalog metadata.)"""
+        from highs_duckdb_spark.sources.layout import attached_projections
 
         # gate: matching needs at least two opted-in facts — skip the
         # catalog round trips entirely for graphs that can never match
         # (builder-time construct cost is the sf0.1 floor, floor_probe.py)
         if sum(1 for f in self._facts.values() if f.columns is not None) < 2:
             return ()
-        used: list[tuple[str, tuple[str, str]]] = []
+        used: list[tuple[str, tuple[str, ...]]] = []
         projs = attached_projections(self.spark, self.sf_dir)
+        # widest coverage first (then name, for determinism): a 3-table
+        # chain projection that covers the subgraph beats fusing a 2-table
+        # subset and leaving the third join on base tables — the same
+        # most-specific-view preference Calcite's MV rewrite applies
+        ordered = sorted(
+            projs.items(),
+            key=lambda kv: (-len(_spec_tables(kv[1][0])), kv[0]),
+        )
         changed = True
         while changed:
             changed = False
-            for pname, (spec, pdf, pbytes, ppath) in projs.items():
+            for pname, (spec, pdf, pbytes, ppath) in ordered:
                 if pname in self._facts:
                     continue
-                by_table: dict[str, list[_Fact]] = {}
-                for f in self._facts.values():
-                    by_table.setdefault(f.table, []).append(f)
-                # self-joins (two facts over one table) are ambiguous: skip
-                ls, rs = by_table.get(spec["left"], []), by_table.get(spec["right"], [])
-                if len(ls) != 1 or len(rs) != 1:
+                match = self._match_projection(pname, spec, pdf, pbytes, ppath)
+                if match is None:
                     continue
-                fl, fr = ls[0], rs[0]
-                if fl.columns is None or fr.columns is None:
-                    continue
-                # a stat-proxy fact's rows are NOT the catalog table's
-                # (explicit part_keys= contract), so fusing it onto a
-                # projection of that table would be wrong rows (ADVICE r06)
-                if fl.stat_proxy or fr.stat_proxy:
-                    continue
-                lk, rk = spec["on"]
-                pair = {fl.name, fr.name}
-                between = [e for e in self._edges if {e.a, e.b} == pair]
-                if len(between) != 1:
-                    continue  # no edge, or parallel edges: not this shape
-                e = between[0]
-                if {e.ka, e.kb} != {lk, rk} or e.extra is not None:
-                    continue
-                pcols = set(spec["columns"])
-                needed = set(fl.columns) | set(fr.columns)
-                for o in self._edges:
-                    if o is e:
-                        continue
-                    for end, key in ((o.a, o.ka), (o.b, o.kb)):
-                        if end in pair:
-                            needed.add(key)
-                if not needed <= pcols:
-                    continue
-                df = pdf
-                for prep in (fl.prepare, fr.prepare):
-                    if prep is not None:
-                        df = prep(df)
-                # cardinality stats from the projection's OWN sidecar
-                # (written at build): its rows are the FK-join grain, its
-                # NDVs the post-join distinct counts — better than any
-                # re-derivation from the absorbed pair
-                prows, pndv = _sidecar_card(ppath)
-                fused = _Fact(
-                    name=pname,
-                    df=df,
-                    bytes=max(pbytes * fl.sel * fr.sel, 1.0),
-                    part_keys=projection_part_keys(pname),
-                    table=pname,
-                    sel=fl.sel * fr.sel,
-                    rows=prows * fl.sel * fr.sel if prows else None,
-                    row_bytes=pbytes / prows if prows else None,
-                    ndv=pndv,
-                )
+                fused, absorbed, spec_edges = match
+                names = set(absorbed)
                 # preserve declaration order (deterministic tie-breaks):
                 # the fused fact takes the first absorbed fact's slot
                 facts: dict[str, _Fact] = {}
                 for n, f in self._facts.items():
-                    if n == fl.name or n == fr.name:
+                    if n in names:
                         if pname not in facts:
                             facts[pname] = fused
                     else:
                         facts[n] = f
                 self._facts = facts
-                retarget = lambda n: pname if n in pair else n  # noqa: E731
+                retarget = lambda n: pname if n in names else n  # noqa: E731
                 self._edges = [
                     _Edge(retarget(o.a), o.ka, retarget(o.b), o.kb, o.extra)
                     for o in self._edges
-                    if o is not e
+                    if o not in spec_edges
                 ]
                 for d in self._dims:
                     d.after = tuple(dict.fromkeys(retarget(n) for n in d.after))
-                used.append((pname, (fl.name, fr.name)))
+                used.append((pname, absorbed))
                 changed = True
                 break
         return tuple(used)
+
+    def _match_projection(
+        self, pname: str, spec: dict, pdf: DataFrame, pbytes: float, ppath: str
+    ) -> tuple[_Fact, tuple[str, ...], list[_Edge]] | None:
+        """One projection's match attempt (contract in
+        :meth:`_substitute_projections`): returns (fused fact, absorbed
+        fact names in spec-table order, graph edges the fusion removes),
+        or None when any guard declines."""
+        from highs_duckdb_spark.session import load_table
+        from highs_duckdb_spark.sources.layout import (
+            _normalized_spec,
+            projection_part_keys,
+        )
+
+        tables, joins = _normalized_spec(spec)
+        by_table: dict[str, list[_Fact]] = {}
+        for f in self._facts.values():
+            by_table.setdefault(f.table, []).append(f)
+        mapped: dict[str, _Fact] = {}
+        for t in tables:
+            cands = by_table.get(t, [])
+            # absent table, or self-joins (two facts over one table): skip
+            if len(cands) != 1:
+                return None
+            f = cands[0]
+            # columns= is the prepare-completeness opt-in; a stat-proxy
+            # fact's rows are NOT the catalog table's (ADVICE r06)
+            if f.columns is None or f.stat_proxy:
+                return None
+            mapped[t] = f
+        names = {f.name for f in mapped.values()}
+        internal = [e for e in self._edges if e.a in names and e.b in names]
+        spec_edges: list[_Edge] = []
+        for ta, ka, tb, kb in joins:
+            pair = {mapped[ta].name, mapped[tb].name}
+            hits = [
+                e
+                for e in internal
+                if {e.a, e.b} == pair and {e.ka, e.kb} == {ka, kb} and e.extra is None
+            ]
+            if len(hits) != 1:
+                return None
+            spec_edges.append(hits[0])
+        if len(internal) != len(joins):
+            return None  # extra/parallel internal edges: not this shape
+        pcols = set(spec["columns"])
+        needed: set[str] = set()
+        for f in mapped.values():
+            needed |= set(f.columns)
+        for o in self._edges:
+            if o in spec_edges:
+                continue
+            for end, key in ((o.a, o.ka), (o.b, o.kb)):
+                if end in names:
+                    needed.add(key)
+        missing = needed - pcols
+        # join-key aliasing: a dropped key column of an absorbed inner
+        # equi-join equals its surviving twin on every row
+        twins: dict[str, str] = {}
+        for _ta, ka, _tb, kb in joins:
+            twins[ka], twins[kb] = kb, ka
+        aliases: dict[str, str] = {}
+        for m in sorted(missing):
+            tw = twins.get(m)
+            if tw is not None and tw in pcols:
+                aliases[m] = tw
+                missing.discard(m)
+        # residual rejoin: remaining missing columns pulled from their
+        # base table through a spec-declared unique key
+        residual_spec = spec.get("residual", {})
+        residuals: dict[str, tuple[str, str, set[str]]] = {}
+        for m in sorted(missing):
+            served = False
+            for t in tables:
+                if m not in mapped[t].df.columns:
+                    continue
+                if t in residual_spec:
+                    pk, bk = residual_spec[t]
+                    if pk in pcols or pk in aliases:
+                        residuals.setdefault(t, (pk, bk, set()))[2].add(m)
+                        served = True
+                        break
+            if not served:
+                return None
+            missing.discard(m)
+        # byte guard (residual matches only): the rewrite must scan less
+        # than the base pair it replaces, or the reconstruction join costs
+        # more than it saves
+        if residuals:
+            residual_bytes = sum(table_bytes(self.sf_dir, t) for t in residuals)
+            base_bytes = sum(table_bytes(self.sf_dir, t) for t in tables)
+            if pbytes + residual_bytes >= base_bytes:
+                return None
+        df = pdf
+        for m, tw in sorted(aliases.items()):
+            df = df.withColumn(m, F.col(tw))
+        for t, (pk, bk, cols) in sorted(residuals.items()):
+            base = load_table(self.spark, t, self.sf_dir)
+            sel_cols = sorted(cols - {bk})
+            df = df.join(base.select(bk, *sel_cols), F.col(pk) == F.col(bk))
+            if bk not in needed:
+                df = df.drop(bk)
+        for t in tables:  # filters commute; all declared columns now exist
+            prep = mapped[t].prepare
+            if prep is not None:
+                df = prep(df)
+        # cardinality stats from the projection's OWN sidecar (written at
+        # build): its rows are the FK-join grain, its NDVs the post-join
+        # distinct counts — better than any re-derivation from the
+        # absorbed facts; unique-key residual joins preserve the grain
+        prows, pndv = _sidecar_card(ppath)
+        sel = 1.0
+        for t in tables:
+            sel *= mapped[t].sel
+        fused = _Fact(
+            name=pname,
+            df=df,
+            bytes=max(pbytes * sel, 1.0),
+            part_keys=projection_part_keys(pname),
+            table=pname,
+            sel=sel,
+            rows=prows * sel if prows else None,
+            row_bytes=pbytes / prows if prows else None,
+            ndv=pndv,
+        )
+        absorbed = tuple(mapped[t].name for t in tables)
+        return fused, absorbed, spec_edges
 
     # -- planning ------------------------------------------------------------
 

@@ -72,16 +72,20 @@ JOIN_PROJECTION_SPECS: dict[str, dict] = {
         "right": "orders",
         "on": ("l_orderkey", "o_orderkey"),
         # column-subset projection (the Vertica-projection shape): carry
-        # only what the Q3/Q5 query class reads. A full-width lineitem x
-        # orders denormalization is ~3x the column bytes and its build
+        # only what the Q3/Q5/Q10 query class reads. A full-width lineitem
+        # x orders denormalization is ~3x the column bytes and its build
         # shuffle exceeds a single node's scratch disk at sf100; the
         # subset builds in one narrow shuffle and scans 3x faster.
+        # l_returnflag (round 7): 3-value dictionary column, ~bits per row
+        # — widens the served class to the Q10 returned-items shape (q104)
+        # at negligible storage cost.
         "columns": [
             "l_orderkey",
             "l_suppkey",
             "l_shipdate",
             "l_extendedprice",
             "l_discount",
+            "l_returnflag",
             "o_custkey",
             "o_orderdate",
             "o_orderpriority",
@@ -94,8 +98,29 @@ JOIN_PROJECTION_SPECS: dict[str, dict] = {
         # repartition bounds each writer task to ~1/256th of the table,
         # so the writer-side sorter never spills meaningfully.
         "sort_cols": ["o_custkey", "o_orderdate"],
+        # catalog PRIMARY-KEY metadata for partial-column matching: a
+        # query needing an orders column OUTSIDE the projection may rejoin
+        # the base table on its unique key through the projection's
+        # l_orderkey values (lossless: the build join was an inner FK
+        # equi-join). lineitem declares NO residual key — its unique key
+        # (l_orderkey, l_linenumber) is not carried, so lineitem-side
+        # partial matches must decline (a rejoin on l_orderkey alone would
+        # multiply rows).
+        "residual": {"orders": ("l_orderkey", "o_orderkey")},
     },
 }
+
+
+def _normalized_spec(spec: dict) -> tuple[list[str], list[tuple[str, str, str, str]]]:
+    """(tables, joins) for a projection spec — 2-table ``left/right/on``
+    specs and N-table chain specs (``tables`` + ``joins`` lists) normalize
+    to the same shape: joins are (table_a, key_a, table_b, key_b), ordered
+    so each join's ``table_a`` is already reachable from earlier entries
+    (the build folds them left-deep in list order)."""
+    if "tables" in spec:
+        return list(spec["tables"]), [tuple(j) for j in spec["joins"]]
+    lk, rk = spec["on"]
+    return [spec["left"], spec["right"]], [(spec["left"], lk, spec["right"], rk)]
 
 #: (applicationId, sf_dir, projection name) → (catalog ident, files path)
 _PROJECTIONS: dict[tuple[str, str, str], tuple[str, str]] = {}
@@ -375,9 +400,9 @@ def _build_join_projections(
         import hashlib as _hashlib
         import json as _json
 
+        tables, joins = _normalized_spec(spec)
         fp = (
-            _source_fingerprint(sf_dir, spec["left"])
-            + _source_fingerprint(sf_dir, spec["right"])
+            "".join(_source_fingerprint(sf_dir, t) for t in tables)
             + _hashlib.md5(_json.dumps(spec, sort_keys=True).encode()).hexdigest()
         )
         built = (
@@ -387,12 +412,16 @@ def _build_join_projections(
         )
         if not built:
             spark.sql(f"DROP TABLE IF EXISTS {ident}")
-            lk, rk = spec["on"]
-            left = spark.table(idents[spec["left"]])
-            right = spark.table(idents[spec["right"]])
-            joined = left.join(right, F.col(lk) == F.col(rk)).select(
-                *spec["columns"]
-            )
+            # left-deep fold over the chain's joins; each source scans its
+            # BUCKETED catalog table, so the first join is bucket-aligned
+            # and later chain joins reuse the running tree's partitioning
+            # where the keys line up
+            joined = spark.table(idents[tables[0]])
+            for _ta, ka, tb, kb in joins:
+                joined = joined.join(
+                    spark.table(idents[tb]), F.col(ka) == F.col(kb)
+                )
+            joined = joined.select(*spec["columns"])
             # High-fan-out repartition on the bucket column BEFORE the
             # bucketed write: each writer task then holds one small bucket
             # slice (hash%(8*buckets) refines hash%buckets), so the

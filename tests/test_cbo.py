@@ -364,10 +364,12 @@ def test_projection_matching_substitutes_and_matches_rows(spark, layout_dir):
 
 
 def test_projection_matching_requires_column_subsumption(spark, layout_dir):
-    """A query touching a column OUTSIDE the projection (l_returnflag)
-    must NOT be rewritten onto it."""
+    """A query touching a lineitem column OUTSIDE the projection
+    (l_quantity — round 7 widened l_returnflag INTO it) must NOT be
+    rewritten onto it: lineitem declares no residual key (its unique key
+    is composite and not carried), so no rejoin can serve the column."""
     L.attach_bucketed(spark, SF, layout_dir, buckets=4)
-    g = _graph_q65_columns(spark, extra_li_cols=("l_returnflag",))
+    g = _graph_q65_columns(spark, extra_li_cols=("l_quantity",))
     g.plan()
     assert g.explain.projections == ()
 
@@ -395,8 +397,17 @@ def test_projection_pickup_across_registered_queries(spark, layout_dir):
     outside it decline, all result-identical to their plain runs."""
     from highs_duckdb_spark.operators import QUERIES
 
-    picks = ["q101_volume_shipping", "q102_market_share", "q105_shipping_delay_buckets"]
-    declines = ["q103_product_profit", "q104_returned_items"]
+    # round 7: q104 rides the widened projection (l_returnflag added) with
+    # zero query changes — VERDICT r06 item 2's 'done' bar; q103 stays a
+    # pinned decline (l_partkey/l_quantity are genuinely outside, and
+    # lineitem declares no residual key to pull them through)
+    picks = [
+        "q101_volume_shipping",
+        "q102_market_share",
+        "q105_shipping_delay_buckets",
+        "q104_returned_items",
+    ]
+    declines = ["q103_product_profit"]
     plain = {
         n: [tuple(r) for r in QUERIES[n].builder(spark, SF).collect()]
         for n in picks + declines
@@ -543,3 +554,174 @@ def test_stat_proxy_fact_never_fused_onto_projection(spark, layout_dir):
     )
     g.plan()
     assert g.explain.projections == ()
+
+
+# --- round 7: generalized view matching (aliasing, residual, chains) --------
+
+
+def test_projection_key_aliasing_serves_dropped_join_key(spark, layout_dir):
+    """o_orderkey is dropped from the projection as a duplicate of
+    l_orderkey; a query needing it must still substitute, with the fused
+    frame serving o_orderkey from its surviving twin (inner equi-join rows
+    have equal keys), result-identical to the base plan."""
+    def build(g_extra_orders):
+        g = cbo.JoinGraph(spark, SF)
+        g.fact(
+            "orders",
+            load_table(spark, "orders", SF),
+            columns=("o_custkey", "o_orderdate", "o_orderkey"),
+        )
+        g.fact("customer", load_table(spark, "customer", SF))
+        g.fact(
+            "lineitem",
+            load_table(spark, "lineitem", SF),
+            columns=("l_suppkey", "l_extendedprice"),
+        )
+        g.edge("orders", "o_custkey", "customer", "c_custkey")
+        g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+        return g
+
+    def answer(df):
+        return {
+            tuple(r)
+            for r in df.groupBy("o_orderkey")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("s"))
+            .collect()
+        }
+
+    plain = answer(build(None).plan())
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = build(None)
+    df = g.plan()
+    assert g.explain.projections == (("lineitem_orders", ("lineitem", "orders")),)
+    assert answer(df) == plain
+
+
+def test_projection_residual_rejoin_pulls_base_columns(spark, layout_dir, monkeypatch):
+    """o_totalprice is outside the projection; the spec's residual key
+    (orders is uniquely keyed by o_orderkey, carried as l_orderkey) pulls
+    it back losslessly — substitution recorded, rows identical to base.
+
+    table_bytes is patched to at-scale proportions: at sf0.001 the
+    projection's parquet is metadata-dominated and BIGGER than lineitem,
+    so the byte guard (correctly) declines on real toy-scale stats — the
+    guard's own decline is pinned in the test below."""
+    def build():
+        g = cbo.JoinGraph(spark, SF)
+        g.fact(
+            "orders",
+            load_table(spark, "orders", SF),
+            columns=("o_custkey", "o_orderdate", "o_totalprice"),
+        )
+        g.fact("customer", load_table(spark, "customer", SF))
+        g.fact(
+            "lineitem",
+            load_table(spark, "lineitem", SF),
+            columns=("l_suppkey", "l_extendedprice"),
+        )
+        g.edge("orders", "o_custkey", "customer", "c_custkey")
+        g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+        return g
+
+    def answer(df):
+        return {
+            tuple(r)
+            for r in df.groupBy("c_custkey")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("tp"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+
+    plain = answer(build().plan())
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    real = cbo.table_bytes
+    monkeypatch.setattr(
+        cbo,
+        "table_bytes",
+        lambda sf, t: {"lineitem": 10 << 20, "orders": 1 << 20}.get(t, real(sf, t)),
+    )
+    g = build()
+    df = g.plan()
+    assert g.explain.projections == (("lineitem_orders", ("lineitem", "orders")),)
+    assert answer(df) == plain
+
+
+def test_projection_residual_byte_guard_declines(spark, layout_dir, monkeypatch):
+    """When projection + residual scans would EXCEED the absorbed base
+    scans (tiny fact tables), the residual rewrite must decline — the
+    reconstruction join would cost more than it saves."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    monkeypatch.setattr(cbo, "table_bytes", lambda sf, t: 1)
+    g = cbo.JoinGraph(spark, SF)
+    g.fact(
+        "orders",
+        load_table(spark, "orders", SF),
+        columns=("o_custkey", "o_totalprice"),
+    )
+    g.fact(
+        "lineitem", load_table(spark, "lineitem", SF), columns=("l_extendedprice",)
+    )
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.plan()
+    assert g.explain.projections == ()
+
+
+def test_chain_spec_three_table_projection_substitutes(spark, layout_dir, monkeypatch):
+    """A 3-table chain projection (lineitem⋈orders⋈customer) fuses a
+    3-fact subgraph into ONE projection scan — the multi-edge substitution
+    VERDICT r06 item 2 called out as missing."""
+    chain = {
+        "tables": ["lineitem", "orders", "customer"],
+        "joins": [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+        ],
+        "columns": [
+            "l_orderkey",
+            "l_extendedprice",
+            "o_orderdate",
+            "c_custkey",
+            "c_mktsegment",
+        ],
+        "bucket_cols": ["c_custkey"],
+        "sort_cols": ["c_custkey"],
+    }
+    specs = dict(L.JOIN_PROJECTION_SPECS)
+    specs["li_ord_cust"] = chain
+    monkeypatch.setattr(L, "JOIN_PROJECTION_SPECS", specs)
+
+    def build():
+        g = cbo.JoinGraph(spark, SF)
+        g.fact(
+            "lineitem", load_table(spark, "lineitem", SF), columns=("l_extendedprice",)
+        )
+        g.fact("orders", load_table(spark, "orders", SF), columns=("o_orderdate",))
+        g.fact(
+            "customer", load_table(spark, "customer", SF), columns=("c_mktsegment",)
+        )
+        g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+        g.edge("orders", "o_custkey", "customer", "c_custkey")
+        return g
+
+    def answer(df):
+        return {
+            tuple(r)
+            for r in df.groupBy("c_mktsegment")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("s"))
+            .collect()
+        }
+
+    plain = answer(build().plan())
+    try:
+        L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+        g = build()
+        df = g.plan()
+        assert ("li_ord_cust", ("lineitem", "orders", "customer")) in g.explain.projections
+        assert g.explain.order == ("li_ord_cust",)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "/lineitem]" not in plan and "/orders]" not in plan, plan
+        assert answer(df) == plain
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(layout_dir, 'li_ord_cust')}")
