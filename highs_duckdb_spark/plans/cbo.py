@@ -252,6 +252,11 @@ class _TreeEst:
                 # post-join, both key columns hold the matched key set
                 self.ndv[ka] = self.ndv[kb] = key_ndv
         else:
+            # a side without row stats joined in: the row estimate is
+            # unknown from here on (sticky — a stale count would feed
+            # later joins), and bytes fall back to the round-6 rule
+            self.rows = None
+            self.row_bytes = None
             self.bytes = max(self.bytes, rel.bytes)
             for k, v in rel.ndv.items():
                 self.ndv.setdefault(k, v)
