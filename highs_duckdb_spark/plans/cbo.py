@@ -67,6 +67,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
 
+#: When not None, every ``JoinGraph.plan()`` call appends its declared
+#: workload (facts/edges, statistics, match outcomes) here — the capture
+#: channel the projection advisor reads (``plans.advisor``). Enabled via
+#: ``advisor.capture_workloads()``; always None in normal execution, so the
+#: hot path pays one ``is not None`` test.
+_WORKLOAD_SINK: list | None = None
+
 #: Broadcast a relation only below this estimated SOURCE-parquet size.
 #: 256 MB compressed ≈ ~1 GB decoded — comfortably inside one executor's
 #: memory at any realistic heap, and far under the driver's.  Above it the
@@ -287,6 +294,10 @@ class PlanExplain:
     projections: tuple[tuple[str, tuple[str, str]], ...] = ()
     #: demoted dims scanned from a key-clustered alternate copy
     dim_alt_copies: tuple[str, ...] = ()
+    #: projections that were attached but DECLINED, with the matcher's
+    #: reason (advisor input: "missing_columns:a,b" names the widening
+    #: that would serve the query)
+    projection_declines: tuple[tuple[str, str], ...] = ()
 
 
 class JoinGraph:
@@ -310,6 +321,7 @@ class JoinGraph:
         self._facts: dict[str, _Fact] = {}
         self._dims: list[_Dim] = []
         self._edges: list[_Edge] = []
+        self._proj_declines: dict[tuple[str, str], None] = {}
         self.explain = PlanExplain()
 
     # -- declaration ---------------------------------------------------------
@@ -498,6 +510,7 @@ class JoinGraph:
         if sum(1 for f in self._facts.values() if f.columns is not None) < 2:
             return ()
         used: list[tuple[str, tuple[str, ...]]] = []
+        self._proj_declines: dict[tuple[str, str], None] = {}
         projs = attached_projections(self.spark, self.sf_dir)
         # widest coverage first (then name, for determinism): a 3-table
         # chain projection that covers the subgraph beats fusing a 2-table
@@ -514,7 +527,8 @@ class JoinGraph:
                 if pname in self._facts:
                     continue
                 match = self._match_projection(pname, spec, pdf, pbytes, ppath)
-                if match is None:
+                if isinstance(match, str):  # decline reason (advisor input)
+                    self._proj_declines.setdefault((pname, match))
                     continue
                 fused, absorbed, spec_edges = match
                 names = set(absorbed)
@@ -543,11 +557,14 @@ class JoinGraph:
 
     def _match_projection(
         self, pname: str, spec: dict, pdf: DataFrame, pbytes: float, ppath: str
-    ) -> tuple[_Fact, tuple[str, ...], list[_Edge]] | None:
+    ) -> tuple[_Fact, tuple[str, ...], list[_Edge]] | str:
         """One projection's match attempt (contract in
         :meth:`_substitute_projections`): returns (fused fact, absorbed
         fact names in spec-table order, graph edges the fusion removes),
-        or None when any guard declines."""
+        or the DECLINE REASON string when any guard fires (recorded in
+        ``explain.projection_declines``; ``missing_columns:`` reasons are
+        machine-readable — the advisor turns them into widening
+        suggestions)."""
         from highs_duckdb_spark.session import load_table
         from highs_duckdb_spark.sources.layout import (
             _normalized_spec,
@@ -563,12 +580,14 @@ class JoinGraph:
             cands = by_table.get(t, [])
             # absent table, or self-joins (two facts over one table): skip
             if len(cands) != 1:
-                return None
+                return f"table:{t}:{'absent' if not cands else 'self_join'}"
             f = cands[0]
             # columns= is the prepare-completeness opt-in; a stat-proxy
             # fact's rows are NOT the catalog table's (ADVICE r06)
-            if f.columns is None or f.stat_proxy:
-                return None
+            if f.columns is None:
+                return f"no_columns_optin:{f.name}"
+            if f.stat_proxy:
+                return f"stat_proxy:{f.name}"
             mapped[t] = f
         names = {f.name for f in mapped.values()}
         internal = [e for e in self._edges if e.a in names and e.b in names]
@@ -581,10 +600,10 @@ class JoinGraph:
                 if {e.a, e.b} == pair and {e.ka, e.kb} == {ka, kb} and e.extra is None
             ]
             if len(hits) != 1:
-                return None
+                return f"edge_mismatch:{ta}.{ka}={tb}.{kb}"
             spec_edges.append(hits[0])
         if len(internal) != len(joins):
-            return None  # extra/parallel internal edges: not this shape
+            return "extra_internal_edges"  # parallel edges: not this shape
         pcols = set(spec["columns"])
         needed: set[str] = set()
         for f in mapped.values():
@@ -611,6 +630,7 @@ class JoinGraph:
         # base table through a spec-declared unique key
         residual_spec = spec.get("residual", {})
         residuals: dict[str, tuple[str, str, set[str]]] = {}
+        unservable: list[str] = []
         for m in sorted(missing):
             served = False
             for t in tables:
@@ -623,8 +643,12 @@ class JoinGraph:
                         served = True
                         break
             if not served:
-                return None
+                unservable.append(m)
             missing.discard(m)
+        if unservable:
+            # the FULL unservable set (not first-hit) — this is the exact
+            # column widening that would let the query ride the projection
+            return "missing_columns:" + ",".join(unservable)
         # byte guard (residual matches only): the rewrite must scan less
         # than the base pair it replaces, or the reconstruction join costs
         # more than it saves
@@ -632,7 +656,10 @@ class JoinGraph:
             residual_bytes = sum(table_bytes(self.sf_dir, t) for t in residuals)
             base_bytes = sum(table_bytes(self.sf_dir, t) for t in tables)
             if pbytes + residual_bytes >= base_bytes:
-                return None
+                return (
+                    f"residual_byte_guard:{pbytes + residual_bytes:.0f}"
+                    f">={base_bytes:.0f}"
+                )
         df = pdf
         for m, tw in sorted(aliases.items()):
             df = df.withColumn(m, F.col(tw))
@@ -758,8 +785,42 @@ class JoinGraph:
                 best_cost, best = total, tuple(order)
         return best, best_cost
 
+    def _workload_record(self) -> dict:
+        """The declared graph as plain data (advisor capture): statistics
+        and shapes only — no DataFrames, so records are cheap to hold."""
+        return {
+            "query": None,  # stamped by the capturer
+            "facts": [
+                {
+                    "name": f.name,
+                    "table": f.table,
+                    "sel": f.sel,
+                    "bytes": f.bytes,
+                    "rows": f.rows,
+                    "columns": sorted(f.columns) if f.columns is not None else None,
+                    "stat_proxy": f.stat_proxy,
+                    "has_prepare": f.prepare is not None,
+                }
+                for f in self._facts.values()
+            ],
+            "edges": [
+                {"a": e.a, "ka": e.ka, "b": e.b, "kb": e.kb,
+                 "extra": e.extra is not None}
+                for e in self._edges
+            ],
+            "dims": [
+                {"name": d.name, "after": list(d.after), "bytes": d.bytes,
+                 "how": d.how, "fact_scale": d.fact_scale}
+                for d in self._dims
+            ],
+        }
+
     def plan(self) -> DataFrame:
         """Pick the cheapest connected left-deep order and build the tree."""
+        record = None
+        if _WORKLOAD_SINK is not None:
+            record = self._workload_record()
+            _WORKLOAD_SINK.append(record)
         proj_used = self._substitute_projections()
         names = tuple(self._facts)
         if not names:
@@ -865,5 +926,9 @@ class JoinGraph:
             alt_copies=tuple(alt_used),
             projections=proj_used,
             dim_alt_copies=tuple(dim_alt_used),
+            projection_declines=tuple(self._proj_declines),
         )
+        if record is not None:
+            record["projections"] = [[p, list(a)] for p, a in proj_used]
+            record["declines"] = [list(d) for d in self._proj_declines]
         return tree

