@@ -10,6 +10,7 @@ Usage:
   python bench.py                 # the headline set
   python bench.py --all           # every registered query
   python bench.py --compare       # also time DuckDB on the oracle SQL (stderr)
+  python bench.py --queries=a,b   # explicit subset (the sf100 ladder protocol)
   python bench.py --layout=bucketed
       # run on the bucketed/sort-clustered storage layout
       # (sources/layout.py): lineitem/orders bucketed+sorted by orderkey,
@@ -116,7 +117,13 @@ def main() -> None:
 
     build_banded_orders(spark, sf_dir)
 
-    names = sorted(QUERIES) if run_all else [n for n in HEADLINE if n in QUERIES]
+    subset = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--queries=")), None
+    )
+    if subset:  # explicit subset (e.g. the sf100 ladder protocol)
+        names = [n for n in subset.split(",") if n in QUERIES]
+    else:
+        names = sorted(QUERIES) if run_all else [n for n in HEADLINE if n in QUERIES]
 
     # Warm the JVM/session and the Python-worker pool so measured queries see
     # steady-state (worker processes are shared and reused across queries).

@@ -1112,6 +1112,49 @@ def q179_string_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q180_time_range_pruned",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "EVENT-TIME range aggregate served by zone-map file pruning on a "
+        "nanosecond-timestamp column (round 7): the footer sidecar records "
+        "ns bounds widened to µs (min floored / max ceiled — sound for "
+        "pruning), so on time-clustered corpora files provably outside the "
+        "window are dropped driver-side before any task is scheduled — the "
+        "dominant prune on 100-TB time-series layouts, where event time is "
+        "the clustering dimension. The pruned reader re-applies the same "
+        "ns→µs ts normalization load_table performs (session."
+        "normalize_events_ts), so results are byte-identical to the plain "
+        "scan; absence of stats or sub-threshold file counts stay on the "
+        "normal path."
+    ),
+)
+def q180_time_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.sources.layout import pruned_scan_dates
+
+    lo, hi = "2024-01-10", "2024-01-20"
+    ev = pruned_scan_dates(spark, sf_dir, "events", "ts", lo=lo, hi=hi)
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .transform(present_sorted, "event_type")
+    )
+
+
+@register(
     "q43_correlated_subquery",
     oracle="""
     SELECT c.c_custkey, round(1e-9 + c.c_acctbal, 2) AS acctbal

@@ -231,13 +231,23 @@ def load_table(
     # spark.sql.legacy.parquet.nanosAsLong — convert to a µs timestamp here so
     # every consumer sees a proper TimestampType column.
     if name == "events":
-        import pyspark.sql.functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer div: ns ≈ 1.7e18 overflows double's exact range, so no float math
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     _READER_CACHE[key] = df
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts as read under the legacy conf is LONG nanoseconds —
+    convert to a µs ``TimestampType`` so every consumer sees a proper
+    timestamp column. Shared by ``load_table`` and the file-pruned events
+    scan (``sources.layout.pruned_scan``), which reads the raw files
+    directly and must apply the SAME normalization."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
+        # integer div: ns ≈ 1.7e18 overflows double's exact range, so no float math
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

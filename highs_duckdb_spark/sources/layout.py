@@ -611,8 +611,23 @@ def pruned_scan(
     # session-immutable source (the same assumption the reader cache
     # makes); the schema is borrowed from the cached full scan so zero
     # footers are sniffed at plan time.
-    schema = load_table(spark, table, sf_dir).schema
-    df = spark.read.schema(schema).parquet(*files)
+    if table == "events":
+        # events: the cached schema is POST-normalization (ts: timestamp),
+        # but the raw ts physical type varies by producer — TIMESTAMP(NANOS)
+        # in the driver's testdata (long under the legacy conf, set by the
+        # load_table call above), µs in replicated copies. Let the reader
+        # infer from the KEPT files' footers (one sniff per cache miss) and
+        # re-apply the same normalization load_table does, so the pruned
+        # scan is byte-identical to the plain one on either physical type.
+        from highs_duckdb_spark.session import normalize_events_ts
+
+        load_table(spark, table, sf_dir)  # ensures the legacy nanos conf
+        df = normalize_events_ts(spark.read.parquet(*files))
+    else:
+        # borrow the cached full scan's schema: zero footer sniffs at plan
+        # time (types are uniform across a table's files by construction)
+        schema = load_table(spark, table, sf_dir).schema
+        df = spark.read.schema(schema).parquet(*files)
     _PRUNED_CACHE[key] = df
     return df
 

@@ -639,6 +639,59 @@ def test_ns_timestamp_zone_maps_prune_soundly(tmp_path):
     assert rows_in(keep_day2) == rows_in(all_files) > 0
 
 
+def test_pruned_scan_events_ns_timestamps_end_to_end(spark, tmp_path):
+    """q180's path: pruned_scan over a time-clustered NANOSECOND-timestamp
+    events table reads strictly fewer files and returns exactly the plain
+    scan's qualifying rows — the pruned reader must re-apply load_table's
+    ns→µs normalization (a borrowed post-normalization schema would
+    misread the raw long-nanos files)."""
+    import unittest.mock as mock
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    sf2 = os.path.join(str(tmp_path), "sfe")
+    dest = os.path.join(sf2, "events.parquet")
+    os.makedirs(dest, exist_ok=True)
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00
+    day = 86_400_000_000_000
+    for i in range(4):  # four disjoint day files
+        vals = np.arange(200, dtype=np.int64) * (day // 400) + base_ns + i * day
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(vals, type=pa.timestamp("ns")),
+                    "event_type": pa.array(["click", "view"] * 100),
+                    "user_id": pa.array(np.arange(200, dtype=np.int64) % 7),
+                }
+            ),
+            os.path.join(dest, f"part-{i}.parquet"),
+        )
+    with mock.patch.object(
+        zstats, "primary_sidecar_cache", lambda: str(tmp_path / "sc")
+    ), mock.patch.object(L, "PRUNE_MIN_FILES", 0):
+        pruned = L.pruned_scan_dates(
+            spark, sf2, "events", "ts", lo="2024-01-02", hi="2024-01-03"
+        )
+        full = load_table(spark, "events", sf2)
+        assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+        assert str(pruned.schema["ts"].dataType) == str(full.schema["ts"].dataType)
+        cond = (F.col("ts") >= F.lit("2024-01-02").cast("timestamp")) & (
+            F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+        )
+        assert sorted(
+            (r["ts"], r["user_id"]) for r in pruned.filter(cond).collect()
+        ) == sorted((r["ts"], r["user_id"]) for r in full.filter(cond).collect())
+        # the registered query itself runs on the pruned corpus
+        from highs_duckdb_spark.operators import QUERIES
+
+        rows = QUERIES["q180_time_range_pruned"].builder(spark, sf2).collect()
+        assert rows == [] or all(r["n"] >= r["users"] for r in rows)
+
+
 def test_read_sidecar_version_mismatch_reharvests(tmp_path):
     """ADVICE r06 (medium): a sidecar with a stale payload version must be
     re-harvested in place, never trusted — and when the dir is read-only,
