@@ -153,29 +153,31 @@ def q95_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
+    # the semi-join probe key takes its own name: `big` derives from the
+    # same lineitem scan the graph declares, and an un-aliased l_orderkey
+    # would both trip Spark's ambiguous-self-join resolution and force the
+    # fact itself to rename — which made the edge key a synthetic name the
+    # projection matcher could never match (the advisor surfaced it as
+    # q96's edge_mismatch decline, round 7)
     big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(
         F.col("q") > 250
-    ).select("l_orderkey")
+    ).select(F.col("l_orderkey").alias("big_okey"))
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
     # CBO-lite plans the three-fact tree (order + co-partitioned strategy
     # hints from catalog stats; raw lineitem is fact-scale at 100 TB, only
-    # the AGGREGATED big-order key set broadcasts). o_orderkey is outside
-    # the lineitem_orders projection's columns, so the matcher correctly
-    # declines and the pair plans on base tables.
+    # the AGGREGATED big-order key set broadcasts). With l_quantity in the
+    # widened lineitem_orders projection (advisor, round 7) the pair
+    # substitutes under the layout.
     g = JoinGraph(spark, sf_dir)
     g.fact("customer", cust)
     g.fact("orders", orders, columns=("o_custkey", "o_orderkey", "o_orderdate"))
-    g.fact(
-        "lineitem",
-        li.withColumnRenamed("l_orderkey", "lo"),
-        columns=("l_quantity",),
-    )
+    g.fact("lineitem", li, columns=("l_quantity",))
     g.edge("orders", "o_custkey", "customer", "c_custkey")
-    g.edge("lineitem", "lo", "orders", "o_orderkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
     return (
         g.plan()
-        .join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi")
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("big_okey"), "left_semi")
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(
             F.round(

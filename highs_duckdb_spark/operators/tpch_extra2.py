@@ -310,8 +310,9 @@ def q103_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planner-built: part (filtered, sel≈1-of-5 types) and supplier attach
     # off lineitem at the earliest legal point — broadcast below the cap,
     # co-partitioned above it; nation chains off supplier. l_partkey /
-    # l_quantity are outside the lineitem_orders projection, so the matcher
-    # correctly declines the rewrite and the pair plans on base tables.
+    # l_quantity joined the lineitem_orders projection in round 7 (the
+    # advisor's widening — this query's recorded missing_columns decline),
+    # so the pair substitutes under the layout with zero query changes.
     g = JoinGraph(spark, sf_dir)
     g.fact(
         "lineitem",

@@ -79,9 +79,19 @@ JOIN_PROJECTION_SPECS: dict[str, dict] = {
         # l_returnflag (round 7): 3-value dictionary column, ~bits per row
         # — widens the served class to the Q10 returned-items shape (q104)
         # at negligible storage cost.
+        # l_partkey + l_quantity (round 7, advisor-driven): the projection
+        # advisor's widening suggestion — the union of every recorded
+        # missing_columns decline (tools/projection_advisor.py; q103's Q9
+        # shape needs both, q96's Q18 shape needs l_quantity). Readers are
+        # unaffected (parquet column pruning), the cost is build/storage
+        # only: l_quantity is a 1..50 dictionary column, l_partkey the one
+        # real add (high-NDV, ~4 B/row after the custkey-sorted encoding);
+        # measured at sf10 in BENCH_SCALING round 7.
         "columns": [
             "l_orderkey",
+            "l_partkey",
             "l_suppkey",
+            "l_quantity",
             "l_shipdate",
             "l_extendedprice",
             "l_discount",

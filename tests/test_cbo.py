@@ -365,11 +365,11 @@ def test_projection_matching_substitutes_and_matches_rows(spark, layout_dir):
 
 def test_projection_matching_requires_column_subsumption(spark, layout_dir):
     """A query touching a lineitem column OUTSIDE the projection
-    (l_quantity — round 7 widened l_returnflag INTO it) must NOT be
+    (l_tax — the advisor widening folded l_quantity IN) must NOT be
     rewritten onto it: lineitem declares no residual key (its unique key
     is composite and not carried), so no rejoin can serve the column."""
     L.attach_bucketed(spark, SF, layout_dir, buckets=4)
-    g = _graph_q65_columns(spark, extra_li_cols=("l_quantity",))
+    g = _graph_q65_columns(spark, extra_li_cols=("l_tax",))
     g.plan()
     assert g.explain.projections == ()
 
@@ -398,16 +398,23 @@ def test_projection_pickup_across_registered_queries(spark, layout_dir):
     from highs_duckdb_spark.operators import QUERIES
 
     # round 7: q104 rides the widened projection (l_returnflag added) with
-    # zero query changes — VERDICT r06 item 2's 'done' bar; q103 stays a
-    # pinned decline (l_partkey/l_quantity are genuinely outside, and
-    # lineitem declares no residual key to pull them through)
+    # zero query changes — VERDICT r06 item 2's 'done' bar. q103 and q96
+    # ride too after the ADVISOR-driven widening (l_partkey + l_quantity —
+    # the union of their recorded missing_columns declines; q96 also
+    # needed its probe-side rename artifact fixed so the edge key is the
+    # real column). A genuinely-outside column still declines: pinned with
+    # a synthetic graph in test_widened_projection_still_declines_outside
+    # (no registered query declines any more — exactly what the advisor
+    # was for).
     picks = [
         "q101_volume_shipping",
         "q102_market_share",
         "q105_shipping_delay_buckets",
         "q104_returned_items",
+        "q103_product_profit",
+        "q96_large_volume_customers",
     ]
-    declines = ["q103_product_profit"]
+    declines: list[str] = []
     plain = {
         n: [tuple(r) for r in QUERIES[n].builder(spark, SF).collect()]
         for n in picks + declines
@@ -418,6 +425,21 @@ def test_projection_pickup_across_registered_queries(spark, layout_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert ("lineitem_orders" in plan) == (n in picks), (n, plan)
         assert [tuple(r) for r in df.collect()] == plain[n], n
+
+
+def test_widened_projection_still_declines_outside_columns(spark, layout_dir):
+    """A column genuinely outside even the widened projection (l_tax)
+    must still decline, with the machine-readable missing_columns reason
+    the advisor aggregates."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("lineitem", load_table(spark, "lineitem", SF), columns=("l_tax",))
+    g.fact("orders", load_table(spark, "orders", SF), columns=("o_orderdate",))
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.plan()
+    assert g.explain.projections == ()
+    declines = dict(g.explain.projection_declines)
+    assert declines.get("lineitem_orders") == "missing_columns:l_tax"
 
 
 def test_facts_without_prepare_never_take_alt_copies(spark, layout_dir):
