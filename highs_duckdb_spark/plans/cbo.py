@@ -45,6 +45,13 @@ correct for TPC-H FK shapes, mis-ranked for many-to-many keys, which is
 exactly what the NDV statistic fixes (``tests/test_cbo.py`` pins a
 many-to-many case where the byte-only rule picks the wrong order).
 
+Dimension joins participate in the estimate as ROW-REDUCTION FACTORS
+(round 7, ``_Dim.row_factor``): a filtered dim (q65's region cut) or a
+semi-join probe shrinks the running rows/bytes at its attachment point in
+every simulated order, so an order that reaches the reduced subtree early
+is costed cheaper — the reduction System-R propagates through dim
+selectivities, which the byte-only model ignored.
+
 Dimensions are attached as soon as every fact column their condition
 needs is in the tree (earliest legal point → earliest row reduction), and
 take ``F.broadcast`` only when their estimated bytes clear the scale
@@ -215,6 +222,34 @@ class _Dim:
     #: where a key-clustered scan makes the co-partitioned join
     #: exchange-free on the dim side
     alt_df: DataFrame | None = None
+    #: declared filter selectivity on the dim's catalog table (the same
+    #: ANALYZE-style stat facts carry); feeds :meth:`row_factor`
+    sel: float = 1.0
+
+    @property
+    def row_factor(self) -> float:
+        """Estimated fraction of tree rows SURVIVING this dim join — the
+        System-R dim-reduction factor the cost model applies when the dim
+        attaches (round 7: before this, dims were invisible to
+        ``_simulate``, so a selective dim filter — q65's region cut, a
+        semi-join probe — never shrank the intermediate estimates that
+        rank join orders and pick hash-build sides).
+
+        Model: the dim is filtered to ``sel``·|D| rows, and tree keys
+        reference D's domain uniformly (the TPC-H FK shape) — so inner and
+        semi joins retain ≈``sel`` of the tree, outer joins retain
+        everything. ANTI retains ≈1−``sel`` ONLY when a selectivity was
+        actually declared: at the default ``sel=1.0`` the probe's match
+        rate (not its filter) is the unknown that matters — e.g.
+        "customers with no orders" anti-probes the FULL orders key set and
+        still keeps a third of the tree — so the model says 1.0 (unknown)
+        rather than collapsing the estimate to zero."""
+        how = self.how.lower().replace("_", "")
+        if how in ("inner", "cross", "semi", "leftsemi"):
+            return min(self.sel, 1.0)
+        if how in ("anti", "leftanti") and self.sel < 1.0:
+            return 1.0 - self.sel
+        return 1.0
 
 
 class _TreeEst:
@@ -267,6 +302,20 @@ class _TreeEst:
             self.bytes = max(self.bytes, rel.bytes)
             for k, v in rel.ndv.items():
                 self.ndv.setdefault(k, v)
+
+    def scale(self, factor: float) -> None:
+        """Apply a dim join's row-reduction factor (``_Dim.row_factor``)
+        to the running estimate. Rows and bytes shrink together (widths
+        are unchanged — dim payload columns are ignored, a deliberate
+        under-count documented at the call site); per-column NDVs are NOT
+        scaled — a filter can only keep distinct counts or shrink them,
+        and the join estimator already caps every NDV at the current row
+        estimate, so reduced rows tighten the caps automatically."""
+        if factor >= 1.0:
+            return
+        if self.rows is not None:
+            self.rows = max(self.rows * factor, 1.0)
+        self.bytes = max(self.bytes * factor, 1.0)
 
 
 @dataclass
@@ -465,6 +514,7 @@ class JoinGraph:
                 how=how,
                 fact_scale=fact_scale,
                 alt_df=alt_df,
+                sel=sel,
             )
         )
         return self
@@ -717,12 +767,38 @@ class JoinGraph:
                 return ks
         return rel.part_keys
 
+    def _attach_dims_est(
+        self, est: _TreeEst, joined: set[str], pending: list[_Dim]
+    ) -> None:
+        """Apply the row-reduction factor of every dim that becomes
+        attachable (mirrors plan()'s ``attach_ready`` fixpoint, including
+        chained dims, so simulation and build see the SAME reductions at
+        the same tree points — an order that reaches a selective dim
+        early is costed with its shrunken intermediates)."""
+        progress = True
+        while progress:
+            progress = False
+            for d in list(pending):
+                if set(d.after) <= joined:
+                    pending.remove(d)
+                    joined.add(d.name)
+                    est.scale(d.row_factor)
+                    progress = True
+
     def _simulate(self, order: tuple[str, ...]) -> float | None:
-        """Total shuffled bytes of a left-deep order; None if disconnected."""
+        """Total shuffled bytes of a left-deep order; None if disconnected.
+
+        Dims participate as row-reduction factors at their attachment
+        points (round 7): a semi-join probe or filtered broadcast dim
+        shrinks every DOWNSTREAM shuffle of the tree, so orders that pull
+        the reduced fact in early genuinely cost less — before this, the
+        enumeration ranked orders as if dim filters didn't exist."""
         facts = self._facts
         first = facts[order[0]]
         joined = {order[0]}
         est = _TreeEst(first)
+        pending = list(self._dims)
+        self._attach_dims_est(est, joined, pending)
         tree_part: frozenset[str] | None = None  # first fact: copy chosen lazily
         cost = 0.0
         for nxt in order[1:]:
@@ -739,6 +815,7 @@ class JoinGraph:
                 cost += rel.bytes  # fact side shuffles (0 when a copy covers)
             joined.add(nxt)
             est.join(rel, e.ka, e.kb)
+            self._attach_dims_est(est, joined, pending)
             tree_part = frozenset((e.ka, e.kb))
         return cost
 
@@ -810,7 +887,7 @@ class JoinGraph:
             ],
             "dims": [
                 {"name": d.name, "after": list(d.after), "bytes": d.bytes,
-                 "how": d.how, "fact_scale": d.fact_scale}
+                 "how": d.how, "fact_scale": d.fact_scale, "sel": d.sel}
                 for d in self._dims
             ],
         }
@@ -876,6 +953,9 @@ class JoinGraph:
                     if set(d.after) <= joined:
                         pending.remove(d)
                         joined.add(d.name)
+                        # same reduction _simulate costed: the build-side
+                        # choice below ranks from dim-shrunken estimates
+                        est.scale(d.row_factor)
                         progress = True
                         if not d.fact_scale and d.bytes <= BROADCAST_CAP_BYTES:
                             broadcasts.append(d.name)
@@ -892,8 +972,8 @@ class JoinGraph:
 
         first = self._facts[best_order[0]]
         joined = {best_order[0]}
-        tree = attach_ready(scan_df(first), joined)
         est = _TreeEst(first)
+        tree = attach_ready(scan_df(first), joined)
         for nxt in best_order[1:]:
             e = self._edge_between(joined, nxt)
             assert e is not None

@@ -747,3 +747,106 @@ def test_chain_spec_three_table_projection_substitutes(spark, layout_dir, monkey
         assert answer(df) == plain
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {L._table_ident(layout_dir, 'li_ord_cust')}")
+
+
+# --- round 7: dim row-reduction factors in the cost model --------------------
+
+
+def test_dim_row_factor_model():
+    """The declared-sel → tree-row-reduction mapping (``_Dim.row_factor``
+    docstring): inner/semi retain sel, anti retains 1−sel ONLY under a
+    declared filter (default sel=1.0 means the probe's match rate is the
+    unknown, not its filter), outer shapes preserve tree rows."""
+    mk = lambda how, sel: cbo._Dim(  # noqa: E731
+        name="d", df=None, cond=None, after=(), bytes=1.0, how=how, sel=sel
+    )
+    assert mk("inner", 0.2).row_factor == pytest.approx(0.2)
+    assert mk("left_semi", 0.2).row_factor == pytest.approx(0.2)
+    assert mk("left_anti", 0.2).row_factor == pytest.approx(0.8)
+    assert mk("left_anti", 1.0).row_factor == 1.0  # unknown match rate
+    assert mk("left", 0.2).row_factor == 1.0
+    assert mk("left_outer", 0.2).row_factor == 1.0
+    assert mk("inner", 1.0).row_factor == 1.0
+
+
+def _write_chain_tables(tmp_path):
+    """a (large, FK→b, dim key) — b (FK→c) — c, plus dim table d: the
+    shape where a SELECTIVE dim on `a` makes a-first orders cheap (every
+    downstream shuffle shrinks 100×) while without the dim stat the
+    cheapest orders leave the big `a` for last."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_a, n_b, n_d = 100_000, 10_000, 100
+    digest = lambda i: hashlib.md5(str(i).encode()).hexdigest()  # noqa: E731
+    pq.write_table(
+        pa.table(
+            {
+                "a_bk": pa.array([i % n_b for i in range(n_a)], pa.int64()),
+                "a_dk": pa.array([i % n_d for i in range(n_a)], pa.int64()),
+                "a_pay": pa.array([digest(i) for i in range(n_a)]),
+            }
+        ),
+        str(tmp_path / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "b_key": pa.array(list(range(n_b)), pa.int64()),
+                "b_ck": pa.array(list(range(n_b)), pa.int64()),
+            }
+        ),
+        str(tmp_path / "b.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_key": pa.array(list(range(n_b)), pa.int64()),
+                "c_pay": pa.array([digest(-i) for i in range(n_b)]),
+            }
+        ),
+        str(tmp_path / "c.parquet"),
+    )
+    pq.write_table(
+        pa.table({"d_key": pa.array(list(range(n_d)), pa.int64())}),
+        str(tmp_path / "d.parquet"),
+    )
+
+
+def _chain_graph(spark, sf_dir, dim_sel):
+    g = cbo.JoinGraph(spark, str(sf_dir))
+    for t in ("a", "b", "c"):
+        g.fact(t, spark.read.parquet(str(sf_dir / f"{t}.parquet")))
+    g.edge("a", "a_bk", "b", "b_key")
+    g.edge("b", "b_ck", "c", "c_key")
+    d = spark.read.parquet(str(sf_dir / "d.parquet"))
+    if dim_sel < 1.0:
+        d = d.filter(F.col("d_key") == 0)
+    g.dim(
+        "d", d, F.col("a_dk") == F.col("d_key"), after=("a",), sel=dim_sel
+    )
+    return g
+
+
+def test_selective_dim_flips_join_order(spark, tmp_path):
+    """A sel=0.01 dim on the big fact `a` must pull `a` to the FRONT of
+    the order (its reduction shrinks every downstream shuffle); the same
+    graph with an unfiltered dim (sel=1.0, factor 1.0) leaves `a` LAST —
+    the round-6 model's answer, still right without the reduction."""
+    _write_chain_tables(tmp_path)
+    g = _chain_graph(spark, tmp_path, dim_sel=0.01)
+    df = g.plan()
+    assert g.explain.order[0] == "a", g.explain.order
+    assert g.explain.broadcasts == ("d",)
+    # the reduction is visible in the costs themselves
+    assert g._simulate(("a", "b", "c")) < g._simulate(("c", "b", "a"))
+    # and the plan runs: 1% of a's rows survive the dim, each matching
+    # exactly one b and one c row
+    assert df.count() == 1_000
+
+    g1 = _chain_graph(spark, tmp_path, dim_sel=1.0)
+    g1.plan()
+    assert g1.explain.order[-1] == "a", g1.explain.order
+    assert g1._simulate(("c", "b", "a")) < g1._simulate(("a", "b", "c"))
