@@ -1155,6 +1155,76 @@ def q180_time_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q181_eager_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items,
+           max(l_shipdate) AS last_ship,
+           round(1e-9 + avg(l_quantity), 4) AS avg_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=(
+        "EAGER AGGREGATION showcase (round 7, plans/cbo.py): the declared "
+        "aggregate (sum/count/max/avg over lineitem columns, grouped by an "
+        "orders column) is pushed below the join — lineitem pre-aggregates "
+        "by l_orderkey, the join sees one row per order instead of ~4 line "
+        "items, and the final aggregate combines partials (Yan & Larson "
+        "group-by pushdown; DuckDB inherits the same rewrite from its "
+        "optimizer). The NDV statistic (rows per l_orderkey) is the gate: "
+        "the rewrite fires only where it predicts real reduction, and the "
+        "lazy path is byte-identical when it declines."
+    ),
+)
+def q181_eager_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.sources.layout import range_selectivity
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    g = JoinGraph(spark, sf_dir)
+    g.fact("lineitem", li)
+    g.fact(
+        "orders",
+        orders,
+        sel=range_selectivity(
+            sf_dir, "orders", "o_orderdate", lo="1997-01-01", default=0.30
+        ),
+    )
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.aggregate(
+        ("o_orderpriority",),
+        {
+            "revenue_c": (
+                "sum",
+                cents("l_extendedprice") * (100 - cents("l_discount")),
+                ("l_extendedprice", "l_discount"),
+            ),
+            "n_items": ("count", "*"),
+            "last_ship": ("max", "l_shipdate"),
+            "avg_qty_raw": ("avg", "l_quantity"),
+        },
+    )
+    return (
+        g.plan()
+        .select(
+            "o_orderpriority",
+            F.round(F.lit(1e-9) + from_cents(F.col("revenue_c"), 4), 2).alias(
+                "revenue"
+            ),
+            "n_items",
+            "last_ship",
+            F.round(F.lit(1e-9) + F.col("avg_qty_raw"), 4).alias("avg_qty"),
+        )
+        .transform(present_sorted, "o_orderpriority")
+    )
+
+
+@register(
     "q43_correlated_subquery",
     oracle="""
     SELECT c.c_custkey, round(1e-9 + c.c_acctbal, 2) AS acctbal
@@ -1645,15 +1715,31 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     g.edge("orders", "o_custkey", "customer", "c_custkey")
     g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    # the aggregate is DECLARED to the planner (round 7): on plain files
+    # the NDV gate fires eager aggregation — lineitem pre-aggregates by
+    # l_orderkey BELOW the join (≈4 items/order off the shuffle); under
+    # the layout the fused projection's composite group keys fail the
+    # reduction gate and the aggregate runs lazily, exactly as before
+    g.aggregate(
+        ("l_orderkey", "o_orderdate", "o_orderpriority"),
+        {
+            "revenue_c": (
+                "sum",
+                cents("l_extendedprice") * (100 - cents("l_discount")),
+                ("l_extendedprice", "l_discount"),
+            )
+        },
+    )
     return (
         g.plan()
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            money_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 4).alias(
+        .select(
+            "l_orderkey",
+            F.round(F.lit(1e-9) + from_cents(F.col("revenue_c"), 4), 2).alias(
                 "revenue"
-            )
+            ),
+            "o_orderdate",
+            "o_orderpriority",
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )

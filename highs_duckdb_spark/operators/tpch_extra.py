@@ -175,14 +175,32 @@ def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.fact("lineitem", li, columns=("l_quantity",))
     g.edge("orders", "o_custkey", "customer", "c_custkey")
     g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    # aggregate DECLARED to the planner: the NDV gate pre-aggregates raw
+    # lineitem by l_orderkey below the join (~4x off the shuffle; under the
+    # layout the fused projection declines and it runs lazily). The big-
+    # order semi join commutes with the aggregation — it filters on
+    # o_orderkey, a GROUP KEY, so filtering groups after equals filtering
+    # rows before — and moving it above lets the aggregate ride the rewrite.
+    g.aggregate(
+        ("c_custkey", "o_orderkey", "o_orderdate"),
+        {
+            "qty_dec": (
+                "sum",
+                F.col("l_quantity").cast("decimal(12,2)"),
+                ("l_quantity",),
+            )
+        },
+    )
     return (
         g.plan()
         .join(F.broadcast(big), F.col("o_orderkey") == F.col("big_okey"), "left_semi")
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.lit(1e-9) + F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 2
-            ).alias("total_qty")
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.lit(1e-9) + F.col("qty_dec").cast("double"), 2).alias(
+                "total_qty"
+            ),
         )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
     )

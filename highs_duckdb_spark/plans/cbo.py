@@ -87,6 +87,16 @@ _WORKLOAD_SINK: list | None = None
 #: planner demotes to the co-partitioned strategy; override per-experiment.
 BROADCAST_CAP_BYTES = int(os.environ.get("HDS_BROADCAST_CAP_BYTES", str(256 << 20)))
 
+#: Eager aggregation fires only when the NDV statistic predicts at least
+#: this many input rows per pre-aggregated group (the rewrite's benefit is
+#: exactly that factor off the join's shuffle volume; below ~2 the extra
+#: aggregate costs more than it saves).
+EAGER_AGG_MIN_REDUCTION = float(os.environ.get("HDS_EAGER_AGG_MIN_REDUCTION", "2.0"))
+
+#: aggregate functions the eager rewrite can decompose into a
+#: partial-below-the-join / combine-above-the-join pair
+_DECOMPOSABLE = ("sum", "count", "min", "max", "avg")
+
 
 def table_card(sf_dir: str, table: str) -> tuple[float | None, dict[str, float]]:
     """(total row count, {col: NDV estimate}) for one catalog table, from
@@ -347,6 +357,12 @@ class PlanExplain:
     #: reason (advisor input: "missing_columns:a,b" names the widening
     #: that would serve the query)
     projection_declines: tuple[tuple[str, str], ...] = ()
+    #: eager aggregation applied: (fact pre-aggregated, its pre-agg keys);
+    #: () when the declared aggregate ran lazily (above the join tree)
+    eager_agg: tuple[str, tuple[str, ...]] | tuple[()] = ()
+    #: why the eager rewrite declined ("" = no aggregate declared or it
+    #: fired); machine-readable like projection declines
+    eager_decline: str = ""
 
 
 class JoinGraph:
@@ -371,6 +387,10 @@ class JoinGraph:
         self._dims: list[_Dim] = []
         self._edges: list[_Edge] = []
         self._proj_declines: dict[tuple[str, str], None] = {}
+        self._agg: tuple[tuple[str, ...], dict] | None = None
+        #: set by _try_eager_agg: final combiner columns (eager) or None
+        self._eager_finals: list | None = None
+        self._eager_decline = ""
         self.explain = PlanExplain()
 
     # -- declaration ---------------------------------------------------------
@@ -459,6 +479,60 @@ class JoinGraph:
     def edge(self, a: str, ka: str, b: str, kb: str, extra=None) -> "JoinGraph":
         """Equi-join edge between declared facts on ``a.ka = b.kb``."""
         self._edges.append(_Edge(a, ka, b, kb, extra))
+        return self
+
+    def aggregate(self, keys: tuple[str, ...], aggs: dict) -> "JoinGraph":
+        """Declare the query's GROUP BY so the planner owns the aggregate.
+
+        ``keys``: plain column names of the final grouping. ``aggs`` maps
+        output alias → ``(fn, expr)`` or ``(fn, expr, cols)`` with fn in
+        ``{"sum","count","min","max","avg"}``, expr a Column / column name
+        / ``"*"`` (count only), and ``cols`` the column names the expr
+        reads (defaults to ``(expr,)`` for a string expr — REQUIRED for
+        Column exprs; it is the same declaration contract as
+        ``fact(columns=)``, and an omission only costs the optimization,
+        never correctness, because an expr whose true inputs span facts
+        would fail analysis when pushed and the gate below only pushes
+        when the DECLARED inputs live on one fact).
+
+        ``plan()`` then returns the AGGREGATED frame. By default the
+        aggregate runs lazily above the join tree — byte-identical to the
+        caller's old ``.groupBy(keys).agg(...)``. When the shape and the
+        NDV statistics allow, the planner instead applies EAGER
+        AGGREGATION (Yan & Larson's group-by pushdown; DuckDB/Calcite
+        apply the same rewrite): the fact holding every aggregate input is
+        pre-aggregated by (its single join key ∪ its share of the group
+        keys) BELOW the join, and the final aggregate above the tree
+        combines partials. At 100 TB this is the difference between
+        shuffling the raw fact into the join and shuffling one row per
+        group — the NDV statistic (rows per key) is exactly the predicted
+        reduction.
+
+        Soundness (why combined partials equal the lazy aggregate): every
+        pre-aggregated group shares the fact's single join key, so all its
+        rows meet the SAME rows of every later join — the group survives
+        or multiplies as one unit, with one multiplicity. sum/count
+        scale linearly with that multiplicity in both plans; min/max are
+        multiplicity-insensitive; avg combines as sum/count. The rewrite
+        therefore requires: one graph edge on the fact (no extra
+        predicate), no dim conditioned on the fact's columns (``after``
+        naming it), and all aggregate inputs on that fact. Decimal
+        combine results are cast back to the lazy result type (Spark
+        widens every Sum by +10 precision; the eager double-Sum would
+        otherwise widen twice)."""
+        for alias, spec in aggs.items():
+            if spec[0] not in _DECOMPOSABLE:
+                raise ValueError(f"aggregate: {alias}: unsupported fn {spec[0]!r}")
+            if spec[0] != "count" and isinstance(spec[1], str) and spec[1] == "*":
+                raise ValueError(f"aggregate: {alias}: '*' is count-only")
+        norm = {}
+        for alias, spec in aggs.items():
+            fn, expr = spec[0], spec[1]
+            cols = spec[2] if len(spec) > 2 else (
+                (expr,) if isinstance(expr, str) and expr != "*" else ()
+            )
+            norm[alias] = (fn, expr, tuple(cols))
+        self._agg = (tuple(keys), norm)
         return self
 
     def dim(
@@ -745,6 +819,143 @@ class JoinGraph:
         absorbed = tuple(mapped[t].name for t in tables)
         return fused, absorbed, spec_edges
 
+    # -- eager aggregation ------------------------------------------------------
+
+    @staticmethod
+    def _agg_expr(fn: str, expr) -> object:
+        star = isinstance(expr, str) and expr == "*"
+        e = F.col(expr) if isinstance(expr, str) and not star else expr
+        if fn == "count":
+            return F.count(F.lit(1)) if star else F.count(e)
+        return getattr(F, fn)(e)
+
+    def _lazy_agg(self, tree: DataFrame) -> DataFrame:
+        keys, aggs = self._agg
+        cols = [
+            self._agg_expr(fn, expr).alias(alias)
+            for alias, (fn, expr, _cols) in aggs.items()
+        ]
+        return tree.groupBy(*keys).agg(*cols)
+
+    def _try_eager_agg(self) -> tuple[str, tuple[str, ...]] | None:
+        """Attempt the eager-aggregation rewrite (contract and soundness
+        argument in :meth:`aggregate`). On success: the carrying fact's df
+        (and every alternate copy) is replaced by its pre-aggregate, its
+        cardinality stats are scaled to the predicted group count (so
+        join-order enumeration ranks the REDUCED relation), and
+        ``_eager_finals`` holds the combine columns ``plan()`` applies
+        above the tree. On decline: records the machine-readable reason in
+        ``explain.eager_decline`` and leaves the lazy path in place."""
+        keys, aggs = self._agg
+
+        def decline(reason: str) -> None:
+            self._eager_decline = reason
+
+        if os.environ.get("HDS_DISABLE_EAGER_AGG") == "1":
+            return decline("disabled")
+        if len(self._facts) < 2:
+            # a single-relation aggregate has no join to push below
+            return decline("single_fact")
+        need: set[str] = set()
+        for _alias, (_fn, _expr, cols) in aggs.items():
+            need |= set(cols)
+        cands = [
+            f
+            for f in self._facts.values()
+            if need <= set(f.df.columns)
+        ]
+        # largest candidate first: the reduction pays on the biggest scan
+        cands.sort(key=lambda f: -f.bytes)
+        blocked = {n for d in self._dims for n in d.after}
+        chosen = None
+        reason = "no_carrier_fact"
+        for f in cands:
+            edges = [e for e in self._edges if f.name in (e.a, e.b)]
+            if len(edges) != 1:
+                reason = f"edges:{f.name}:{len(edges)}"
+                continue
+            if edges[0].extra is not None:
+                reason = f"edge_extra_predicate:{f.name}"
+                continue
+            if f.name in blocked:
+                reason = f"dim_conditioned:{f.name}"
+                continue
+            chosen = (f, edges[0])
+            break
+        if chosen is None:
+            return decline(reason)
+        f, e = chosen
+        k_local = e.ka if e.a == f.name else e.kb
+        pre_keys = [k_local] + sorted(
+            (set(keys) & set(f.df.columns)) - {k_local}
+        )
+        if f.rows is None:
+            return decline("no_row_stats")
+        groups = 1.0
+        for pk in pre_keys:
+            nd = f.ndv.get(pk)
+            if nd is None:
+                return decline(f"no_ndv:{pk}")
+            groups *= min(nd, f.rows)
+        groups = min(groups, f.rows)
+        reduction = f.rows / max(groups, 1.0)
+        if reduction < EAGER_AGG_MIN_REDUCTION:
+            return decline(f"reduction:{reduction:.2f}")
+
+        partials = []
+        for alias, (fn, expr, _cols) in aggs.items():
+            if fn == "avg":
+                e_ = F.col(expr) if isinstance(expr, str) else expr
+                partials.append(F.sum(e_).alias(f"__ps_{alias}"))
+                partials.append(F.count(e_).alias(f"__pc_{alias}"))
+            else:
+                partials.append(self._agg_expr(fn, expr).alias(f"__p_{alias}"))
+
+        def pre(df: DataFrame) -> DataFrame:
+            return df.groupBy(*pre_keys).agg(*partials)
+
+        f.df = pre(f.df)
+        f.copies = {ks: pre(c) for ks, c in f.copies.items()}
+        # the pre-aggregate is no longer "prepare(catalog rows)": withdraw
+        # the same-rows contracts (projection matching already ran)
+        f.prepare = None
+        f.columns = None
+        ratio = groups / f.rows
+        f.rows = groups
+        f.bytes = max(f.bytes * ratio, 1.0)
+        f.row_bytes = f.bytes / groups if groups else None
+
+        # combine columns; decimal Sums cast back to the LAZY result type
+        # (one schema analysis of the pre-aggregate scan — plan-time only)
+        from pyspark.sql.types import DecimalType
+
+        pre_types = {fld.name: fld.dataType for fld in f.df.schema.fields}
+        finals = []
+        for alias, (fn, _expr, _cols) in aggs.items():
+            if fn == "sum":
+                c = F.sum(f"__p_{alias}")
+                dt = pre_types[f"__p_{alias}"]
+                if isinstance(dt, DecimalType):
+                    c = c.cast(dt)  # Sum(dec(p,s)) = dec(p+10,s); undo the 2nd widen
+                finals.append(c.alias(alias))
+            elif fn == "count":
+                finals.append(F.sum(f"__p_{alias}").alias(alias))
+            elif fn in ("min", "max"):
+                finals.append(getattr(F, fn)(f"__p_{alias}").alias(alias))
+            else:  # avg = Σ partial sums / Σ partial counts
+                c = F.sum(f"__ps_{alias}") / F.sum(f"__pc_{alias}")
+                dt = pre_types[f"__ps_{alias}"]
+                if isinstance(dt, DecimalType):
+                    # lazy Average(dec(p0,s0)) = dec(p0+4, s0+4), p0 = p-10
+                    c = c.cast(
+                        DecimalType(
+                            min(38, dt.precision - 10 + 4), min(38, dt.scale + 4)
+                        )
+                    )
+                finals.append(c.alias(alias))
+        self._eager_finals = finals
+        return (f.name, tuple(pre_keys))
+
     # -- planning ------------------------------------------------------------
 
     def _edge_between(self, joined: set[str], nxt: str) -> _Edge | None:
@@ -899,6 +1110,7 @@ class JoinGraph:
             record = self._workload_record()
             _WORKLOAD_SINK.append(record)
         proj_used = self._substitute_projections()
+        eager = self._try_eager_agg() if self._agg is not None else None
         names = tuple(self._facts)
         if not names:
             raise ValueError("JoinGraph.plan() with no facts")
@@ -998,6 +1210,12 @@ class JoinGraph:
         if pending:
             missing = [d.name for d in pending]
             raise ValueError(f"dims never became attachable: {missing}")
+        if self._agg is not None:
+            keys, _aggs = self._agg
+            if eager is not None:
+                tree = tree.groupBy(*keys).agg(*self._eager_finals)
+            else:
+                tree = self._lazy_agg(tree)
         self.explain = PlanExplain(
             order=best_order,
             shuffled_bytes=best_cost,
@@ -1007,8 +1225,11 @@ class JoinGraph:
             projections=proj_used,
             dim_alt_copies=tuple(dim_alt_used),
             projection_declines=tuple(self._proj_declines),
+            eager_agg=eager if eager is not None else (),
+            eager_decline=self._eager_decline,
         )
         if record is not None:
             record["projections"] = [[p, list(a)] for p, a in proj_used]
             record["declines"] = [list(d) for d in self._proj_declines]
+            record["eager_agg"] = list(eager) if eager is not None else None
         return tree

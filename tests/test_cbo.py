@@ -850,3 +850,100 @@ def test_selective_dim_flips_join_order(spark, tmp_path):
     g1.plan()
     assert g1.explain.order[-1] == "a", g1.explain.order
     assert g1._simulate(("c", "b", "a")) < g1._simulate(("a", "b", "c"))
+
+
+# --- round 7: eager aggregation (group-by pushdown below joins) ---------------
+
+
+def _eager_graph(spark, filtered_orders=True):
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("lineitem", load_table(spark, "lineitem", SF))
+    orders = load_table(spark, "orders", SF)
+    if filtered_orders:
+        orders = orders.filter(
+            F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+        )
+    g.fact("orders", orders, sel=0.3 if filtered_orders else 1.0)
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.aggregate(
+        ("o_orderpriority",),
+        {
+            "qty_dec": ("sum", F.col("l_quantity").cast("decimal(12,2)"), ("l_quantity",)),
+            "n_items": ("count", "*"),
+            "last_ship": ("max", "l_shipdate"),
+            "avg_qty": ("avg", "l_quantity"),
+        },
+    )
+    return g
+
+
+def test_eager_agg_fires_and_matches_lazy(spark, monkeypatch):
+    """The rewrite's full contract on real tables: fires on the q181 shape
+    (all aggregate inputs on single-edge lineitem), the executed plan
+    carries the partial aggregate BELOW the join, and rows AND dtypes are
+    identical to the lazy plan — including the decimal Sum cast (lazy
+    sum(dec(12,2)) = dec(22,2); the eager double-Sum would be dec(32,2)
+    without the cast) and avg's sum/count decomposition."""
+    g = _eager_graph(spark)
+    df = g.plan()
+    assert g.explain.eager_agg == ("lineitem", ("l_orderkey",))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__p_qty_dec" in plan  # partial agg exists below the join
+    eager_rows = sorted(df.collect())
+    eager_schema = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    monkeypatch.setenv("HDS_DISABLE_EAGER_AGG", "1")
+    g2 = _eager_graph(spark)
+    df2 = g2.plan()
+    assert g2.explain.eager_agg == ()
+    assert g2.explain.eager_decline == "disabled"
+    assert "__p_" not in df2._jdf.queryExecution().executedPlan().toString()
+    assert eager_schema == [
+        (f.name, f.dataType.simpleString()) for f in df2.schema.fields
+    ]
+    assert eager_rows == sorted(df2.collect())
+
+
+def test_eager_agg_declines_dim_conditioned_fact(spark):
+    """A dim whose condition needs the carrier fact's columns (after=
+    names it) breaks the uniform-multiplicity argument — must decline."""
+    g = _eager_graph(spark)
+    sup = load_table(spark, "supplier", SF)
+    g.dim(
+        "supplier", sup, F.col("l_suppkey") == F.col("s_suppkey"),
+        after=("lineitem",),
+    )
+    df = g.plan()
+    assert g.explain.eager_agg == ()
+    assert g.explain.eager_decline == "dim_conditioned:lineitem"
+    # and the lazy aggregate still computes (sanity: 5 priorities)
+    assert df.count() == 5
+
+
+def test_eager_agg_declines_without_stats(spark, monkeypatch):
+    """No sidecar stats (kill switch) → no reduction prediction → lazy."""
+    monkeypatch.setenv("HDS_DISABLE_PRUNING", "1")
+    g = _eager_graph(spark)
+    g.plan()
+    assert g.explain.eager_agg == ()
+    assert g.explain.eager_decline == "no_row_stats"
+
+
+def test_eager_agg_declines_on_low_reduction(spark):
+    """Grouping by a near-unique composite of the carrier (orderkey +
+    linenumber identifies a line item) predicts ~1 row per group — the
+    NDV gate declines (the extra aggregate would cost more than it
+    saves)."""
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("lineitem", load_table(spark, "lineitem", SF))
+    g.fact("orders", load_table(spark, "orders", SF))
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.aggregate(
+        ("l_orderkey", "l_linenumber"),
+        {"n": ("count", "*"), "q": ("sum", "l_quantity")},
+    )
+    df = g.plan()
+    assert g.explain.eager_agg == ()
+    assert g.explain.eager_decline.startswith("reduction:")
+    # the lazy aggregate serves the declared keys/aggs unchanged
+    assert df.columns == ["l_orderkey", "l_linenumber", "n", "q"]
