@@ -363,12 +363,25 @@ def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.edge("orders", "o_custkey", "customer", "c_custkey")
     g.dim("nation", nation, F.col("c_nationkey") == F.col("n_nationkey"), after=("customer",))
     g.dim("region", region, F.col("n_regionkey") == F.col("r_regionkey"), after=("nation",))
+    # aggregate DECLARED: the NDV gate pre-aggregates orders by o_custkey
+    # below the star join (~15 orders/customer off the join input; under
+    # the layout the custkey-clustered copy makes the pre-aggregate
+    # exchange-free too — the rewrite composes with copy selection)
+    g.aggregate(
+        ("r_name",),
+        {
+            "n_orders": ("count", "*"),
+            "total_c": ("sum", cents("o_totalprice"), ("o_totalprice",)),
+        },
+    )
     return (
         g.plan()
-        .groupBy("r_name")
-        .agg(
-            F.count("*").alias("n_orders"),
-            money_sum(cents("o_totalprice"), 2).alias("total_value"),
+        .select(
+            "r_name",
+            "n_orders",
+            F.round(F.lit(1e-9) + from_cents(F.col("total_c"), 2), 2).alias(
+                "total_value"
+            ),
         )
         .transform(present_sorted, "r_name")
     )

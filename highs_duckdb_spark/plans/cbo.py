@@ -889,6 +889,24 @@ class JoinGraph:
         pre_keys = [k_local] + sorted(
             (set(keys) & set(f.df.columns)) - {k_local}
         )
+        if len(pre_keys) > 1:
+            # Carrier-side group keys beyond the join key: the
+            # pre-aggregate then hashes on (k ∪ gT), and the join needs a
+            # SECOND exchange back to k — worse than lazy unless storage
+            # clustering already covers the pre-aggregate (bucketed by a
+            # subset of the pre-keys containing k, both steps exchange-
+            # free). With pre_keys == [k] the pre-aggregate's exchange
+            # REPLACES the join's fact-side exchange at combined volume —
+            # always the cheaper plan once the reduction gate passes.
+            covered = (
+                f.part_keys
+                and k_local in f.part_keys
+                and set(f.part_keys) <= set(pre_keys)
+            ) or any(
+                k_local in ks and set(ks) <= set(pre_keys) for ks in f.copies
+            )
+            if not covered:
+                return decline("pre_keys_exceed_join_key")
         if f.rows is None:
             return decline("no_row_stats")
         groups = 1.0

@@ -929,21 +929,43 @@ def test_eager_agg_declines_without_stats(spark, monkeypatch):
     assert g.explain.eager_decline == "no_row_stats"
 
 
-def test_eager_agg_declines_on_low_reduction(spark):
-    """Grouping by a near-unique composite of the carrier (orderkey +
-    linenumber identifies a line item) predicts ~1 row per group — the
-    NDV gate declines (the extra aggregate would cost more than it
-    saves)."""
+def test_eager_agg_declines_on_low_reduction(spark, monkeypatch):
+    """The NDV gate: lineitem by l_orderkey predicts ~4 rows per group —
+    raising the threshold above that must decline with the predicted
+    factor in the reason (the stat, not a hard-coded shape, is what
+    decides)."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_REDUCTION", 10.0)
     g = cbo.JoinGraph(spark, SF)
     g.fact("lineitem", load_table(spark, "lineitem", SF))
     g.fact("orders", load_table(spark, "orders", SF))
     g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
     g.aggregate(
-        ("l_orderkey", "l_linenumber"),
+        ("o_orderpriority",),
         {"n": ("count", "*"), "q": ("sum", "l_quantity")},
     )
     df = g.plan()
     assert g.explain.eager_agg == ()
     assert g.explain.eager_decline.startswith("reduction:")
+    reduction = float(g.explain.eager_decline.split(":")[1])
+    assert 1.5 < reduction < 10.0  # ~4 items/order at every SF
     # the lazy aggregate serves the declared keys/aggs unchanged
-    assert df.columns == ["l_orderkey", "l_linenumber", "n", "q"]
+    assert df.columns == ["o_orderpriority", "n", "q"]
+
+
+def test_eager_agg_declines_when_group_keys_break_copartition(spark):
+    """Carrier-side group keys beyond the join key make the pre-aggregate
+    hash on (k ∪ gT) and force a SECOND exchange back to k for the join —
+    without storage bucketing covering the pre-keys the rewrite must
+    decline (lazy shuffles the fact once; eager would shuffle twice)."""
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("lineitem", load_table(spark, "lineitem", SF))
+    g.fact("orders", load_table(spark, "orders", SF))
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.aggregate(
+        ("l_returnflag", "o_orderpriority"),
+        {"q": ("sum", "l_quantity")},
+    )
+    df = g.plan()
+    assert g.explain.eager_agg == ()
+    assert g.explain.eager_decline == "pre_keys_exceed_join_key"
+    assert df.columns == ["l_returnflag", "o_orderpriority", "q"]
