@@ -57,12 +57,13 @@ SIDECAR = "_zone_stats.json"
 #: harvest-logic version: bump when collect_stats starts recording MORE or
 #: DIFFERENT stats than before (round 6 added string columns; round 7 added
 #: µs-widened nanosecond-timestamp bounds + sample-NDV estimates AND started
-#: writing the version into every sidecar payload) so caches and on-disk
+#: writing the version into every sidecar payload, then added sampled
+#: equi-depth quantiles to the NDV section) so caches and on-disk
 #: sidecars keyed only on the SOURCE fingerprint re-harvest instead of
 #: serving narrower — or, for pre-round-6 ns-timestamp maxima, UNSOUND —
 #: stats (ADVICE r06: a version-1 layout sidecar could carry
 #: microsecond-truncated ns maxima that files_for_range would trust).
-STATS_VERSION = 3
+STATS_VERSION = 4
 
 #: sidecar-serializable primitive kinds
 _NUM = (int, float)
@@ -228,7 +229,8 @@ def read_sidecar(dir_path: str) -> dict | None:
     """The zone-map sidecar at ``dir_path``, or None when absent/unreadable.
 
     A sidecar whose payload version differs from :data:`STATS_VERSION` is
-    RE-HARVESTED in place (footers-only — cheap) rather than trusted:
+    RE-HARVESTED in place (footers + the bounded NDV/histogram sample)
+    rather than trusted:
     pre-round-7 layout sidecars could hold microsecond-truncated
     nanosecond-timestamp maxima, which files_for_range would use to prune
     UNSOUNDLY (ADVICE r06 medium). If the re-harvest cannot write (read-only
@@ -270,6 +272,12 @@ NDV_VALUE_BUDGET = 4_000_000
 #: bodies, embeddings): their NDV never drives a join order and hashing
 #: them would dominate the harvest
 NDV_MAX_AVG_BYTES = 256
+
+#: equi-depth histogram resolution: quantile BOUNDARIES per sampled column
+#: (buckets + 1 values in the sidecar). 32 buckets bound the estimator's
+#: granularity error at ~3% of rows — far inside the sampling error — while
+#: keeping every sidecar entry a few hundred bytes.
+HIST_BUCKETS = 32
 
 
 def collect_ndv(dir_path: str, columns: list[str] | None = None) -> dict:
@@ -361,6 +369,27 @@ def collect_ndv(dir_path: str, columns: list[str] | None = None) -> dict:
             ndv = (total_rows / sample_rows) ** 0.5 * f1 + (d - f1)
             ndv = min(max(ndv, float(d)), float(total_rows))
         out[c] = {"ndv": float(ndv), "exact": bool(exact)}
+        # equi-depth quantile boundaries over the SAME sample (round 7):
+        # the skew-robust statistic zone-map interpolation can't be — a
+        # heavy-hitter value occupies proportionally many buckets, so the
+        # estimator sees the mass where uniform interpolation fabricates a
+        # spread. One sort of the already-materialized sample; boundaries
+        # must survive the sidecar's JSON round trip (_encode) or the
+        # histogram is skipped for that column (bytes/decimals).
+        dropped = col.drop_null()
+        n = len(dropped)
+        if n and len(col):
+            try:
+                svals = pc.take(dropped, pc.sort_indices(dropped))
+                bounds = [
+                    _encode(svals[round(i * (n - 1) / HIST_BUCKETS)].as_py())
+                    for i in range(HIST_BUCKETS + 1)
+                ]
+            except (TypeError, ValueError, OverflowError):
+                pass
+            else:
+                out[c]["q"] = bounds
+                out[c]["nn"] = n / len(col)
     return {"rows": total_rows, "sample_rows": sample_rows, "columns": out}
 
 
@@ -521,20 +550,81 @@ def warm_primary_sidecars(sf_dir: str, tables: tuple[str, ...]) -> None:
         primary_sidecar(sf_dir, t)
 
 
+def _hist_frac(bounds: list, v: Any, *, below: bool) -> float | None:
+    """Fraction of non-null values ``< v`` (below=True) or ``<= v``
+    (below=False), from equi-depth quantile boundaries. Heavy-hitter runs
+    (a value spanning several equal boundaries) resolve to the run's edge
+    matching the comparison, so point-mass selectivities come out right.
+    Interpolates inside a bucket via ``_num_key`` where the type allows;
+    string buckets fall back to half-bucket granularity (±1/(2·buckets)).
+    None when the value can't be ordered against the boundaries."""
+    import bisect
+
+    q = len(bounds) - 1
+    vals = [_decode(b) for b in bounds]
+    try:
+        keys = [_num_key(x) for x in vals]
+        nv = _num_key(v)
+    except (TypeError, ValueError):
+        # non-numeric (strings): order directly, no within-bucket scale
+        try:
+            keys, nv = vals, v
+            if not (keys[0] <= nv or nv <= keys[-1]):  # comparability probe
+                return None
+        except TypeError:
+            return None
+    if below:
+        if nv <= keys[0]:
+            return 0.0
+        if nv > keys[-1]:
+            return 1.0
+        j = bisect.bisect_left(keys, nv)  # boundaries[0..j-1] < v
+        k0, k1 = keys[j - 1], keys[j]
+        try:
+            within = (nv - k0) / (k1 - k0) if k1 > k0 else 0.0
+        except TypeError:
+            within = 0.5
+        return min(max((j - 1 + within) / q, 0.0), 1.0)
+    if nv < keys[0]:
+        return 0.0
+    if nv >= keys[-1]:
+        return 1.0
+    j = bisect.bisect_right(keys, nv) - 1  # boundaries[0..j] <= v
+    k0, k1 = keys[j], keys[j + 1]
+    try:
+        within = (nv - k0) / (k1 - k0) if k1 > k0 else 0.0
+    except TypeError:
+        within = 0.5
+    return min(max((j + within) / q, 0.0), 1.0)
+
+
 def estimate_range_selectivity(
     stats: dict, col: str, lo: Any = None, hi: Any = None
 ) -> float | None:
-    """Fraction of rows satisfying ``lo <= col <= hi``, estimated from the
-    per-row-group zones with uniform interpolation inside each group (the
-    System-R textbook estimator, computed from the SAME footer stats the
-    pruning planner holds — a derived optimizer statistic, not a declared
-    one). The interval is treated as CLOSED on both ends; callers with
-    half-open predicates (``col < cutoff``) get a small systematic
+    """Fraction of rows satisfying ``lo <= col <= hi``.
+
+    Preferred path (round 7): the sidecar's sampled EQUI-DEPTH QUANTILES
+    (``collect_ndv``) — skew-robust, because a heavy-hitter value occupies
+    proportionally many buckets where zone interpolation would fabricate a
+    uniform spread across the zone's [min, max]. Scaled by the sampled
+    non-null fraction (a range predicate is false on NULL).
+
+    Fallback: per-row-group zones with uniform interpolation inside each
+    group (the System-R textbook estimator, computed from the SAME footer
+    stats the pruning planner holds — a derived optimizer statistic, not a
+    declared one). The interval is treated as CLOSED on both ends; callers
+    with half-open predicates (``col < cutoff``) get a small systematic
     over-estimate — an approximation documented here because it is
     estimate-only (join-order ranking), never a pruning-soundness input.
-    Returns None when the column has no numeric/temporal stats anywhere
-    (strings interpolate meaninglessly; callers fall back to their
-    declared default)."""
+    Returns None when the column has no usable stats anywhere; callers
+    fall back to their declared default."""
+    entry = (stats or {}).get("ndv", {}).get("columns", {}).get(col, {})
+    bounds = entry.get("q")
+    if bounds:
+        hi_f = _hist_frac(bounds, hi, below=False) if hi is not None else 1.0
+        lo_f = _hist_frac(bounds, lo, below=True) if lo is not None else 0.0
+        if hi_f is not None and lo_f is not None:
+            return max(hi_f - lo_f, 0.0) * float(entry.get("nn", 1.0))
     total = 0
     est = 0.0
     usable = False

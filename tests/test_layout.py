@@ -407,10 +407,12 @@ def test_pruned_scan_strings(spark, tmp_path):
 
 
 def test_range_selectivity_derived_from_zones(spark):
-    """The System-R interpolation over row-group zones tracks ground truth
-    closely on the graded data (the derived ANALYZE stat JoinGraph's cost
-    model consumes), and degrades to the declared default for string
-    columns (interpolation meaningless) and missing tables."""
+    """The derived ANALYZE stat JoinGraph's cost model consumes tracks
+    ground truth closely on the graded data — temporal ranges via the
+    sampled quantile histogram (zone interpolation as fallback), and
+    since round 7's histograms STRING ranges too (zone interpolation was
+    meaningless there; equi-depth quantiles order strings natively).
+    Missing tables still degrade to the declared default."""
     import duckdb
 
     from highs_duckdb_spark.sources.layout import range_selectivity
@@ -422,8 +424,15 @@ def test_range_selectivity_derived_from_zones(spark):
         f"FROM read_parquet('{SF}/orders.parquet')"
     ).fetchone()[0]
     assert abs(est - true) < 0.05, (est, true)
-    # string column: interpolation meaningless → declared default
-    assert range_selectivity(SF, "orders", "o_orderpriority", lo="1", hi="2", default=0.4) == 0.4
+    # string column: served by the histogram within bucket granularity
+    s_est = range_selectivity(
+        SF, "orders", "o_orderpriority", lo="1", hi="2", default=0.4
+    )
+    s_true = con.execute(
+        "SELECT avg((o_orderpriority BETWEEN '1' AND '2')::INT) "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert s_est != 0.4 and abs(s_est - s_true) < 0.07, (s_est, s_true)
     # missing table → default
     assert range_selectivity("/nonexistent", "orders", "o_orderdate", default=0.7) == 0.7
 
@@ -776,3 +785,37 @@ def test_eq_and_semijoin_selectivity_derived(tmp_path, monkeypatch):
         assert L.eq_selectivity(SF, "customer", "c_mktsegment", default=0.3) == 0.3
         assert L.semijoin_key_selectivity(SF, "lineitem", "l_orderkey", 0.2, default=0.4) == 0.4
     zstats._SIDECAR_MEMO.clear()
+
+
+def test_histogram_selectivity_robust_to_skew(tmp_path):
+    """The estimator property zone maps CANNOT provide: on a heavy-hitter
+    column (99% one value), uniform interpolation over [min, max]
+    fabricates ~0.5 for a top-half range that truly holds ~0.5% of rows;
+    the sampled equi-depth quantiles see the mass. Both paths live in
+    estimate_range_selectivity — stripping the ndv section pins the
+    fallback's (documented) failure mode so a regression in either path
+    is visible."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from highs_duckdb_spark.sources import stats as z
+
+    vals = [1] * 99_000 + list(range(2, 1002))
+    pq.write_table(
+        pa.table({"x": pa.array(vals, pa.int64())}),
+        str(tmp_path / "t.parquet"),
+    )
+    stats = z.collect_stats(str(tmp_path))
+    stats["ndv"] = z.collect_ndv(str(tmp_path))
+    truth = 502 / 100_000
+    est = z.estimate_range_selectivity(stats, "x", lo=500)
+    # histogram: within bucket granularity (1/32) of the truth
+    assert est is not None and abs(est - truth) < 1.5 / z.HIST_BUCKETS, est
+    # heavy hitter itself: ~0.99, again within granularity
+    est_hh = z.estimate_range_selectivity(stats, "x", hi=1)
+    assert est_hh is not None and abs(est_hh - 0.99) < 1.5 / z.HIST_BUCKETS
+    # zone fallback (no ndv section): fabricates ~half — the skew blind
+    # spot the histogram exists to fix
+    zones_only = {k: v for k, v in stats.items() if k != "ndv"}
+    zone_est = z.estimate_range_selectivity(zones_only, "x", lo=500)
+    assert zone_est is not None and zone_est > 0.3, zone_est
