@@ -929,6 +929,32 @@ class JoinGraph:
             else:
                 partials.append(self._agg_expr(fn, expr).alias(f"__p_{alias}"))
 
+        # Decimal partial-Sum dtypes, needed so the combine can cast back
+        # to the LAZY result type (Spark widens every Sum by +10 precision;
+        # combining partials would widen twice). Derived WITHOUT a new
+        # Catalyst analysis where possible — plan construction is the
+        # measured sf0.1 floor: bare-column inputs read the fact's already-
+        # analyzed schema (the eligibility scan touched .columns, so it is
+        # cached), and only a Column expr whose text mentions DECIMAL pays
+        # one schema probe of the pre-aggregate.
+        from pyspark.sql.types import DecimalType
+
+        input_types = {fld.name: fld.dataType for fld in f.df.schema.fields}
+        partial_dec: dict[str, DecimalType] = {}
+        probe_needed = False
+        for alias, (fn, expr, _cols) in aggs.items():
+            if fn not in ("sum", "avg"):
+                continue
+            pname = f"__p_{alias}" if fn == "sum" else f"__ps_{alias}"
+            if isinstance(expr, str):
+                dt = input_types.get(expr)
+                if isinstance(dt, DecimalType):
+                    partial_dec[pname] = DecimalType(
+                        min(38, dt.precision + 10), dt.scale
+                    )
+            elif "DECIMAL" in str(expr).upper():
+                probe_needed = True
+
         def pre(df: DataFrame) -> DataFrame:
             return df.groupBy(*pre_keys).agg(*partials)
 
@@ -943,17 +969,16 @@ class JoinGraph:
         f.bytes = max(f.bytes * ratio, 1.0)
         f.row_bytes = f.bytes / groups if groups else None
 
-        # combine columns; decimal Sums cast back to the LAZY result type
-        # (one schema analysis of the pre-aggregate scan — plan-time only)
-        from pyspark.sql.types import DecimalType
-
-        pre_types = {fld.name: fld.dataType for fld in f.df.schema.fields}
+        if probe_needed:
+            for fld in f.df.schema.fields:
+                if isinstance(fld.dataType, DecimalType):
+                    partial_dec[fld.name] = fld.dataType
         finals = []
         for alias, (fn, _expr, _cols) in aggs.items():
             if fn == "sum":
                 c = F.sum(f"__p_{alias}")
-                dt = pre_types[f"__p_{alias}"]
-                if isinstance(dt, DecimalType):
+                dt = partial_dec.get(f"__p_{alias}")
+                if dt is not None:
                     c = c.cast(dt)  # Sum(dec(p,s)) = dec(p+10,s); undo the 2nd widen
                 finals.append(c.alias(alias))
             elif fn == "count":
@@ -962,8 +987,8 @@ class JoinGraph:
                 finals.append(getattr(F, fn)(f"__p_{alias}").alias(alias))
             else:  # avg = Σ partial sums / Σ partial counts
                 c = F.sum(f"__ps_{alias}") / F.sum(f"__pc_{alias}")
-                dt = pre_types[f"__ps_{alias}"]
-                if isinstance(dt, DecimalType):
+                dt = partial_dec.get(f"__ps_{alias}")
+                if dt is not None:
                     # lazy Average(dec(p0,s0)) = dec(p0+4, s0+4), p0 = p-10
                     c = c.cast(
                         DecimalType(
