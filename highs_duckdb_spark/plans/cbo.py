@@ -390,6 +390,7 @@ class JoinGraph:
         self._agg: tuple[tuple[str, ...], dict] | None = None
         #: set by _try_eager_agg: final combiner columns (eager) or None
         self._eager_finals: list | None = None
+        self._eager_result: tuple[str, tuple[str, ...]] | None = None
         self._eager_decline = ""
         self.explain = PlanExplain()
 
@@ -851,6 +852,11 @@ class JoinGraph:
         def decline(reason: str) -> None:
             self._eager_decline = reason
 
+        if self._eager_finals is not None:
+            # plan() called again on the same graph: the carrier fact is
+            # already the pre-aggregate — re-rewriting would aggregate
+            # twice. Reuse the first call's result.
+            return self._eager_result
         if os.environ.get("HDS_DISABLE_EAGER_AGG") == "1":
             return decline("disabled")
         if len(self._facts) < 2:
@@ -997,7 +1003,8 @@ class JoinGraph:
                     )
                 finals.append(c.alias(alias))
         self._eager_finals = finals
-        return (f.name, tuple(pre_keys))
+        self._eager_result = (f.name, tuple(pre_keys))
+        return self._eager_result
 
     # -- planning ------------------------------------------------------------
 

@@ -969,3 +969,15 @@ def test_eager_agg_declines_when_group_keys_break_copartition(spark):
     assert g.explain.eager_agg == ()
     assert g.explain.eager_decline == "pre_keys_exceed_join_key"
     assert df.columns == ["l_returnflag", "o_orderpriority", "q"]
+
+
+def test_eager_agg_plan_is_idempotent(spark):
+    """A second plan() on the same graph must NOT re-rewrite the already
+    pre-aggregated carrier (which would aggregate twice) — it reuses the
+    first rewrite and returns identical results."""
+    g = _eager_graph(spark)
+    first = sorted(g.plan().collect())
+    assert g.explain.eager_agg == ("lineitem", ("l_orderkey",))
+    second = sorted(g.plan().collect())
+    assert g.explain.eager_agg == ("lineitem", ("l_orderkey",))
+    assert first == second
