@@ -324,11 +324,31 @@ def collect_ndv(dir_path: str, columns: list[str] | None = None) -> dict:
         cand.append(fld.name)
     if not cand:
         return {"rows": 0, "sample_rows": 0, "columns": {}}
-    per_file = max(NDV_VALUE_BUDGET // len(files), 65536)
-    chunks: dict[str, list] = {c: [] for c in cand}
+    # The 65536-value per-file floor keeps per-file sampling meaningful,
+    # but floor × files must not defeat the TOTAL budget (at 1000 files it
+    # would read 65M values per column; at a 100-TB table's ~100k files,
+    # billions): past the budget, sample an evenly-spaced FILE subset at
+    # floor depth instead — same spread argument as the row-group spacing
+    # below, one level up. True total rows still come from EVERY file's
+    # footer (metadata-only) so the GEE scale factor stays honest.
+    # Sampling-depth changes deliberately do NOT bump STATS_VERSION: the
+    # recorded statistic's meaning (bounded-sample estimate) is unchanged.
+    sample_files = files
+    max_files = max(NDV_VALUE_BUDGET // 65536, 1)
     total_rows = 0
+    if len(files) > max_files:
+        step = len(files) / max_files
+        sample_files = [files[int(i * step)] for i in range(max_files)]
+        picked = set(sample_files)
+        for f in files:
+            if f not in picked:
+                # footer-only row count (the zone-map harvest reads every
+                # footer anyway, so this adds no new scaling class)
+                total_rows += pq.ParquetFile(f).metadata.num_rows
+    per_file = max(NDV_VALUE_BUDGET // len(sample_files), 65536)
+    chunks: dict[str, list] = {c: [] for c in cand}
     sample_rows = 0
-    for f in files:
+    for f in sample_files:
         pf = pq.ParquetFile(f)
         md = pf.metadata
         total_rows += md.num_rows

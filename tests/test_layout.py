@@ -819,3 +819,37 @@ def test_histogram_selectivity_robust_to_skew(tmp_path):
     zones_only = {k: v for k, v in stats.items() if k != "ndv"}
     zone_est = z.estimate_range_selectivity(zones_only, "x", lo=500)
     assert zone_est is not None and zone_est > 0.3, zone_est
+
+
+def test_ndv_harvest_bounds_file_fanout(tmp_path, monkeypatch):
+    """The sampling floor must not make the harvest O(files): past
+    budget/floor files, an evenly-spaced file subset is read at floor
+    depth while TRUE total rows still come from every footer — the GEE
+    scale factor and the row count stay honest (100-TB tables hold
+    10k-100k part files; reading 65k values from each is a scan, not a
+    sample)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from highs_duckdb_spark.sources import stats as z
+
+    monkeypatch.setattr(z, "NDV_VALUE_BUDGET", 65536 * 4)  # max 4 files
+    d = tmp_path / "t"
+    d.mkdir()
+    n_files, rows_per = 12, 1000
+    for i in range(n_files):
+        pq.write_table(
+            pa.table({"k": pa.array(
+                [i * rows_per + j for j in range(rows_per)], pa.int64()
+            )}),
+            str(d / f"part-{i:03d}.parquet"),
+        )
+    out = z.collect_ndv(str(d))
+    assert out["rows"] == n_files * rows_per  # every footer counted
+    assert out["sample_rows"] == 4 * rows_per  # only the subset read
+    # unique key sampled from spread files: estimate within GEE bounds
+    ndv = out["columns"]["k"]["ndv"]
+    assert 4 * rows_per <= ndv <= n_files * rows_per
+    # quantiles span the spread subset (not one file's prefix)
+    q = out["columns"]["k"]["q"]
+    assert q[0] < rows_per and q[-1] >= (n_files - 3) * rows_per
