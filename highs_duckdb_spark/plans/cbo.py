@@ -93,6 +93,16 @@ BROADCAST_CAP_BYTES = int(os.environ.get("HDS_BROADCAST_CAP_BYTES", str(256 << 2
 #: aggregate costs more than it saves).
 EAGER_AGG_MIN_REDUCTION = float(os.environ.get("HDS_EAGER_AGG_MIN_REDUCTION", "2.0"))
 
+#: ... and only when the carrier fact is at least this big: the rewrite's
+#: RATIO benefit scales with data while its plan-construction cost (extra
+#: aggregate nodes through Catalyst) is data-size-invariant, so a
+#: cost-based rewrite must weigh ABSOLUTE benefit — the same reasoning
+#: behind broadcast thresholds. Measured: at sf0.1 (carrier ≤ ~10 MB) the
+#: rewrite costs +28% of q11's floor-dominated wall time; at sf10/sf100 it
+#: pays −16/−45%. 32 MB sits an order of magnitude above the break-even's
+#: noisy side.
+EAGER_AGG_MIN_BYTES = int(os.environ.get("HDS_EAGER_AGG_MIN_BYTES", str(32 << 20)))
+
 #: aggregate functions the eager rewrite can decompose into a
 #: partial-below-the-join / combine-above-the-join pair
 _DECOMPOSABLE = ("sum", "count", "min", "max", "avg")
@@ -913,6 +923,8 @@ class JoinGraph:
             )
             if not covered:
                 return decline("pre_keys_exceed_join_key")
+        if f.bytes < EAGER_AGG_MIN_BYTES:
+            return decline(f"carrier_bytes:{f.bytes:.0f}")
         if f.rows is None:
             return decline("no_row_stats")
         groups = 1.0

@@ -884,6 +884,7 @@ def test_eager_agg_fires_and_matches_lazy(spark, monkeypatch):
     identical to the lazy plan — including the decimal Sum cast (lazy
     sum(dec(12,2)) = dec(22,2); the eager double-Sum would be dec(32,2)
     without the cast) and avg's sum/count decomposition."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
     g = _eager_graph(spark)
     df = g.plan()
     assert g.explain.eager_agg == ("lineitem", ("l_orderkey",))
@@ -904,9 +905,10 @@ def test_eager_agg_fires_and_matches_lazy(spark, monkeypatch):
     assert eager_rows == sorted(df2.collect())
 
 
-def test_eager_agg_declines_dim_conditioned_fact(spark):
+def test_eager_agg_declines_dim_conditioned_fact(spark, monkeypatch):
     """A dim whose condition needs the carrier fact's columns (after=
     names it) breaks the uniform-multiplicity argument — must decline."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
     g = _eager_graph(spark)
     sup = load_table(spark, "supplier", SF)
     g.dim(
@@ -922,6 +924,7 @@ def test_eager_agg_declines_dim_conditioned_fact(spark):
 
 def test_eager_agg_declines_without_stats(spark, monkeypatch):
     """No sidecar stats (kill switch) → no reduction prediction → lazy."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
     monkeypatch.setenv("HDS_DISABLE_PRUNING", "1")
     g = _eager_graph(spark)
     g.plan()
@@ -934,6 +937,7 @@ def test_eager_agg_declines_on_low_reduction(spark, monkeypatch):
     raising the threshold above that must decline with the predicted
     factor in the reason (the stat, not a hard-coded shape, is what
     decides)."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
     monkeypatch.setattr(cbo, "EAGER_AGG_MIN_REDUCTION", 10.0)
     g = cbo.JoinGraph(spark, SF)
     g.fact("lineitem", load_table(spark, "lineitem", SF))
@@ -952,11 +956,12 @@ def test_eager_agg_declines_on_low_reduction(spark, monkeypatch):
     assert df.columns == ["o_orderpriority", "n", "q"]
 
 
-def test_eager_agg_declines_when_group_keys_break_copartition(spark):
+def test_eager_agg_declines_when_group_keys_break_copartition(spark, monkeypatch):
     """Carrier-side group keys beyond the join key make the pre-aggregate
     hash on (k ∪ gT) and force a SECOND exchange back to k for the join —
     without storage bucketing covering the pre-keys the rewrite must
     decline (lazy shuffles the fact once; eager would shuffle twice)."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
     g = cbo.JoinGraph(spark, SF)
     g.fact("lineitem", load_table(spark, "lineitem", SF))
     g.fact("orders", load_table(spark, "orders", SF))
@@ -971,13 +976,27 @@ def test_eager_agg_declines_when_group_keys_break_copartition(spark):
     assert df.columns == ["l_returnflag", "o_orderpriority", "q"]
 
 
-def test_eager_agg_plan_is_idempotent(spark):
+def test_eager_agg_plan_is_idempotent(spark, monkeypatch):
     """A second plan() on the same graph must NOT re-rewrite the already
     pre-aggregated carrier (which would aggregate twice) — it reuses the
     first rewrite and returns identical results."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
     g = _eager_graph(spark)
     first = sorted(g.plan().collect())
     assert g.explain.eager_agg == ("lineitem", ("l_orderkey",))
     second = sorted(g.plan().collect())
     assert g.explain.eager_agg == ("lineitem", ("l_orderkey",))
     assert first == second
+
+
+def test_eager_agg_declines_below_bytes_floor(spark):
+    """At test scale the carrier is a few MB: the ABSOLUTE-benefit gate
+    declines (the rewrite's plan-construction cost is data-size-invariant
+    while its benefit scales with data — the broadcast-threshold
+    reasoning applied to a rewrite). The sf10/sf100 A/Bs price the fire
+    side (BENCH_SCALING round 7)."""
+    g = _eager_graph(spark)
+    df = g.plan()
+    assert g.explain.eager_agg == ()
+    assert g.explain.eager_decline.startswith("carrier_bytes:")
+    assert df.count() == 5  # lazy path serves the aggregate unchanged
