@@ -363,7 +363,8 @@ def q11_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.edge("orders", "o_custkey", "customer", "c_custkey")
     g.dim("nation", nation, F.col("c_nationkey") == F.col("n_nationkey"), after=("customer",))
     g.dim("region", region, F.col("n_regionkey") == F.col("r_regionkey"), after=("nation",))
-    # aggregate DECLARED: the NDV gate pre-aggregates orders by o_custkey
+    # aggregate DECLARED: past the absolute-benefit floor the NDV gate
+    # pre-aggregates orders by o_custkey
     # below the star join (~15 orders/customer off the join input; under
     # the layout the custkey-clustered copy makes the pre-aggregate
     # exchange-free too — the rewrite composes with copy selection)
@@ -1728,11 +1729,12 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     g.edge("orders", "o_custkey", "customer", "c_custkey")
     g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
-    # the aggregate is DECLARED to the planner (round 7): on plain files
-    # the NDV gate fires eager aggregation — lineitem pre-aggregates by
-    # l_orderkey BELOW the join (≈4 items/order off the shuffle); under
-    # the layout the fused projection's composite group keys fail the
-    # reduction gate and the aggregate runs lazily, exactly as before
+    # the aggregate is DECLARED to the planner (round 7): past the
+    # absolute-benefit floor (carrier ≥ 32 MB) the NDV gate fires eager
+    # aggregation — lineitem pre-aggregates by l_orderkey BELOW the join
+    # (≈4 items/order off the shuffle, A/B'd at sf10); under the layout
+    # the fused projection's composite group keys fail the reduction
+    # gate and the aggregate runs lazily, exactly as before
     g.aggregate(
         ("l_orderkey", "o_orderdate", "o_orderpriority"),
         {

@@ -175,7 +175,8 @@ def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.fact("lineitem", li, columns=("l_quantity",))
     g.edge("orders", "o_custkey", "customer", "c_custkey")
     g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
-    # aggregate DECLARED to the planner: the NDV gate pre-aggregates raw
+    # aggregate DECLARED to the planner: past the absolute-benefit floor
+    # the NDV gate pre-aggregates raw
     # lineitem by l_orderkey below the join (~4x off the shuffle; under the
     # layout the fused projection declines and it runs lazily). The big-
     # order semi join commutes with the aggregation — it filters on
