@@ -1000,3 +1000,24 @@ def test_eager_agg_declines_below_bytes_floor(spark):
     assert g.explain.eager_agg == ()
     assert g.explain.eager_decline.startswith("carrier_bytes:")
     assert df.count() == 5  # lazy path serves the aggregate unchanged
+
+
+def test_eager_agg_declines_single_fact_graph(spark, monkeypatch):
+    """A one-fact graph (dims only) has no fact join to push below — the
+    aggregate must run lazily with the machine-readable reason (the q10
+    shape: fact + broadcast dim, where the lazy plan's map-side partial
+    combine is already optimal)."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("lineitem", load_table(spark, "lineitem", SF))
+    g.dim(
+        "part",
+        load_table(spark, "part", SF),
+        F.col("l_partkey") == F.col("p_partkey"),
+        after=("lineitem",),
+    )
+    g.aggregate(("p_brand",), {"n": ("count", "*")})
+    df = g.plan()
+    assert g.explain.eager_agg == ()
+    assert g.explain.eager_decline == "single_fact"
+    assert df.columns == ["p_brand", "n"]
