@@ -64,8 +64,12 @@ def capture_registry(spark, sf_dir: str, names=None) -> list[dict]:
         with capture_workloads() as sink:
             try:
                 QUERIES[name].builder(spark, sf_dir)
-            except Exception:
-                skipped.append(name)
+            except Exception as exc:
+                # the exception repr rides along so a real builder
+                # regression is distinguishable from expected non-plain
+                # setup (streaming sources etc.) when this capture is read
+                # as a health sweep (VERDICT r07)
+                skipped.append(f"{name} [{type(exc).__name__}: {exc}]"[:200])
                 continue
         for r in sink:
             r["query"] = name

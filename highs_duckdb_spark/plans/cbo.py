@@ -873,7 +873,15 @@ class JoinGraph:
             # a single-relation aggregate has no join to push below
             return decline("single_fact")
         need: set[str] = set()
-        for _alias, (_fn, _expr, cols) in aggs.items():
+        for alias, (_fn, expr, cols) in aggs.items():
+            if not isinstance(expr, str) and not cols:
+                # A Column expr with no declared input columns: need=∅ is a
+                # subset of EVERY fact's columns, so the carrier gate could
+                # pick a fact lacking the expr's real inputs and crash in
+                # pre() — contradicting the documented contract that
+                # omitting cols only costs the optimization, never
+                # correctness (ADVICE r07). Decline; the lazy plan runs.
+                return decline(f"column_expr_no_cols:{alias}")
             need |= set(cols)
         cands = [
             f
@@ -953,8 +961,12 @@ class JoinGraph:
         # Catalyst analysis where possible — plan construction is the
         # measured sf0.1 floor: bare-column inputs read the fact's already-
         # analyzed schema (the eligibility scan touched .columns, so it is
-        # cached), and only a Column expr whose text mentions DECIMAL pays
-        # one schema probe of the pre-aggregate.
+        # cached). ANY Column expr pays one schema probe of the built
+        # pre-aggregate — text-matching 'DECIMAL' in str(expr) missed
+        # decimal-typed expressions without an explicit cast in their text
+        # (e.g. col(price) * col(qty) over decimal inputs), which then kept
+        # the double-widened Sum type and diverged from the lazy plan's
+        # schema (ADVICE r07).
         from pyspark.sql.types import DecimalType
 
         input_types = {fld.name: fld.dataType for fld in f.df.schema.fields}
@@ -970,14 +982,23 @@ class JoinGraph:
                     partial_dec[pname] = DecimalType(
                         min(38, dt.precision + 10), dt.scale
                     )
-            elif "DECIMAL" in str(expr).upper():
+            else:
                 probe_needed = True
 
         def pre(df: DataFrame) -> DataFrame:
             return df.groupBy(*pre_keys).agg(*partials)
 
         f.df = pre(f.df)
-        f.copies = {ks: pre(c) for ks, c in f.copies.items()}
+        # Copies whose bucket-key set is NOT a subset of pre_keys lose
+        # their claimed output partitioning under the groupBy (the
+        # pre-aggregate exchanges to pre_keys), so keeping them would let
+        # _entry_keys/_simulate credit an exchange-free side that actually
+        # exchanges — a cost misestimate, never a wrong result (ADVICE
+        # r07). Drop them; subset-keyed copies keep their clustering
+        # through the groupBy (Spark's subset rule).
+        f.copies = {
+            ks: pre(c) for ks, c in f.copies.items() if set(ks) <= set(pre_keys)
+        }
         # the pre-aggregate is no longer "prepare(catalog rows)": withdraw
         # the same-rows contracts (projection matching already ran)
         f.prepare = None

@@ -175,13 +175,19 @@ def collect_stats(dir_path: str, columns: list[str] | None = None) -> dict:
                 if st is None or not st.has_min_max:
                     continue
                 try:
+                    # st.min/.max themselves can raise (pyarrow
+                    # ArrowNotImplementedError for decimal statistics, even
+                    # with has_min_max True) — a single such column must
+                    # skip ITSELF, not abort the whole table's harvest
+                    # (round 8: one decimal column used to disable every
+                    # stat the sidecar would have held)
                     if i in ns_cols:
                         lo = _encode(_widen_us(st.min, up=False))
                         hi = _encode(_widen_us(st.max, up=True))
                     else:
                         lo, hi = _encode(st.min), _encode(st.max)
-                except TypeError:
-                    continue
+                except Exception:
+                    continue  # absence of stats never prunes — safe skip
                 cols_out[name] = {"min": lo, "max": hi}
                 agg = file_cols.get(name)
                 if agg is None:
@@ -587,10 +593,13 @@ def _hist_frac(bounds: list, v: Any, *, below: bool) -> float | None:
         nv = _num_key(v)
     except (TypeError, ValueError):
         # non-numeric (strings): order directly, no within-bucket scale
+        keys, nv = vals, v
         try:
-            keys, nv = vals, v
-            if not (keys[0] <= nv or nv <= keys[-1]):  # comparability probe
-                return None
+            keys[0] <= nv  # noqa: B015 — comparability probe: raises
+            # TypeError for cross-type values (the comparison result itself
+            # is irrelevant — under any total order SOME comparison holds,
+            # so only the exception carries information; ADVICE r07 removed
+            # an unreachable `return None` branch that obscured this)
         except TypeError:
             return None
     if below:
@@ -673,7 +682,13 @@ def estimate_range_selectivity(
             est += rows * frac
     if not usable or total == 0:
         return None
-    return est / total
+    # The histogram path scales by the sampled non-null fraction (a range
+    # predicate is false on NULL); apply the same factor here when the NDV
+    # harvest recorded one, so the two estimators agree on nullable
+    # columns (ADVICE r07). Without a harvest the zone fallback still
+    # counts null rows as in-range — a documented upper bias,
+    # estimate-only (join-order ranking, never pruning soundness).
+    return est / total * float(entry.get("nn", 1.0))
 
 
 def _num_key(v: Any) -> float:

@@ -1021,3 +1021,91 @@ def test_eager_agg_declines_single_fact_graph(spark, monkeypatch):
     assert g.explain.eager_agg == ()
     assert g.explain.eager_decline == "single_fact"
     assert df.columns == ["p_brand", "n"]
+
+
+# --- round 8: ADVICE r07 fixes ------------------------------------------------
+
+
+def test_eager_agg_declines_column_expr_without_cols(spark, monkeypatch):
+    """A Column agg expr with NO declared input columns must DECLINE (not
+    crash): need=∅ is a subset of every fact's columns, so the old carrier
+    gate could pick a fact lacking the expr's real inputs and raise inside
+    plan() — the documented contract is that omitting cols only costs the
+    optimization, never correctness (ADVICE r07)."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("lineitem", load_table(spark, "lineitem", SF))
+    g.fact("orders", load_table(spark, "orders", SF))
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    # o_totalprice lives on ORDERS; with cols undeclared the old gate saw
+    # need=∅ ⊆ lineitem.columns and built an unanalyzable pre-aggregate
+    g.aggregate(("o_orderpriority",), {"t": ("sum", F.col("o_totalprice") * 2)})
+    df = g.plan()
+    assert g.explain.eager_agg == ()
+    assert g.explain.eager_decline == "column_expr_no_cols:t"
+    assert df.columns == ["o_orderpriority", "t"]
+    assert df.count() == 5  # lazy path serves the aggregate unchanged
+
+
+def test_eager_agg_decimal_expr_without_cast_text(spark, tmp_path, monkeypatch):
+    """A decimal-TYPED Column expr with no 'DECIMAL' in its expression
+    text (decimal source column × plain column) must still get the combine
+    cast-back: the schema probe fires for ANY Column expr instead of
+    text-matching str(expr) (ADVICE r07). Without it the eager plan's Sum
+    widens twice (dec(p+20)) and the output schema diverges from lazy."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
+    sfd = str(tmp_path)
+    (
+        spark.range(0, 4000)
+        .select(
+            (F.col("id") % 1000).alias("k"),
+            F.col("id").cast("decimal(10,2)").alias("d"),
+            (F.col("id") % 7).alias("m"),
+        )
+        .coalesce(1)
+        .write.parquet(sfd + "/facttab.parquet")
+    )
+    (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k2"), (F.col("id") % 5).alias("grp"))
+        .coalesce(1)
+        .write.parquet(sfd + "/dimtab.parquet")
+    )
+
+    def build(g):
+        g.fact("facttab", spark.read.parquet(sfd + "/facttab.parquet"))
+        g.fact("dimtab", spark.read.parquet(sfd + "/dimtab.parquet"))
+        g.edge("facttab", "k", "dimtab", "k2")
+        # str(expr) is "(d * m)" — no cast, no DECIMAL text
+        g.aggregate(("grp",), {"s": ("sum", F.col("d") * F.col("m"), ("d", "m"))})
+        return g.plan()
+
+    g = cbo.JoinGraph(spark, sfd)
+    df = build(g)
+    assert g.explain.eager_agg == ("facttab", ("k",)), g.explain.eager_decline
+    monkeypatch.setenv("HDS_DISABLE_EAGER_AGG", "1")
+    g2 = cbo.JoinGraph(spark, sfd)
+    df2 = build(g2)
+    assert g2.explain.eager_agg == ()
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in df2.schema.fields
+    ]
+    assert sorted(df.collect()) == sorted(df2.collect())
+
+
+def test_eager_agg_drops_noncovering_copies(spark, monkeypatch):
+    """After the rewrite, alternate copies whose bucket keys are not a
+    subset of the pre-aggregate keys no longer have their claimed output
+    partitioning (the groupBy exchanges them to pre_keys) — they must be
+    dropped so _entry_keys/_simulate can't credit an exchange-free fact
+    side that actually exchanges (ADVICE r07; cost misestimate only)."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
+    g = _eager_graph(spark)
+    li = g._facts["lineitem"]
+    li.copies = {
+        frozenset({"l_orderkey"}): li.df,
+        frozenset({"l_suppkey"}): li.df,
+    }
+    g.plan()
+    assert g.explain.eager_agg == ("lineitem", ("l_orderkey",))
+    assert set(g._facts["lineitem"].copies) == {frozenset({"l_orderkey"})}

@@ -853,3 +853,48 @@ def test_ndv_harvest_bounds_file_fanout(tmp_path, monkeypatch):
     # quantiles span the spread subset (not one file's prefix)
     q = out["columns"]["k"]["q"]
     assert q[0] < rows_per and q[-1] >= (n_files - 3) * rows_per
+
+
+def test_hist_frac_cross_type_returns_none():
+    """String-boundary histograms probed with an incomparable value must
+    decline (None), via an explicit TypeError probe — the old
+    `not (keys[0] <= nv or nv <= keys[-1])` condition can never be True
+    under any total order and only worked as a TypeError trigger
+    (ADVICE r07: dead branch removed, intent made explicit)."""
+    from highs_duckdb_spark.sources import stats as z
+
+    bounds = ["a", "b", "c", "d", "e"]
+    assert z._hist_frac(bounds, 3, below=True) is None  # int vs str
+    assert z._hist_frac(bounds, 3, below=False) is None
+    est = z._hist_frac(bounds, "c", below=True)
+    assert est is not None and 0.0 < est < 1.0
+
+
+def test_zone_fallback_scales_by_nonnull_fraction():
+    """The histogram path scales range selectivity by the sampled
+    non-null fraction; the zone-map fallback must apply the SAME factor
+    when the harvest recorded one, so the two estimators agree on
+    nullable columns (ADVICE r07)."""
+    import pytest as _pytest
+
+    from highs_duckdb_spark.sources import stats as z
+
+    stats = {
+        "files": [
+            {
+                "path": "f.parquet",
+                "rows": 100,
+                "columns": {},
+                "row_groups": [
+                    {"rows": 100, "columns": {"x": {"min": 0, "max": 100}}}
+                ],
+            }
+        ],
+        # nn recorded but no quantiles ("q"): the zone fallback runs
+        "ndv": {"columns": {"x": {"ndv": 50.0, "nn": 0.5}}},
+    }
+    est = z.estimate_range_selectivity(stats, "x", lo=0, hi=100)
+    assert est == _pytest.approx(0.5)
+    # without any harvest the fallback keeps its documented upper bias
+    zones_only = {k: v for k, v in stats.items() if k != "ndv"}
+    assert z.estimate_range_selectivity(zones_only, "x", lo=0, hi=100) == _pytest.approx(1.0)
