@@ -1777,14 +1777,9 @@ def q64_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     doc="TPC-H Q5 shape: 5-way join with a compound join condition (local supplier volume).",
 )
 def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
     cust = load_table(spark, "customer", sf_dir)
-
-    def in_window(df: DataFrame) -> DataFrame:
-        return df.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
@@ -1803,6 +1798,18 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (VERDICT r05 item 2). supplier is a broadcast only while its size
     # clears the scale threshold — demoted to the co-partitioned strategy
     # at 100 TB, where supplier is fact-sized. nation is bounded (25 rows).
+    #
+    # Round 8: the whole query is DECLARED to the planner — the date
+    # window as a semantic range_filter (the built filter is identical),
+    # the dim conditions structurally (on=/extra_eq=, same Columns), and
+    # the revenue aggregate via aggregate(). With the rev_by_nation_year
+    # AGGREGATE MV attached (sources/layout.AGG_MV_SPECS), the planner
+    # substitutes it for the entire graph: the year-aligned window maps to
+    # o_year ∈ {1996,1997}, the local-supplier extra_eq is a group-key
+    # filter, and the final (n_name) grouping combines ~4.4k pre-
+    # aggregated partials instead of decoding the 600M-row join
+    # projection (q65 was 5.93× DuckDB at sf100 — the largest committed
+    # gap, VERDICT r07 item 1). Without the MV the plan is unchanged.
     g = JoinGraph(spark, sf_dir)
     from highs_duckdb_spark.sources.layout import range_selectivity
 
@@ -1812,10 +1819,12 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # derived from the sidecar zones; 0.30 is the no-stats fallback
         sel=range_selectivity(sf_dir, "orders", "o_orderdate",
                               lo="1996-01-01", hi="1998-01-01", default=0.30),
-        prepare=in_window,
+        range_filter=(
+            "o_orderdate", _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+        ),
         columns=("o_custkey", "o_orderdate"),
     )
-    g.fact("customer", cust)
+    g.fact("customer", cust, columns=("c_custkey", "c_nationkey"))
     g.fact(
         "lineitem",
         li,
@@ -1826,23 +1835,37 @@ def q65_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.dim(
         "supplier",
         sup,
-        (F.col("l_suppkey") == F.col("s_suppkey"))
-        & (F.col("c_nationkey") == F.col("s_nationkey")),
+        on=("l_suppkey", "s_suppkey"),
+        extra_eq=("c_nationkey", "s_nationkey"),
         after=("lineitem", "customer"),
+        unique_key=True,
+        catalog_rows=True,
     )
     g.dim(
         "nation",
         nation,
-        F.col("s_nationkey") == F.col("n_nationkey"),
+        on=("s_nationkey", "n_nationkey"),
         after=("supplier",),
+        unique_key=True,
+        catalog_rows=True,
+    )
+    g.aggregate(
+        ("n_name",),
+        {
+            "revenue_c": (
+                "sum",
+                cents("l_extendedprice") * (100 - cents("l_discount")),
+                ("l_extendedprice", "l_discount"),
+            )
+        },
     )
     return (
         g.plan()
-        .groupBy("n_name")
-        .agg(
-            money_sum(cents("l_extendedprice") * (100 - cents("l_discount")), 4).alias(
+        .select(
+            "n_name",
+            F.round(F.lit(1e-9) + from_cents(F.col("revenue_c"), 4), 2).alias(
                 "revenue"
-            )
+            ),
         )
         .transform(present_sorted, F.desc("revenue"), F.asc("n_name"))
     )

@@ -222,6 +222,12 @@ class _Fact:
     row_bytes: float | None = None
     #: per-column sample-NDV estimates of the CATALOG table
     ndv: dict[str, float] = field(default_factory=dict)
+    #: declarative filter the fact's ``prepare`` was built from:
+    #: ``(col, lo, hi)`` meaning ``lo <= col < hi`` (either bound None =
+    #: unbounded). The SEMANTIC form of the filter is what lets the
+    #: aggregate-MV matcher reason about it (an opaque ``prepare`` can
+    #: only be replayed, never subsumed into a coarser grain).
+    range_filter: tuple | None = None
 
 
 @dataclass
@@ -245,6 +251,24 @@ class _Dim:
     #: declared filter selectivity on the dim's catalog table (the same
     #: ANALYZE-style stat facts carry); feeds :meth:`row_factor`
     sel: float = 1.0
+    #: catalog table this dim scans (stat + agg-MV matching key)
+    table: str = ""
+    #: DECLARATIVE join condition (``on``/``extra_eq`` in :meth:`JoinGraph.
+    #: dim`): set only when the caller declared the condition structurally
+    #: instead of passing an opaque Column — the opt-in the aggregate-MV
+    #: matcher needs to reason about the join
+    on: tuple[str, str] | None = None
+    extra_eq: tuple[str, str] | None = None
+    #: caller-asserted catalog metadata: the dim-side join column is a
+    #: UNIQUE key of ``df`` (a primary key), so an inner/left join on it
+    #: never multiplies tree rows — the property that lets partial
+    #: aggregates flow through the join unchanged
+    unique_key: bool = False
+    #: caller-asserted contract that ``df`` is exactly the catalog
+    #: table's rows (no filters/projections beyond column pruning) — the
+    #: same-rows opt-in agg-MV ABSORPTION requires (a filtered dim would
+    #: make the MV, built from the full table, over-include)
+    catalog_rows: bool = False
 
     @property
     def row_factor(self) -> float:
@@ -373,6 +397,11 @@ class PlanExplain:
     #: why the eager rewrite declined ("" = no aggregate declared or it
     #: fired); machine-readable like projection declines
     eager_decline: str = ""
+    #: aggregate MV substituted for the WHOLE graph: (MV name, absorbed
+    #: relation names); () when no MV served the query
+    agg_mv: tuple[str, tuple[str, ...]] | tuple[()] = ()
+    #: per-MV decline reasons (machine-readable, advisor input)
+    agg_mv_declines: tuple[tuple[str, str], ...] = ()
 
 
 class JoinGraph:
@@ -402,9 +431,34 @@ class JoinGraph:
         self._eager_finals: list | None = None
         self._eager_result: tuple[str, tuple[str, ...]] | None = None
         self._eager_decline = ""
+        self._agg_mv_declines: list[tuple[str, str]] = []
         self.explain = PlanExplain()
 
     # -- declaration ---------------------------------------------------------
+
+    @staticmethod
+    def _range_prepare(col: str, lo, hi):
+        """Row-level transform for the declarative ``range_filter``
+        contract: ``lo <= col < hi`` (half-open — the decision-support
+        window convention), bounds cast to the COLUMN's own type so the
+        comparison semantics are exactly the hand-written filter's."""
+
+        def prep(df: DataFrame) -> DataFrame:
+            t = dict(df.dtypes).get(col)
+            c = F.col(col)
+
+            def bound(v):
+                return F.lit(v).cast(t) if t is not None else F.lit(v)
+
+            cond = None
+            if lo is not None:
+                cond = c >= bound(lo)
+            if hi is not None:
+                upper = c < bound(hi)
+                cond = upper if cond is None else cond & upper
+            return df.filter(cond) if cond is not None else df
+
+        return prep
 
     def fact(
         self,
@@ -416,6 +470,7 @@ class JoinGraph:
         prepare=None,
         part_keys: frozenset[str] | None = None,
         columns: tuple[str, ...] | None = None,
+        range_filter: tuple | None = None,
     ) -> "JoinGraph":
         """A fact-scale relation. ``table`` (default: ``name``) keys the
         catalog stats; ``sel`` is the declared selectivity of the filters
@@ -450,8 +505,22 @@ class JoinGraph:
         ``table``). Passing it is also the signal that ``table`` is ONLY a
         stat proxy — the relation does not hold the same rows as the
         catalog table — so the alternate-clustered-copies lookup (which IS
-        a same-rows contract) is skipped entirely for such facts."""
+        a same-rows contract) is skipped entirely for such facts.
+
+        ``range_filter``: ``(col, lo, hi)`` — the DECLARATIVE form of a
+        ``lo <= col < hi`` filter (either bound None = unbounded). The
+        planner builds ``prepare`` from it (mutually exclusive with a
+        caller ``prepare``), so downstream behavior is identical to the
+        hand-written filter — but the SEMANTIC form additionally opts the
+        fact into aggregate-MV matching, where the matcher must prove the
+        filter is expressible at the MV's group-key grain (e.g. a
+        year-aligned date window on an MV carrying ``year(col)``). An
+        opaque ``prepare`` can only be replayed, never subsumed."""
         t = table or name
+        if range_filter is not None:
+            if prepare is not None:
+                raise ValueError("fact: prepare and range_filter are exclusive")
+            prepare = self._range_prepare(*range_filter)
         copies: dict[frozenset[str], DataFrame] = {}
         if prepare is not None:
             df = prepare(df)
@@ -484,6 +553,7 @@ class JoinGraph:
             rows=rows_total * sel if rows_total else None,
             row_bytes=raw_bytes / rows_total if rows_total else None,
             ndv=ndv,
+            range_filter=range_filter,
         )
         return self
 
@@ -550,7 +620,7 @@ class JoinGraph:
         self,
         name: str,
         df: DataFrame,
-        cond,
+        cond=None,
         *,
         after: tuple[str, ...],
         table: str | None = None,
@@ -559,10 +629,26 @@ class JoinGraph:
         fact_scale: bool = False,
         prepare=None,
         key: str | None = None,
+        on: tuple[str, str] | None = None,
+        extra_eq: tuple[str, str] | None = None,
+        unique_key: bool = False,
+        catalog_rows: bool = False,
     ) -> "JoinGraph":
         """A broadcast-candidate relation joined by ``cond`` once every
         relation in ``after`` (fact OR previously-declared dim — star
         schemas chain dims, e.g. region off nation) is in the tree.
+
+        ``on``/``extra_eq``: the DECLARATIVE condition form — ``cond`` is
+        then built by the planner as ``col(on[0]) == col(on[1])`` (AND
+        ``col(extra_eq[0]) == col(extra_eq[1])``), byte-identical to the
+        hand-written Column, and the structure opts the dim into
+        aggregate-MV matching (an opaque ``cond`` can only be executed,
+        never reasoned about). ``unique_key=True`` asserts the catalog
+        fact that ``on``'s dim-side column is a UNIQUE key of ``df`` (a
+        PK), so the join never multiplies tree rows — the property that
+        lets partial aggregates flow through it. ``catalog_rows=True``
+        asserts ``df`` is exactly the catalog table's rows (the same-rows
+        opt-in MV absorption requires).
 
         ``fact_scale=True`` declares the relation a RAW fact-class scan
         (its size grows with SF): it always takes the co-partitioned
@@ -579,6 +665,14 @@ class JoinGraph:
         semi/anti/outer join exchange-free on the dim side (the broadcast
         path doesn't care about clustering)."""
         t = table or name
+        if cond is None:
+            if on is None:
+                raise ValueError("dim: pass cond or the declarative on=")
+            cond = F.col(on[0]) == F.col(on[1])
+            if extra_eq is not None:
+                cond = cond & (F.col(extra_eq[0]) == F.col(extra_eq[1]))
+        elif on is not None or extra_eq is not None:
+            raise ValueError("dim: cond and on/extra_eq are exclusive")
         if prepare is not None:
             df = prepare(df)
         alt_df = None
@@ -600,6 +694,11 @@ class JoinGraph:
                 fact_scale=fact_scale,
                 alt_df=alt_df,
                 sel=sel,
+                table=t,
+                on=on,
+                extra_eq=extra_eq,
+                unique_key=unique_key,
+                catalog_rows=catalog_rows,
             )
         )
         return self
@@ -1039,6 +1138,285 @@ class JoinGraph:
         self._eager_result = (f.name, tuple(pre_keys))
         return self._eager_result
 
+    # -- aggregate materialized views -------------------------------------------
+
+    @staticmethod
+    def _canon_agg_expr(expr) -> str:
+        """Canonical text of a declared aggregate input expression — the
+        identity agg-MV matching compares. Queries and MV specs that build
+        the expression through the same helpers produce the same text; a
+        query whose text differs simply doesn't match (a decline, never a
+        wrong result)."""
+        if isinstance(expr, str):
+            return "*" if expr == "*" else str(F.col(expr))
+        return str(expr)
+
+    def _try_agg_mv(self) -> DataFrame | None:
+        """Substitute a matched AGGREGATE MV for the whole declared graph
+        (VERDICT r07 item 1 — the Calcite/DuckDB aggregate-MV rewrite).
+
+        The MV (``sources.layout.AGG_MV_SPECS``, built at layout attach)
+        holds the spec's join pre-aggregated at group-key grain. A query
+        is served when its join set equals the spec's, its filters are
+        expressible at that grain, and its declared ``aggregate()`` is
+        subsumed (same or coarser grouping over decomposable aggs) — the
+        final aggregate then COMBINES partials exactly as eager
+        aggregation does, over ~|group keys| rows instead of the raw
+        fact join. Declines are recorded machine-readably per MV."""
+        if os.environ.get("HDS_DISABLE_AGG_MV") == "1":
+            return None
+        from highs_duckdb_spark.sources.layout import attached_agg_mvs
+
+        mvs = attached_agg_mvs(self.spark, self.sf_dir)
+        for name in sorted(mvs):
+            spec, mvdf, _path = mvs[name]
+            res = self._match_agg_mv(name, spec, mvdf)
+            if isinstance(res, str):
+                self._agg_mv_declines.append((name, res))
+                continue
+            df, absorbed = res
+            self.explain = PlanExplain(
+                agg_mv=(name, absorbed),
+                agg_mv_declines=tuple(self._agg_mv_declines),
+            )
+            return df
+        return None
+
+    def _match_agg_mv(
+        self, name: str, spec: dict, mvdf: DataFrame
+    ) -> tuple[DataFrame, tuple[str, ...]] | str:
+        """One MV's match attempt; returns (result DataFrame, absorbed
+        relation names) or the decline reason. Soundness requirements,
+        each declined when unprovable:
+
+        - every spec table maps to exactly one declared relation — a fact
+          (``columns=`` same-rows opt-in, filters declarative) or a dim
+          (``on=`` structural condition + ``catalog_rows=True``);
+        - the declared join set equals the spec's joins exactly (the MV's
+          build rows are then the query's join rows); an absorbed dim's
+          ``extra_eq`` must relate two GROUP KEYS (it then commutes with
+          the build aggregation and is applied as a post-MV filter);
+        - every fact ``range_filter`` is expressible at group-key grain:
+          the filter column is itself a group key, or a spec-derived
+          ``year(col)`` group key with YEAR-ALIGNED bounds;
+        - remaining (non-absorbed) dims attach to the MV output on a
+          served key, and cannot multiply rows: inner/left joins require
+          the declared ``unique_key`` PK assertion, semi/anti only filter
+          — so per-group partials flow through unchanged;
+        - the query's group keys are served (MV group keys or remaining-
+          dim columns) and every aggregate matches a spec aggregate by
+          (fn, canonical expression text); sums of stored DECIMAL
+          partials are cast back to the stored type (Spark's +10
+          precision widen must not apply twice)."""
+        import datetime as _dt
+
+        from pyspark.sql.types import DecimalType
+
+        keys_final, aggs_final = self._agg
+        gset = set(spec["group_keys"])
+        derived = spec.get("derived", {})
+        tables = list(spec["tables"])
+
+        # 1. map spec tables to declared relations
+        by_tab_facts: dict[str, list[_Fact]] = {}
+        for f in self._facts.values():
+            by_tab_facts.setdefault(f.table, []).append(f)
+        by_tab_dims: dict[str, list[_Dim]] = {}
+        for d in self._dims:
+            by_tab_dims.setdefault(d.table, []).append(d)
+        mapped_facts: dict[str, _Fact] = {}
+        mapped_dims: dict[str, _Dim] = {}
+        for t in tables:
+            fc = by_tab_facts.get(t, [])
+            dc = by_tab_dims.get(t, [])
+            if len(fc) + len(dc) != 1:
+                return f"table:{t}:{'absent' if not (fc or dc) else 'ambiguous'}"
+            if fc:
+                f = fc[0]
+                if f.columns is None:
+                    return f"no_columns_optin:{f.name}"
+                if f.stat_proxy:
+                    return f"stat_proxy:{f.name}"
+                if f.prepare is not None and f.range_filter is None:
+                    return f"opaque_prepare:{f.name}"
+                mapped_facts[t] = f
+            else:
+                d = dc[0]
+                if d.on is None:
+                    return f"opaque_dim_cond:{d.name}"
+                if not d.catalog_rows:
+                    return f"no_catalog_rows_optin:{d.name}"
+                if d.how.lower() != "inner":
+                    return f"dim_how:{d.name}:{d.how}"
+                mapped_dims[t] = d
+        for f in self._facts.values():
+            if f.table not in mapped_facts:
+                return f"unmatched_fact:{f.name}"
+
+        # 2. the declared join set must equal the spec's joins
+        fact_names = {f.name: t for t, f in mapped_facts.items()}
+        spec_joins = [tuple(j) for j in spec["joins"]]
+        unclaimed = list(spec_joins)
+
+        def claim(ta_tb: set[str], keys: set[str]) -> bool:
+            for j in unclaimed:
+                ja, jka, jb, jkb = j
+                if {ja, jb} == ta_tb and {jka, jkb} == keys:
+                    unclaimed.remove(j)
+                    return True
+            return False
+
+        for e in self._edges:
+            ta, tb = fact_names.get(e.a), fact_names.get(e.b)
+            if ta is None or tb is None:
+                return f"edge_outside_spec:{e.a}={e.b}"
+            if e.extra is not None:
+                return f"edge_extra_predicate:{e.a}={e.b}"
+            if not claim({ta, tb}, {e.ka, e.kb}):
+                return f"edge_mismatch:{e.a}.{e.ka}={e.b}.{e.kb}"
+        post_filters = []
+        for t, d in mapped_dims.items():
+            # the dim's structural join must be one of the spec's joins
+            matched = False
+            for j in list(unclaimed):
+                ja, jka, jb, jkb = j
+                if t in (ja, jb) and {jka, jkb} == set(d.on):
+                    unclaimed.remove(j)
+                    matched = True
+                    break
+            if not matched:
+                return f"dim_join_mismatch:{d.name}"
+            if d.extra_eq is not None:
+                a, b = d.extra_eq
+                if a not in gset or b not in gset:
+                    return f"extra_eq_not_group_keys:{d.name}"
+                post_filters.append(F.col(a) == F.col(b))
+        if unclaimed:
+            j = unclaimed[0]
+            return f"spec_join_unclaimed:{j[0]}.{j[1]}={j[2]}.{j[3]}"
+
+        # 3. fact filters at group-key grain
+        def year_start(v) -> bool:
+            if isinstance(v, _dt.datetime):
+                return (v.month, v.day, v.hour, v.minute, v.second,
+                        v.microsecond) == (1, 1, 0, 0, 0, 0)
+            if isinstance(v, _dt.date):
+                return (v.month, v.day) == (1, 1)
+            return False
+
+        for t, f in mapped_facts.items():
+            if f.range_filter is None:
+                continue
+            col, lo, hi = f.range_filter
+            if lo is None and hi is None:
+                continue
+            if col in gset:
+                # same bound-cast convention as _range_prepare: literals
+                # take the MV column's own type
+                ctype = dict(mvdf.dtypes).get(col)
+                c = F.col(col)
+
+                def bound(v, t=ctype):
+                    return F.lit(v).cast(t) if t is not None else F.lit(v)
+
+                if lo is not None:
+                    post_filters.append(c >= bound(lo))
+                if hi is not None:
+                    post_filters.append(c < bound(hi))
+                continue
+            dk = next(
+                (k for k, dv in derived.items()
+                 if dv == ("year", col) and k in gset),
+                None,
+            )
+            if dk is None:
+                return f"filter_not_group_grain:{f.name}:{col}"
+            if (lo is not None and not year_start(lo)) or (
+                hi is not None and not year_start(hi)
+            ):
+                return f"filter_not_year_aligned:{f.name}:{col}"
+            if lo is not None and hi is not None:
+                post_filters.append(
+                    F.col(dk).isin(list(range(lo.year, hi.year)))
+                )
+            elif lo is not None:
+                post_filters.append(F.col(dk) >= lo.year)
+            else:
+                post_filters.append(F.col(dk) < hi.year)
+
+        # 4. remaining dims must attach on served keys without multiplying
+        absorbed_ids = {id(d) for d in mapped_dims.values()}
+        remaining = [d for d in self._dims if id(d) not in absorbed_ids]
+        avail = set(mvdf.columns)
+        attach: list[tuple[_Dim, bool]] = []  # (dim, adds columns)
+        for d in remaining:
+            if d.on is None:
+                return f"opaque_dim_cond:{d.name}"
+            if d.on[0] not in avail and d.on[1] not in avail:
+                return f"dim_key_unserved:{d.name}"
+            if d.extra_eq is not None:
+                for c in d.extra_eq:
+                    if c not in avail and c not in d.df.columns:
+                        return f"dim_key_unserved:{d.name}"
+            how = d.how.lower().replace("_", "")
+            if how in ("semi", "leftsemi", "anti", "leftanti"):
+                attach.append((d, False))
+            elif how in ("inner", "left", "leftouter"):
+                if not d.unique_key:
+                    return f"dim_multiplies:{d.name}"
+                attach.append((d, True))
+                avail |= set(d.df.columns)
+            else:
+                return f"dim_how:{d.name}:{d.how}"
+
+        # 5. aggregate subsumption
+        for k in keys_final:
+            if k not in avail:
+                return f"group_key_unserved:{k}"
+        canon_spec = {
+            alias: (fn, "*" if b == "*" else self._canon_agg_expr(b()))
+            for alias, (fn, b) in spec["aggs"].items()
+        }
+        combines = []
+        for alias, (fn, expr, _cols) in aggs_final.items():
+            canon_q = self._canon_agg_expr(expr)
+            mv_alias = next(
+                (
+                    a
+                    for a, (sfn, stext) in canon_spec.items()
+                    if sfn == fn and stext == canon_q
+                ),
+                None,
+            )
+            if mv_alias is None or fn == "avg":
+                return f"agg_unmatched:{alias}"
+            if fn in ("sum", "count"):
+                c = F.sum(mv_alias)
+                stored = mvdf.schema[mv_alias].dataType
+                if isinstance(stored, DecimalType):
+                    c = c.cast(stored)  # undo the combine's second +10 widen
+                combines.append(c.alias(alias))
+            else:  # min/max: multiplicity-insensitive, same fn combines
+                combines.append(getattr(F, fn)(mv_alias).alias(alias))
+
+        # 6. build: MV scan → group-grain filters → dims → combine
+        df = mvdf
+        for flt in post_filters:
+            df = df.filter(flt)
+        from highs_duckdb_spark.plans.strategy import fact_join_strategy
+
+        strategy = fact_join_strategy(self.sf_dir)
+        for d, _adds in attach:
+            if not d.fact_scale and d.bytes <= BROADCAST_CAP_BYTES:
+                df = df.join(F.broadcast(d.df), d.cond, d.how)
+            else:
+                df = df.join(d.df.hint(strategy), d.cond, d.how)
+        df = df.groupBy(*keys_final).agg(*combines)
+        absorbed = tuple(f.name for f in mapped_facts.values()) + tuple(
+            d.name for d in mapped_dims.values()
+        )
+        return df, absorbed
+
     # -- planning ------------------------------------------------------------
 
     def _edge_between(self, joined: set[str], nxt: str) -> _Edge | None:
@@ -1171,6 +1549,12 @@ class JoinGraph:
                     "columns": sorted(f.columns) if f.columns is not None else None,
                     "stat_proxy": f.stat_proxy,
                     "has_prepare": f.prepare is not None,
+                    "range_filter": (
+                        [f.range_filter[0], repr(f.range_filter[1]),
+                         repr(f.range_filter[2])]
+                        if f.range_filter is not None
+                        else None
+                    ),
                 }
                 for f in self._facts.values()
             ],
@@ -1181,9 +1565,24 @@ class JoinGraph:
             ],
             "dims": [
                 {"name": d.name, "after": list(d.after), "bytes": d.bytes,
-                 "how": d.how, "fact_scale": d.fact_scale, "sel": d.sel}
+                 "how": d.how, "fact_scale": d.fact_scale, "sel": d.sel,
+                 "table": d.table,
+                 "on": list(d.on) if d.on is not None else None,
+                 "extra_eq": list(d.extra_eq) if d.extra_eq is not None else None,
+                 "unique_key": d.unique_key, "catalog_rows": d.catalog_rows}
                 for d in self._dims
             ],
+            "aggregate": (
+                {
+                    "keys": list(self._agg[0]),
+                    "aggs": [
+                        [alias, fn, self._canon_agg_expr(expr), list(cols)]
+                        for alias, (fn, expr, cols) in self._agg[1].items()
+                    ],
+                }
+                if self._agg is not None
+                else None
+            ),
         }
 
     def plan(self) -> DataFrame:
@@ -1192,6 +1591,18 @@ class JoinGraph:
         if _WORKLOAD_SINK is not None:
             record = self._workload_record()
             _WORKLOAD_SINK.append(record)
+        if self._agg is not None:
+            mv = self._try_agg_mv()
+            if mv is not None:
+                if record is not None:
+                    record["agg_mv"] = [
+                        self.explain.agg_mv[0],
+                        list(self.explain.agg_mv[1]),
+                    ]
+                    record["agg_mv_declines"] = [
+                        list(d) for d in self.explain.agg_mv_declines
+                    ]
+                return mv
         proj_used = self._substitute_projections()
         eager = self._try_eager_agg() if self._agg is not None else None
         names = tuple(self._facts)
@@ -1310,9 +1721,14 @@ class JoinGraph:
             projection_declines=tuple(self._proj_declines),
             eager_agg=eager if eager is not None else (),
             eager_decline=self._eager_decline,
+            agg_mv_declines=tuple(self._agg_mv_declines),
         )
         if record is not None:
             record["projections"] = [[p, list(a)] for p, a in proj_used]
             record["declines"] = [list(d) for d in self._proj_declines]
             record["eager_agg"] = list(eager) if eager is not None else None
+            record["agg_mv"] = None
+            record["agg_mv_declines"] = [
+                list(d) for d in self._agg_mv_declines
+            ]
         return tree

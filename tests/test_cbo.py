@@ -1109,3 +1109,163 @@ def test_eager_agg_drops_noncovering_copies(spark, monkeypatch):
     g.plan()
     assert g.explain.eager_agg == ("lineitem", ("l_orderkey",))
     assert set(g._facts["lineitem"].copies) == {frozenset({"l_orderkey"})}
+
+
+# --- round 8: aggregate materialized views ------------------------------------
+
+
+def _q65_graph(spark, *, window=None, opaque_orders=False, group_keys=("n_name",),
+               sup_catalog_rows=True, nation_unique=True):
+    """The q65/TPC-H-Q5 declaration with knobs for decline tests."""
+    import datetime as dt
+
+    from highs_duckdb_spark.functions.money import cents
+
+    lo, hi = window or (dt.datetime(1996, 1, 1), dt.datetime(1998, 1, 1))
+    g = cbo.JoinGraph(spark, SF)
+    orders = load_table(spark, "orders", SF)
+    if opaque_orders:
+        g.fact(
+            "orders", orders, sel=0.3,
+            prepare=lambda df: df.filter(
+                (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+            ),
+            columns=("o_custkey", "o_orderdate"),
+        )
+    else:
+        g.fact(
+            "orders", orders, sel=0.3,
+            range_filter=("o_orderdate", lo, hi),
+            columns=("o_custkey", "o_orderdate"),
+        )
+    g.fact("customer", load_table(spark, "customer", SF),
+           columns=("c_custkey", "c_nationkey"))
+    g.fact("lineitem", load_table(spark, "lineitem", SF),
+           columns=("l_suppkey", "l_extendedprice", "l_discount"))
+    g.edge("orders", "o_custkey", "customer", "c_custkey")
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.dim(
+        "supplier", load_table(spark, "supplier", SF),
+        on=("l_suppkey", "s_suppkey"), extra_eq=("c_nationkey", "s_nationkey"),
+        after=("lineitem", "customer"), unique_key=True,
+        catalog_rows=sup_catalog_rows,
+    )
+    g.dim(
+        "nation", load_table(spark, "nation", SF),
+        on=("s_nationkey", "n_nationkey"), after=("supplier",),
+        unique_key=nation_unique, catalog_rows=True,
+    )
+    g.aggregate(
+        group_keys,
+        {
+            "revenue_c": (
+                "sum",
+                cents("l_extendedprice") * (100 - cents("l_discount")),
+                ("l_extendedprice", "l_discount"),
+            )
+        },
+    )
+    return g
+
+
+def test_agg_mv_serves_q65_shape(spark, layout_dir):
+    """The headline contract (VERDICT r07 item 1): under an attached
+    layout the planner substitutes the rev_by_nation_year aggregate MV
+    for the WHOLE q65 graph — year-aligned window → o_year ∈ {1996,1997},
+    local-supplier extra_eq → group-key filter, (n_name) regroup combines
+    partials — and rows AND dtypes are identical to the lazy plan."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _q65_graph(spark)
+    df = g.plan()
+    assert g.explain.agg_mv == (
+        "rev_by_nation_year",
+        ("lineitem", "orders", "customer", "supplier"),
+    ), g.explain.agg_mv_declines
+    mv_rows = sorted(df.collect())
+    mv_schema = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    # the executed plan must NOT scan lineitem (the MV replaced the join)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan or "rev_by_nation_year" in plan
+
+    g2 = _q65_graph(spark)
+    import os as _os
+
+    _os.environ["HDS_DISABLE_AGG_MV"] = "1"
+    try:
+        df2 = g2.plan()
+    finally:
+        del _os.environ["HDS_DISABLE_AGG_MV"]
+    assert g2.explain.agg_mv == ()
+    assert mv_schema == [(f.name, f.dataType.simpleString()) for f in df2.schema.fields]
+    assert mv_rows == sorted(df2.collect())
+
+
+def test_agg_mv_declines_finer_grain(spark, layout_dir):
+    """A FINER grouping than the MV's grain (o_orderdate is not a group
+    key and no remaining dim serves it) must NOT match — the canonical
+    wrong-rewrite an aggregate-MV matcher has to refuse."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _q65_graph(spark, group_keys=("n_name", "o_orderdate"))
+    df = g.plan()
+    assert g.explain.agg_mv == ()
+    assert ("rev_by_nation_year", "group_key_unserved:o_orderdate") in (
+        g.explain.agg_mv_declines
+    )
+    assert df.columns == ["n_name", "o_orderdate", "revenue_c"]
+
+
+def test_agg_mv_declines_misaligned_window(spark, layout_dir):
+    """A date window NOT aligned to year boundaries cannot be expressed
+    on the year-grain MV — decline, and the lazy plan still answers
+    (with the mid-year filter applied)."""
+    import datetime as dt
+
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _q65_graph(spark, window=(dt.datetime(1996, 6, 1), dt.datetime(1998, 1, 1)))
+    df = g.plan()
+    assert g.explain.agg_mv == ()
+    assert (
+        "rev_by_nation_year",
+        "filter_not_year_aligned:orders:o_orderdate",
+    ) in g.explain.agg_mv_declines
+    assert df.columns == ["n_name", "revenue_c"]
+
+
+def test_agg_mv_declines_opaque_prepare(spark, layout_dir):
+    """An opaque ``prepare`` (same filter, written by hand) can only be
+    replayed, never subsumed — the matcher must decline rather than
+    guess at the filter's semantics."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _q65_graph(spark, opaque_orders=True)
+    g.plan()
+    assert g.explain.agg_mv == ()
+    assert ("rev_by_nation_year", "opaque_prepare:orders") in (
+        g.explain.agg_mv_declines
+    )
+
+
+def test_agg_mv_declines_unasserted_dim_contracts(spark, layout_dir):
+    """Absorption requires the dim's catalog_rows assertion (the MV was
+    built from the FULL table); a remaining inner dim without the
+    unique_key PK assertion could multiply partials — both must decline."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    g = _q65_graph(spark, sup_catalog_rows=False)
+    g.plan()
+    assert ("rev_by_nation_year", "no_catalog_rows_optin:supplier") in (
+        g.explain.agg_mv_declines
+    )
+    g2 = _q65_graph(spark, nation_unique=False)
+    g2.plan()
+    assert ("rev_by_nation_year", "dim_multiplies:nation") in (
+        g2.explain.agg_mv_declines
+    )
+
+
+def test_agg_mv_inert_without_layout(spark):
+    """No layout attached → no MV in the catalog → the plan is exactly
+    the round-7 plan (no declines, no substitution, no extra work)."""
+    g = _q65_graph(spark)
+    df = g.plan()
+    assert g.explain.agg_mv == ()
+    assert g.explain.agg_mv_declines == ()
+    assert df.columns == ["n_name", "revenue_c"]

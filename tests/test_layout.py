@@ -40,8 +40,10 @@ def _plan(df) -> str:
 
 def test_attach_bucketed_joins_without_fact_exchange(spark, layout_dir):
     paths = L.attach_bucketed(spark, SF, layout_dir, buckets=4)
-    assert set(paths) == {t for t, _src, _b, _s in L._all_specs()} | set(
-        L.JOIN_PROJECTION_SPECS
+    assert set(paths) == (
+        {t for t, _src, _b, _s in L._all_specs()}
+        | set(L.JOIN_PROJECTION_SPECS)
+        | set(L.AGG_MV_SPECS)
     )
     li = load_table(spark, "lineitem", SF)
     orders = load_table(spark, "orders", SF)
@@ -67,22 +69,24 @@ def test_attach_bucketed_results_equal_plain(spark, layout_dir):
 
 
 def test_q65_layout_aware_join_order_kicks_in(spark, layout_dir):
-    """With the layout attached, q65 matches the lineitem_orders
-    projection: projection ⋈ customer, both custkey-bucketed, so no
-    input-fact hash exchange survives (only the tiny final n_name
-    aggregation's)."""
+    """With the layout attached, q65 rides the rev_by_nation_year
+    AGGREGATE MV (round 8): one tiny group-grain file scan with the
+    year window PUSHED as In(o_year, ...), a broadcast nation join, and
+    the final (n_name) combine — no base fact is scanned at all (the
+    query decoded a 600M-row join projection at sf100 before this)."""
     L.attach_bucketed(spark, SF, layout_dir, buckets=4)
     assert L.layout_active(spark, SF)
     plan = _plan(QUERIES["q65_tpch_q5_local_volume"].builder(spark, SF))
-    # the projection scans bucketed (customer may legitimately plan as a
-    # broadcast at tiny SF, which skips its bucketed read)
-    assert plan.count("Bucketed: true") >= 1, plan
+    assert "rev_by_nation_year" in plan, plan
+    # the year-aligned window reaches the MV scan as a pushed filter
+    assert "In(o_year, [1996,1997])" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
-    # neither base fact is rescanned: the materialization replaces both
+    # no base fact is rescanned: the MV replaces the whole join
     # (match on scan locations — "/orders]" can't false-positive against
     # the projection's ".../lineitem_orders]" path)
     assert "/lineitem]" not in plan and "/orders]" not in plan, plan
     assert "lineitem.parquet" not in plan and "orders.parquet" not in plan, plan
+    assert "customer" not in plan and "supplier" not in plan, plan
 
 
 def test_registration_survives_new_session_semantics(spark, layout_dir):
