@@ -952,10 +952,23 @@ def q41_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 25
     """,
-    doc="Top-k: global ORDER BY + LIMIT (Spark plans TakeOrderedAndProject — no full sort).",
+    doc=(
+        "Top-k: global ORDER BY + LIMIT (Spark plans TakeOrderedAndProject "
+        "— no full sort). Round 8: the PRIMARY footer sidecar's zone-map "
+        "threshold plan (stats.topk_plan via layout.topk_scan) pushes "
+        "`o_totalprice >= t` when the stats GUARANTEE ≥ k rows clear t, so "
+        "parquet row-group skipping drops non-qualifying groups with no "
+        "built layout at all — weaker than q42_topk_banded's clustered "
+        "zones on unclustered files (t degrades toward the global min, "
+        "never past it), and exact by construction either way."
+    ),
 )
 def q42_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
+    from highs_duckdb_spark.sources.layout import topk_scan
+
+    orders, t = topk_scan(spark, sf_dir, "orders", "o_totalprice", 25)
+    if t is not None:
+        orders = orders.filter(F.col("o_totalprice") >= F.lit(t))
     return (
         orders.select(
             "o_orderkey", "o_custkey", F.round(F.lit(1e-9) + F.col("o_totalprice"), 2).alias("totalprice")

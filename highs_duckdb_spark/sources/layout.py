@@ -828,6 +828,57 @@ def pruned_scan(
     return df
 
 
+def topk_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    col: str,
+    k: int,
+    descending: bool = True,
+) -> tuple[DataFrame, object | None]:
+    """(scan, pushable threshold) for ``ORDER BY col [DESC] LIMIT k`` on a
+    PRIMARY table — q42_topk_banded's zone-map threshold plan, served from
+    the footer sidecar with NO built layout (VERDICT r07 item 2).
+
+    ``stats.topk_plan`` picks the best threshold ``t`` whose row groups
+    already guarantee ≥ k qualifying rows; the caller pushes ``col >= t``
+    (resp. ``<=``) so parquet row-group skipping drops non-qualifying
+    groups even when file-level pruning is nil (price-unclustered files).
+    The threshold is a pure row predicate, so it stays correct on ANY
+    same-rows copy — including an attached bucketed layout's. File-subset
+    narrowing additionally applies only on the plain path past
+    ``PRUNE_MIN_FILES`` (same parallelism trade as :func:`pruned_scan`).
+    Returns ``(plain scan, None)`` when stats can't guarantee k rows —
+    the caller's full-scan top-k is unchanged and still exact."""
+    from highs_duckdb_spark.sources import stats as zstats
+
+    if os.environ.get("HDS_DISABLE_PRUNING") == "1":
+        return load_table(spark, table, sf_dir), None
+    stats, base = zstats.primary_sidecar(sf_dir, table)
+    if stats is None:
+        return load_table(spark, table, sf_dir), None
+    files, t = zstats.topk_plan(stats, base, col, k, descending=descending)
+    if t is None:
+        return load_table(spark, table, sf_dir), None
+    total = len(stats.get("files", []))
+    if (
+        layout_active(spark, sf_dir, table)
+        or total < PRUNE_MIN_FILES
+        or len(files) >= total
+    ):
+        return load_table(spark, table, sf_dir), t
+    key = (
+        spark.sparkContext.applicationId, sf_dir, table, col,
+        f"topk{k}", repr(t),
+    )
+    cached = _PRUNED_CACHE.get(key)
+    if cached is None:
+        schema = load_table(spark, table, sf_dir).schema
+        cached = spark.read.schema(schema).parquet(*files)
+        _PRUNED_CACHE[key] = cached
+    return cached, t
+
+
 def range_selectivity(
     sf_dir: str,
     table: str,

@@ -902,3 +902,46 @@ def test_zone_fallback_scales_by_nonnull_fraction():
     # without any harvest the fallback keeps its documented upper bias
     zones_only = {k: v for k, v in stats.items() if k != "ndv"}
     assert z.estimate_range_selectivity(zones_only, "x", lo=0, hi=100) == _pytest.approx(1.0)
+
+
+def test_topk_scan_threshold_is_exact(spark):
+    """q42's primary-sidecar threshold push (VERDICT r07 item 2): the
+    pushed `col >= t` scan must contain the full top-k at any clustering
+    (topk_plan's row-count guarantee), so the filtered top-k equals the
+    full-scan top-k exactly; without stats (kill switch) the scan is the
+    plain table and t is None."""
+    from highs_duckdb_spark.sources.layout import topk_scan
+
+    df, t = topk_scan(spark, SF, "orders", "o_totalprice", 25)
+    full = load_table(spark, "orders", SF)
+    if t is not None:
+        kept = df.filter(F.col("o_totalprice") >= F.lit(t))
+        top_kept = kept.orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        ).limit(25).collect()
+        top_full = full.orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        ).limit(25).collect()
+        assert top_kept == top_full
+        # the guarantee: at least k rows clear the threshold
+        assert kept.count() >= 25
+    import os as _os
+
+    _os.environ["HDS_DISABLE_PRUNING"] = "1"
+    try:
+        df2, t2 = topk_scan(spark, SF, "orders", "o_totalprice", 25)
+    finally:
+        del _os.environ["HDS_DISABLE_PRUNING"]
+    assert t2 is None
+
+
+def test_topk_scan_threshold_correct_on_layout_copy(spark, layout_dir):
+    """The threshold is a pure row predicate — correct on ANY same-rows
+    copy, including the attached bucketed layout's (no file narrowing
+    there, just the pushed predicate)."""
+    from highs_duckdb_spark.operators import QUERIES
+
+    plain = [tuple(r) for r in QUERIES["q42_topk"].builder(spark, SF).collect()]
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    bucketed = [tuple(r) for r in QUERIES["q42_topk"].builder(spark, SF).collect()]
+    assert plain == bucketed
