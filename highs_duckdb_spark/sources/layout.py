@@ -942,6 +942,41 @@ def eq_selectivity(
     return min(1.0, nvalues / ndv)
 
 
+def like_prefix_selectivity(
+    sf_dir: str,
+    table: str,
+    col: str,
+    prefix: str,
+    default: float = 1.0,
+) -> float:
+    """Selectivity of ``col LIKE 'prefix%'``, DERIVED from the string
+    quantile histogram (VERDICT r07 item 3): the prefix predicate is
+    exactly the string range ``[prefix, next(prefix))`` with
+    ``next(prefix)`` = prefix with its last code point incremented, so the
+    round-7 equi-depth boundaries serve it natively — skew-robust where
+    the old equality-class guess (1/NDV) had no relation to the matched
+    mass at all. The estimator's closed upper bound over-counts only
+    strings EXACTLY equal to ``next(prefix)`` — negligible, and this is an
+    ordinal planner statistic, never a pruning-soundness input. Falls back
+    to ``default`` without a string histogram for the column."""
+    from highs_duckdb_spark.sources import stats as zstats
+
+    if os.environ.get("HDS_DISABLE_PRUNING") == "1":
+        return default
+    if not prefix:
+        return 1.0  # LIKE '%' matches every non-null row
+    stats, _base = zstats.primary_sidecar(sf_dir, table)
+    if stats is None:
+        return default
+    nxt = None
+    for i in range(len(prefix) - 1, -1, -1):
+        if ord(prefix[i]) < 0x10FFFF:
+            nxt = prefix[:i] + chr(ord(prefix[i]) + 1)
+            break
+    est = zstats.estimate_range_selectivity(stats, col, lo=prefix, hi=nxt)
+    return est if est is not None else default
+
+
 def semijoin_key_selectivity(
     sf_dir: str,
     table: str,

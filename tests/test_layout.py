@@ -945,3 +945,40 @@ def test_topk_scan_threshold_correct_on_layout_copy(spark, layout_dir):
     L.attach_bucketed(spark, SF, layout_dir, buckets=4)
     bucketed = [tuple(r) for r in QUERIES["q42_topk"].builder(spark, SF).collect()]
     assert plain == bucketed
+
+
+def test_like_prefix_selectivity_histogram_and_skew(tmp_path):
+    """LIKE-prefix selectivity from the string quantile histogram
+    (VERDICT r07 item 3): on a heavy-hitter prefix (99% of rows) the
+    histogram reads the real mass where the equality-class guess (1/NDV ≈
+    0.001 here) is off by three orders of magnitude; a rare prefix reads
+    small. Histogram-granularity (half-bucket) accuracy is the contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from highs_duckdb_spark.sources import layout as LL
+
+    vals = ["HEAVY#" + str(i % 7) for i in range(99_000)] + [
+        "rare#" + str(i) for i in range(1_000)
+    ]
+    pq.write_table(pa.table({"s": pa.array(vals)}), str(tmp_path / "tbl.parquet"))
+    heavy = LL.like_prefix_selectivity(str(tmp_path), "tbl", "s", "HEAVY#", default=-1.0)
+    rare = LL.like_prefix_selectivity(str(tmp_path), "tbl", "s", "rare#", default=-1.0)
+    assert abs(heavy - 0.99) < 0.05, heavy
+    assert 0.0 <= rare < 0.05, rare
+    # unknown column → declared default; empty prefix → matches everything
+    assert LL.like_prefix_selectivity(str(tmp_path), "tbl", "nope", "x", default=0.3) == 0.3
+    assert LL.like_prefix_selectivity(str(tmp_path), "tbl", "s", "", default=0.3) == 1.0
+
+
+def test_like_prefix_selectivity_on_graded_data(monkeypatch):
+    """Real-column accuracy at the graded SF: the six p_type first words
+    split the domain ~uniformly, so LIKE 'PROMO%' must read ~1/6 (the old
+    negated-equality call site guessed 1−1/NDV ≈ 0.99 for q95's NOT
+    LIKE); the kill switch falls back to the declared default."""
+    from highs_duckdb_spark.sources import layout as LL
+
+    s = LL.like_prefix_selectivity(SF, "part", "p_type", "PROMO", default=-1.0)
+    assert 0.08 <= s <= 0.25, s
+    monkeypatch.setenv("HDS_DISABLE_PRUNING", "1")
+    assert LL.like_prefix_selectivity(SF, "part", "p_type", "PROMO", default=0.4) == 0.4
