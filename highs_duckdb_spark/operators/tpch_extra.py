@@ -175,6 +175,17 @@ def q96_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the AGGREGATED big-order key set broadcasts). With l_quantity in the
     # widened lineitem_orders projection (advisor, round 7) the pair
     # substitutes under the layout.
+    #
+    # NEGATIVE RESULT pinned (round 8, VERDICT r07 item 5): collapsing the
+    # probe into a single aggregation + HAVING filter (`plan().filter(
+    # qty_dec > 250)`) — sound, oracle-identical — measured 3.04 s vs this
+    # shape's 1.71 s at sf10 under the layout (min-over-5 each). The
+    # "duplicate" probe is what makes the query fast: Catalyst's
+    # PushDownLeftSemiAntiJoin pushes the broadcast semi BELOW the main
+    # aggregate (its key is a group key), so only big orders' rows reach
+    # the expensive composite-key shuffle-agg, while the probe itself
+    # aggregates exchange-free on orderkey-bucketed lineitem. A
+    # single-aggregation plan must materialize every order's group first.
     g = JoinGraph(spark, sf_dir)
     g.fact("customer", cust)
     g.fact("orders", orders, columns=("o_custkey", "o_orderkey", "o_orderdate"))

@@ -1040,6 +1040,27 @@ class JoinGraph:
             if nd is None:
                 return decline(f"no_ndv:{pk}")
             groups *= min(nd, f.rows)
+        if len(pre_keys) == 2:
+            # (stat-proxy facts included: rows/ndv above already read the
+            # declared proxy table — the pair stat is the same contract)
+            # JOINT-NDV honesty (VERDICT r07 item 4): the independence
+            # product over-estimates groups on correlated keys (a carrier
+            # flag functionally tied to its join key), suppressing
+            # profitable rewrites; the sampled pair distinct count — when
+            # the pair is declared in stats.JOINT_NDV_PAIRS — is the real
+            # grain. min() with the product: the joint stat can only
+            # TIGHTEN (a true joint NDV never exceeds the product, so a
+            # larger sampled value is estimation noise, not information).
+            from highs_duckdb_spark.sources import stats as zstats
+
+            stats, _base = zstats.primary_sidecar(self.sf_dir, f.table)
+            joint = (
+                zstats.column_pair_ndv(stats, pre_keys[0], pre_keys[1])
+                if stats is not None
+                else None
+            )
+            if joint is not None:
+                groups = min(groups, max(joint, 1.0))
         groups = min(groups, f.rows)
         reduction = f.rows / max(groups, 1.0)
         if reduction < EAGER_AGG_MIN_REDUCTION:

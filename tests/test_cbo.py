@@ -1269,3 +1269,103 @@ def test_agg_mv_inert_without_layout(spark):
     assert g.explain.agg_mv == ()
     assert g.explain.agg_mv_declines == ()
     assert df.columns == ["n_name", "revenue_c"]
+
+
+# --- round 8: joint-NDV pair statistics ---------------------------------------
+
+
+def test_eager_agg_joint_ndv_gates_correlated_keys(spark, tmp_path, monkeypatch):
+    """VERDICT r07 item 4: on CORRELATED pre-keys (flag functionally
+    determined by the join key) the independence product over-estimates
+    groups by the flag's full NDV (here 100×, saturating at rows →
+    predicted reduction 1.0 → wrongly declines); the sampled JOINT
+    distinct count reads the true grain and the rewrite fires. Both arms
+    pinned: without the pair harvest the product declines, with it the
+    pre-aggregate fires and matches the lazy result."""
+    from highs_duckdb_spark.sources import stats as z
+
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
+    sfd = str(tmp_path)
+    (
+        spark.range(0, 40_000)
+        .select(
+            (F.col("id") % 2000).alias("k"),
+            ((F.col("id") % 2000) % 100).alias("flag"),
+            (F.col("id") % 7).alias("v"),
+        )
+        .coalesce(1)
+        .write.parquet(sfd + "/facttab.parquet")
+    )
+    (
+        spark.range(0, 2000)
+        .select(F.col("id").alias("k2"), (F.col("id") % 5).alias("grp"))
+        .coalesce(1)
+        .write.parquet(sfd + "/dimtab.parquet")
+    )
+
+    def build():
+        g = cbo.JoinGraph(spark, sfd)
+        g.fact(
+            "facttab",
+            spark.read.parquet(sfd + "/facttab.parquet"),
+            # declared k-bucketing: pre_keys [k, flag] are storage-covered,
+            # so the multi-key rewrite reaches the reduction gate
+            part_keys=frozenset({"k"}),
+        )
+        g.fact("dimtab", spark.read.parquet(sfd + "/dimtab.parquet"))
+        g.edge("facttab", "k", "dimtab", "k2")
+        g.aggregate(("flag", "grp"), {"s": ("sum", "v")})
+        return g
+
+    # arm 1: no pair declared → independence product saturates → decline
+    g = build()
+    df = g.plan()
+    assert g.explain.eager_agg == ()
+    assert g.explain.eager_decline.startswith("reduction:"), g.explain.eager_decline
+    lazy_rows = sorted(df.collect())
+
+    # arm 2: pair declared → joint NDV ≈ 2000 → reduction ~20 → fires
+    # (fresh cache dir so arm 1's pair-less harvest isn't served back;
+    # the repo-shared cache stays untouched)
+    monkeypatch.setattr(z, "JOINT_NDV_PAIRS", [("k", "flag")])
+    monkeypatch.setattr(
+        z, "primary_sidecar_cache", lambda: str(tmp_path / "sidecars2")
+    )
+    z._SIDECAR_MEMO.clear()
+    g2 = build()
+    df2 = g2.plan()
+    assert g2.explain.eager_agg == ("facttab", ("k", "flag")), g2.explain.eager_decline
+    assert sorted(df2.collect()) == lazy_rows
+    z._SIDECAR_MEMO.clear()
+
+
+def test_joint_ndv_harvest_accuracy(tmp_path, monkeypatch):
+    """The pair harvest (GEE over the same bounded sample) must read the
+    true joint grain on correlated columns where the product is 100×
+    off, and stay order-insensitive in the accessor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from highs_duckdb_spark.sources import stats as z
+
+    monkeypatch.setattr(z, "JOINT_NDV_PAIRS", [("a", "b")])
+    vals_a = [i % 2000 for i in range(40_000)]
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(vals_a, pa.int64()),
+                "b": pa.array([v % 100 for v in vals_a], pa.int64()),
+            }
+        ),
+        str(tmp_path / "t.parquet"),
+    )
+    ndv = z.collect_ndv(str(tmp_path))
+    joint = ndv["pairs"]["a,b"]["ndv"]
+    assert joint == 2000.0  # sample covers the table → exact
+    stats = {"ndv": ndv}
+    assert z.column_pair_ndv(stats, "a", "b") == 2000.0
+    assert z.column_pair_ndv(stats, "b", "a") == 2000.0
+    assert z.column_pair_ndv(stats, "a", "nope") is None
+    # product is 100× the joint — exactly the over-estimate the pair fixes
+    prod = ndv["columns"]["a"]["ndv"] * ndv["columns"]["b"]["ndv"]
+    assert prod / joint == pytest.approx(100.0, rel=0.05)
