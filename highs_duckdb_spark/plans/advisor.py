@@ -228,6 +228,184 @@ def _proj_scan_bytes(sides, tinfo) -> float | None:
     return rows_grain * width * sel
 
 
+def _grain_ndv(sf_dir: str, tables, col: str) -> float | None:
+    """NDV of ``col`` looked up across the candidate's tables' primary
+    sidecars; ``year(src)`` derived columns estimate as the year SPAN of
+    the source column's file zones. None = no stat anywhere (the
+    candidate is still proposed, marked stats-incomplete)."""
+    from highs_duckdb_spark.sources import stats as zstats
+
+    if col.startswith("year(") and col.endswith(")"):
+        src = col[5:-1]
+        for t in tables:
+            stats, _ = zstats.primary_sidecar(sf_dir, t)
+            if stats is None:
+                continue
+            years = set()
+            for f in stats.get("files", []):
+                c = f.get("columns", {}).get(src)
+                if not c:
+                    continue
+                lo, hi = zstats._decode(c["min"]), zstats._decode(c["max"])
+                if hasattr(lo, "year") and hasattr(hi, "year"):
+                    years.add(lo.year)
+                    years.add(hi.year)
+            if years:
+                return float(max(years) - min(years) + 1)
+        return None
+    for t in tables:
+        stats, _ = zstats.primary_sidecar(sf_dir, t)
+        if stats is None:
+            continue
+        ndv = zstats.column_ndv(stats, col)
+        if ndv:
+            return ndv
+    return None
+
+
+def agg_mv_candidates(records, sf_dir: str | None = None) -> list[dict]:
+    """Rank AGGREGATE-MV candidates from captured ``aggregate()``
+    declarations (VERDICT r07 item 6) — the advisor-side inverse of
+    ``JoinGraph._match_agg_mv``: for each unserved aggregating query
+    whose graph is fully structural (facts opted in with declarative
+    filters, dims with ``on=``), propose the spec that would serve it —
+    tables = facts + dims, joins = edges + dim joins, group grain =
+    final keys ∪ dim join/equality keys ∪ ``year(col)`` for range-
+    filtered columns — and estimate the MV's row grain as the NDV
+    product of the grain keys (the go/no-go number: a grain near the
+    fact's row count materializes nothing). Identical proposals from
+    several queries aggregate; ranking = total absorbed scan bytes,
+    grain rows attached. Estimates rank, they do not decide (module
+    doc)."""
+    agg: dict[tuple, dict] = {}
+    for rec in records:
+        a = rec.get("aggregate")
+        if not a or rec.get("agg_mv") is not None:
+            continue
+        facts = rec["facts"]
+        if len(facts) < 2:
+            continue
+        structural = all(
+            not f["stat_proxy"]
+            and f["columns"] is not None
+            and (not f["has_prepare"] or f.get("range_filter") is not None)
+            for f in facts
+        ) and all(d.get("on") is not None for d in rec["dims"])
+        if not structural:
+            continue
+        if any(e["extra"] for e in rec["edges"]):
+            continue
+        tables = tuple(sorted(f["table"] for f in facts))
+        dim_tables = tuple(sorted(d["table"] for d in rec["dims"]
+                                  if d.get("catalog_rows") and d["how"] == "inner"))
+        joins = tuple(
+            sorted(
+                [tuple(sorted((e["ka"], e["kb"]))) for e in rec["edges"]]
+                + [tuple(sorted(d["on"])) for d in rec["dims"]]
+            )
+        )
+        grain: set[str] = set(a["keys"])
+        for d in rec["dims"]:
+            if d.get("extra_eq"):
+                grain |= set(d["extra_eq"])
+        for f in facts:
+            if f.get("range_filter") is not None:
+                grain.add(f"year({f['range_filter'][0]})")
+        aggs = tuple(sorted((fn, canon) for _al, fn, canon, _c in a["aggs"]))
+        key = (tables, dim_tables, joins, tuple(sorted(grain)), aggs)
+        entry = agg.setdefault(
+            key,
+            {
+                "tables": list(tables),
+                "dim_tables": list(dim_tables),
+                "joins": [list(j) for j in joins],
+                "group_keys": sorted(grain),
+                "aggs": [list(x) for x in aggs],
+                "queries": [],
+                "absorbed_bytes": 0.0,
+                "grain_rows": None,
+            },
+        )
+        entry["queries"].append(rec["query"])
+        # absorbed scan = the UNSCALED fact bytes the MV replaces per run
+        entry["absorbed_bytes"] += sum(
+            f["bytes"] / max(f["sel"], 1e-9) for f in facts
+        )
+        if sf_dir is not None and entry["grain_rows"] is None:
+            rows = 1.0
+            ok = True
+            for gcol in entry["group_keys"]:
+                ndv = _grain_ndv(sf_dir, tables + dim_tables, gcol)
+                if ndv is None:
+                    ok = False
+                    break
+                rows *= ndv
+            entry["grain_rows"] = rows if ok else None
+    out = list(agg.values())
+    for e in out:
+        e["n_queries"] = len(e["queries"])
+    out.sort(key=lambda c: (-c["absorbed_bytes"], c["tables"]))
+    return out
+
+
+def chain_candidates(records, min_queries: int = 2) -> list[dict]:
+    """3-table CHAIN projection candidates from recurring connected fact
+    triples (VERDICT r07 item 6): two extra-free equi-edges sharing a
+    middle fact, all three opted in with ``columns=`` — the class the
+    chain view-matcher (cbo._match_projection over ``tables``/``joins``
+    specs) can serve. Ranked by recurrence × absorbed bytes; candidates
+    below ``min_queries`` recurrences are dropped (a one-query chain is
+    a query rewrite, not a layout object)."""
+    agg: dict[tuple, dict] = {}
+    for rec in records:
+        facts = {f["name"]: f for f in rec["facts"]}
+        edges = [
+            e for e in rec["edges"]
+            if not e["extra"]
+            and e["a"] in facts and e["b"] in facts
+            and not facts[e["a"]]["stat_proxy"]
+            and not facts[e["b"]]["stat_proxy"]
+            and facts[e["a"]]["columns"] is not None
+            and facts[e["b"]]["columns"] is not None
+        ]
+        for i, e1 in enumerate(edges):
+            for e2 in edges[i + 1:]:
+                shared = {e1["a"], e1["b"]} & {e2["a"], e2["b"]}
+                if len(shared) != 1:
+                    continue
+                names = sorted({e1["a"], e1["b"], e2["a"], e2["b"]})
+                tables = tuple(sorted(facts[n]["table"] for n in names))
+                joins = tuple(sorted(
+                    tuple(sorted((e["ka"], e["kb"]))) for e in (e1, e2)
+                ))
+                entry = agg.setdefault(
+                    (tables, joins),
+                    {
+                        "tables": list(tables),
+                        "joins": [list(j) for j in joins],
+                        "columns": {t: set() for t in tables},
+                        "queries": [],
+                        "absorbed_bytes": 0.0,
+                    },
+                )
+                entry["queries"].append(rec["query"])
+                for n in names:
+                    entry["columns"][facts[n]["table"]] |= _fact_needed_columns(
+                        rec, n
+                    )
+                entry["absorbed_bytes"] += sum(
+                    facts[n]["bytes"] / max(facts[n]["sel"], 1e-9) for n in names
+                )
+    out = [
+        {**e, "columns": {t: sorted(c) for t, c in e["columns"].items()},
+         "n_queries": len(e["queries"])}
+        for e in agg.values()
+        if len(e["queries"]) >= min_queries
+    ]
+    out.sort(key=lambda c: (-c["absorbed_bytes"], c["tables"]))
+    return out
+
+
 def spec_coverage(records) -> dict[str, dict]:
     """Authoritative per-projection coverage from the PLANNER's own
     capture (requires the layout attached during capture): which queries
@@ -254,9 +432,42 @@ def spec_coverage(records) -> dict[str, dict]:
     return out
 
 
-def render_markdown(pairs, coverage, skipped=(), top=10) -> str:
+def render_markdown(
+    pairs, coverage, skipped=(), top=10, agg_mvs=(), chains=()
+) -> str:
     """The advisor report (markdown)."""
     lines = ["# Projection advisor report", ""]
+    if agg_mvs:
+        lines.append("## Aggregate-MV candidates (from captured aggregates)")
+        lines.append("")
+        lines.append("| tables (+dims) | group grain | grain rows | queries | absorbed scan |")
+        lines.append("|---|---|---|---|---|")
+        for c in agg_mvs[:top]:
+            gr = (
+                f"{c['grain_rows']:.0f}" if c["grain_rows"] is not None else "?"
+            )
+            lines.append(
+                f"| {' ⋈ '.join(c['tables'])}"
+                f"{' (+' + ', '.join(c['dim_tables']) + ')' if c['dim_tables'] else ''} "
+                f"| {', '.join(c['group_keys'])} "
+                f"| {gr} "
+                f"| {c['n_queries']} "
+                f"| {c['absorbed_bytes'] / 1e6:.1f} MB |"
+            )
+        lines.append("")
+    if chains:
+        lines.append("## Chain-projection candidates (recurring fact triples)")
+        lines.append("")
+        lines.append("| tables | joins | queries | absorbed scan |")
+        lines.append("|---|---|---|---|")
+        for c in chains[:top]:
+            lines.append(
+                f"| {' ⋈ '.join(c['tables'])} "
+                f"| {'; '.join('='.join(j) for j in c['joins'])} "
+                f"| {c['n_queries']} "
+                f"| {c['absorbed_bytes'] / 1e6:.1f} MB |"
+            )
+        lines.append("")
     if coverage:
         lines.append("## Attached projections — coverage (planner-recorded)")
         lines.append("")

@@ -206,3 +206,61 @@ def test_planner_decline_reasons_surface_in_capture(spark, layout_dir):
     declined = dict(e["declined"])
     assert declined["q_tax"] == "missing_columns:l_tax"
     assert e["widen_columns"] == ["l_tax"]
+
+
+# --- round 8: aggregate-MV and chain candidates -------------------------------
+
+
+def test_agg_mv_candidate_derived_from_capture(spark):
+    """VERDICT r07 item 6 'done' criterion: the advisor proposes the q65
+    aggregate MV from capture alone — no layout attached, purely from the
+    declared aggregate, structural dims, and the semantic range filter.
+    The proposal's grain must include the local-supplier equality keys
+    and the derived year column, with a grain-rows estimate orders of
+    magnitude below the fact rows."""
+    recs = advisor.capture_registry(
+        spark, SF, names=["q65_tpch_q5_local_volume"]
+    )
+    mvs = advisor.agg_mv_candidates(recs, SF)
+    assert len(mvs) == 1
+    c = mvs[0]
+    assert c["tables"] == ["customer", "lineitem", "orders"]
+    assert set(c["dim_tables"]) == {"nation", "supplier"}
+    assert {"c_nationkey", "s_nationkey", "year(o_orderdate)"} <= set(
+        c["group_keys"]
+    )
+    assert c["queries"] == ["q65_tpch_q5_local_volume"]
+    assert c["grain_rows"] is not None
+    # fact rows at sf0.001: lineitem ~6k; the grain estimate must be a
+    # NDV-product of dimension attributes, not a fact-grain number
+    assert c["grain_rows"] <= 25 * 25 * 25 * 10
+
+
+def test_agg_mv_candidate_excluded_when_served(spark, layout_dir):
+    """A query the planner already serves from an attached MV must NOT be
+    re-proposed (the candidate list is the un-served residual)."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    recs = advisor.capture_registry(
+        spark, SF, names=["q65_tpch_q5_local_volume"]
+    )
+    assert recs[0]["agg_mv"] is not None  # sanity: the MV fired
+    assert advisor.agg_mv_candidates(recs, SF) == []
+
+
+def test_chain_candidates_from_capture(spark):
+    """The chain generator surfaces q65's fully-opted-in fact triple
+    (customer–orders–lineitem through the orders middle) with both join
+    key pairs; below the recurrence floor it is dropped."""
+    recs = advisor.capture_registry(
+        spark, SF, names=["q65_tpch_q5_local_volume"]
+    )
+    chains = advisor.chain_candidates(recs, min_queries=1)
+    assert len(chains) == 1
+    c = chains[0]
+    assert c["tables"] == ["customer", "lineitem", "orders"]
+    assert [sorted(j) for j in c["joins"]] == [
+        ["c_custkey", "o_custkey"],
+        ["l_orderkey", "o_orderkey"],
+    ]
+    # a single-query chain is below the default floor
+    assert advisor.chain_candidates(recs) == []

@@ -52,8 +52,14 @@ def main() -> None:
     tinfo = advisor.table_info(sf_dir, tables)
     pairs = advisor.pair_candidates(records, tinfo)
     coverage = advisor.spec_coverage(records)
+    agg_mvs = advisor.agg_mv_candidates(records, sf_dir)
+    chains = advisor.chain_candidates(records)
     report = advisor.render_markdown(
-        pairs, coverage, skipped=getattr(records, "skipped", [])
+        pairs,
+        coverage,
+        skipped=getattr(records, "skipped", []),
+        agg_mvs=agg_mvs,
+        chains=chains,
     )
     if out_file:
         with open(out_file, "w") as fh:
