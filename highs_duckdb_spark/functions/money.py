@@ -31,6 +31,20 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 
+def disc_price() -> Column:
+    """Canonical exact-decimal discounted price
+    ``CAST(l_extendedprice AS DEC(12,2)) * (1 - CAST(l_discount AS
+    DEC(4,2)))`` — the TPC-H Q7/Q8-class volume expression. Lives here
+    (not in an operator module) because BOTH the query declarations and
+    the aggregate-MV specs (``sources/layout.AGG_MV_SPECS``) must build
+    the byte-identical Column: agg-MV matching compares canonical
+    expression text. Built lazily — ``F.lit`` needs an active
+    SparkContext, absent at import."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
 def cents(col: Column | str, scale: int = 2) -> Column:
     """Exact scaled-integer (BIGINT) form of a k-decimal money/ratio column.
 

@@ -38,10 +38,12 @@ from highs_duckdb_spark.sources.layout import (
 
 
 def _disc_price():
-    # built lazily: F.lit() needs an active SparkContext, absent at import
-    return F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
-    )
+    # canonical builder shared with the agg-MV specs (functions/money.py:
+    # matching compares expression text, so both sides must build it
+    # through the same helper)
+    from highs_duckdb_spark.functions.money import disc_price
+
+    return disc_price()
 
 
 _DISC_PRICE_SQL = (
@@ -152,6 +154,15 @@ def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded. columns= lets the planner substitute the lineitem_orders
     # projection under an attached layout — all needed lineitem/orders
     # columns are inside it.
+    #
+    # Round 8: the whole query is declared — structural dims, the ship-
+    # year DERIVED group key, and the volume aggregate — so under an
+    # attached layout the planner serves it from the rev_by_nation_year
+    # AGGREGATE MV (ship_year grain column, vol_dec partial): the 6-way
+    # join collapses to a ~9k-row MV scan + two broadcast nation joins +
+    # the (supp, cust, year) combine. The nation-pair filter runs ABOVE
+    # the aggregate (it references only group keys, so filtering groups
+    # equals filtering rows) — identical results on every path.
     g = JoinGraph(spark, sf_dir)
     g.fact(
         "lineitem",
@@ -159,22 +170,41 @@ def q101_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"),
     )
     g.fact("orders", orders, columns=("o_custkey",))
-    g.fact("customer", cust)
+    g.fact("customer", cust, columns=("c_custkey", "c_nationkey"))
     g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
     g.edge("orders", "o_custkey", "customer", "c_custkey")
-    g.dim("supplier", sup, F.col("s_suppkey") == F.col("l_suppkey"), after=("lineitem",))
-    g.dim("n1", n1, F.col("s_nationkey") == F.col("n1_key"), after=("supplier",), table="nation")
-    g.dim("n2", n2, F.col("c_nationkey") == F.col("n2_key"), after=("customer",), table="nation")
+    g.dim(
+        "supplier", sup, on=("l_suppkey", "s_suppkey"), after=("lineitem",),
+        unique_key=True, catalog_rows=True,
+    )
+    g.dim(
+        "n1", n1, on=("s_nationkey", "n1_key"), after=("supplier",),
+        table="nation", unique_key=True,
+    )
+    g.dim(
+        "n2", n2, on=("c_nationkey", "n2_key"), after=("customer",),
+        table="nation", unique_key=True,
+    )
+    g.aggregate(
+        ("supp_nation", "cust_nation", ("l_year", ("year", "l_shipdate"))),
+        {
+            "volume_sum": (
+                "sum",
+                _disc_price(),
+                ("l_extendedprice", "l_discount"),
+            )
+        },
+    )
     return (
         g.plan()
         .filter(pair)
-        .groupBy(
+        .select(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").cast("bigint").alias("l_year"),
-        )
-        .agg(
-            F.round(F.lit(1e-9) + F.sum(_disc_price()).cast("double"), 2).alias("revenue")
+            "l_year",
+            F.round(F.lit(1e-9) + F.col("volume_sum").cast("double"), 2).alias(
+                "revenue"
+            ),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -222,12 +252,17 @@ def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
     )
-    volume = _disc_price().cast("decimal(14,4)")
-    zero = F.lit(0).cast("decimal(14,4)")
     # planner-built fact tree; region chains off n2, supplier off lineitem
     # — all broadcast below the scale cap, demoted above it. The
     # lineitem_orders projection matches when attached (o_orderdate,
     # o_custkey, l_suppkey, prices all inside it).
+    #
+    # Round 8: the per-(year, supp_nation) volume rollup is DECLARED to
+    # the planner; the market-share ratio regroups those partials by year
+    # above it. Decimal sums are associative, so the two-level sum is
+    # bit-identical to the one-level oracle sum. Under an attached layout
+    # the declared rollup rides the rev_by_nation_year AGGREGATE MV
+    # (o_year grain, vol_dec14 partial) — the 7-way join never runs.
     g = JoinGraph(spark, sf_dir)
     g.fact(
         "lineitem",
@@ -235,33 +270,53 @@ def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=("l_suppkey", "l_extendedprice", "l_discount"),
     )
     g.fact("orders", orders, columns=("o_custkey", "o_orderdate"))
-    g.fact("customer", cust)
+    g.fact("customer", cust, columns=("c_custkey", "c_nationkey"))
     g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
     g.edge("orders", "o_custkey", "customer", "c_custkey")
-    g.dim("supplier", sup, F.col("s_suppkey") == F.col("l_suppkey"), after=("lineitem",))
-    g.dim("n1", n1, F.col("s_nationkey") == F.col("n1_key"), after=("supplier",), table="nation")
-    g.dim("n2", n2, F.col("c_nationkey") == F.col("n2_key"), after=("customer",), table="nation")
+    g.dim(
+        "supplier", sup, on=("l_suppkey", "s_suppkey"), after=("lineitem",),
+        unique_key=True, catalog_rows=True,
+    )
+    g.dim(
+        "n1", n1, on=("s_nationkey", "n1_key"), after=("supplier",),
+        table="nation", unique_key=True,
+    )
+    g.dim(
+        "n2", n2, on=("c_nationkey", "n2_key"), after=("customer",),
+        table="nation", unique_key=True,
+    )
     # sel DERIVED: 1-of-NDV(r_name) from the footer sidecar
     g.dim(
         "region",
         region,
-        F.col("n2_region") == F.col("r_regionkey"),
+        on=("n2_region", "r_regionkey"),
         after=("n2",),
         sel=eq_selectivity(sf_dir, "region", "r_name", default=0.2),
+        unique_key=True,
     )
+    g.aggregate(
+        (("l_year", ("year", "o_orderdate")), "supp_nation"),
+        {
+            "vol": (
+                "sum",
+                _disc_price().cast("decimal(14,4)"),
+                ("l_extendedprice", "l_discount"),
+            )
+        },
+    )
+    rollup = g.plan()  # (l_year, supp_nation, vol: dec(24,4))
+    zero = F.lit(0).cast("decimal(24,4)")
     return (
-        g.plan()
-        .withColumn("volume", volume)
-        .groupBy(F.year("o_orderdate").cast("bigint").alias("l_year"))
+        rollup.groupBy("l_year")
         .agg(
             F.round(
                 F.lit(1e-9)
                 + F.sum(
-                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("vol")).otherwise(
                         zero
                     )
                 ).cast("double")
-                / F.sum("volume").cast("double"),
+                / F.sum("vol").cast("double"),
                 4,
             ).alias("mkt_share")
         )

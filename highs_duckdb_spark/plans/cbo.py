@@ -432,6 +432,7 @@ class JoinGraph:
         self._eager_result: tuple[str, tuple[str, ...]] | None = None
         self._eager_decline = ""
         self._agg_mv_declines: list[tuple[str, str]] = []
+        self._agg_derived: dict[str, tuple[str, str]] = {}
         self.explain = PlanExplain()
 
     # -- declaration ---------------------------------------------------------
@@ -562,10 +563,14 @@ class JoinGraph:
         self._edges.append(_Edge(a, ka, b, kb, extra))
         return self
 
-    def aggregate(self, keys: tuple[str, ...], aggs: dict) -> "JoinGraph":
+    def aggregate(self, keys: tuple, aggs: dict) -> "JoinGraph":
         """Declare the query's GROUP BY so the planner owns the aggregate.
 
-        ``keys``: plain column names of the final grouping. ``aggs`` maps
+        ``keys``: plain column names of the final grouping, or DERIVED
+        keys ``(alias, (fn, src))`` with fn in ``{"year"}`` — the planner
+        then computes ``year(src) :: bigint AS alias`` itself (identical
+        in the lazy plan and the MV combine, where the key maps to the
+        MV's matching derived column). ``aggs`` maps
         output alias → ``(fn, expr)`` or ``(fn, expr, cols)`` with fn in
         ``{"sum","count","min","max","avg"}``, expr a Column / column name
         / ``"*"`` (count only), and ``cols`` the column names the expr
@@ -613,8 +618,34 @@ class JoinGraph:
                 (expr,) if isinstance(expr, str) and expr != "*" else ()
             )
             norm[alias] = (fn, expr, tuple(cols))
-        self._agg = (tuple(keys), norm)
+        plain: list[str] = []
+        derived: dict[str, tuple[str, str]] = {}
+        for k in keys:
+            if isinstance(k, str):
+                plain.append(k)
+            else:
+                alias, (dfn, src) = k
+                if dfn not in ("year",):
+                    raise ValueError(f"aggregate: derived key fn {dfn!r}")
+                plain.append(alias)
+                derived[alias] = (dfn, src)
+        self._agg = (tuple(plain), norm)
+        self._agg_derived = derived
         return self
+
+    @staticmethod
+    def _derived_key_expr(fn: str, src: str):
+        """The uniform derived-key column: identical in the lazy plan and
+        (via the MV's matching int-typed derived column cast the same
+        way) the MV combine."""
+        if fn == "year":
+            return F.year(F.col(src)).cast("bigint")
+        raise ValueError(fn)
+
+    def _apply_derived_keys(self, tree: DataFrame) -> DataFrame:
+        for alias, (dfn, src) in self._agg_derived.items():
+            tree = tree.withColumn(alias, self._derived_key_expr(dfn, src))
+        return tree
 
     def dim(
         self,
@@ -945,7 +976,7 @@ class JoinGraph:
             self._agg_expr(fn, expr).alias(alias)
             for alias, (fn, expr, _cols) in aggs.items()
         ]
-        return tree.groupBy(*keys).agg(*cols)
+        return self._apply_derived_keys(tree).groupBy(*keys).agg(*cols)
 
     def _try_eager_agg(self) -> tuple[str, tuple[str, ...]] | None:
         """Attempt the eager-aggregation rewrite (contract and soundness
@@ -993,6 +1024,22 @@ class JoinGraph:
         chosen = None
         reason = "no_carrier_fact"
         for f in cands:
+            # a DERIVED group key whose source column lives on this fact
+            # (year(l_shipdate) on lineitem) would have to join the
+            # pre-aggregate keys — rows of one join key in different
+            # years must not merge. Not implemented: decline the carrier
+            # rather than silently merge (correctness, not cost).
+            bad_src = next(
+                (
+                    src
+                    for _dfn, src in self._agg_derived.values()
+                    if src in f.df.columns
+                ),
+                None,
+            )
+            if bad_src is not None:
+                reason = f"derived_key_on_carrier:{f.name}:{bad_src}"
+                continue
             edges = [e for e in self._edges if f.name in (e.a, e.b)]
             if len(edges) != 1:
                 reason = f"edges:{f.name}:{len(edges)}"
@@ -1390,9 +1437,26 @@ class JoinGraph:
             else:
                 return f"dim_how:{d.name}:{d.how}"
 
-        # 5. aggregate subsumption
+        # 5. aggregate subsumption. Derived query keys (year(src)) map to
+        # the MV's matching derived group column — materialized with the
+        # SAME cast as the lazy path's _derived_key_expr, so the output
+        # column is type-identical either way.
+        derived_key_map: dict[str, str] = {}
         for k in keys_final:
-            if k not in avail:
+            if k in self._agg_derived:
+                dfn, src = self._agg_derived[k]
+                dk = next(
+                    (
+                        d
+                        for d, dv in derived.items()
+                        if tuple(dv) == (dfn, src) and d in gset
+                    ),
+                    None,
+                )
+                if dk is None:
+                    return f"derived_key_unserved:{k}"
+                derived_key_map[k] = dk
+            elif k not in avail:
                 return f"group_key_unserved:{k}"
         canon_spec = {
             alias: (fn, "*" if b == "*" else self._canon_agg_expr(b()))
@@ -1432,6 +1496,10 @@ class JoinGraph:
                 df = df.join(F.broadcast(d.df), d.cond, d.how)
             else:
                 df = df.join(d.df.hint(strategy), d.cond, d.how)
+        for alias, dk in derived_key_map.items():
+            # cast exactly as _derived_key_expr does (year() is int; the
+            # declared key is bigint in both plans)
+            df = df.withColumn(alias, F.col(dk).cast("bigint"))
         df = df.groupBy(*keys_final).agg(*combines)
         absorbed = tuple(f.name for f in mapped_facts.values()) + tuple(
             d.name for d in mapped_dims.values()
@@ -1596,6 +1664,9 @@ class JoinGraph:
             "aggregate": (
                 {
                     "keys": list(self._agg[0]),
+                    "derived_keys": {
+                        a: list(v) for a, v in self._agg_derived.items()
+                    },
                     "aggs": [
                         [alias, fn, self._canon_agg_expr(expr), list(cols)]
                         for alias, (fn, expr, cols) in self._agg[1].items()
@@ -1728,7 +1799,11 @@ class JoinGraph:
         if self._agg is not None:
             keys, _aggs = self._agg
             if eager is not None:
-                tree = tree.groupBy(*keys).agg(*self._eager_finals)
+                tree = (
+                    self._apply_derived_keys(tree)
+                    .groupBy(*keys)
+                    .agg(*self._eager_finals)
+                )
             else:
                 tree = self._lazy_agg(tree)
         self.explain = PlanExplain(

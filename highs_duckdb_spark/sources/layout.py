@@ -126,11 +126,24 @@ def _q65_revenue_cents():
     the agg-MV matcher compares the QUERY's declared aggregate expression
     against this builder's canonical text (str of the Column), so query
     and spec must build the expression through the same helpers."""
-    import pyspark.sql.functions as F
-
     from highs_duckdb_spark.functions.money import cents
 
     return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+def _q7_volume():
+    """Canonical TPC-H Q7-class exact-decimal volume (q101)."""
+    from highs_duckdb_spark.functions.money import disc_price
+
+    return disc_price()
+
+
+def _q8_volume():
+    """Canonical TPC-H Q8-class volume, dec(14,4) as the oracle pins it
+    (q102's market-share numerator/denominator)."""
+    from highs_duckdb_spark.functions.money import disc_price
+
+    return disc_price().cast("decimal(14,4)")
 
 
 #: Materialized AGGREGATE views (pre-aggregated join projections — the
@@ -144,11 +157,14 @@ def _q65_revenue_cents():
 #: at the group-key grain, and whose declared aggregate is subsumed —
 #: combining partials above the MV exactly as eager aggregation does.
 #:
-#: rev_by_nation_year: the TPC-H Q5 class (q65). Grain = 25 customer
-#: nations × 25 supplier nations × ~7 order years ≈ 4.4k rows at ANY
-#: scale factor — the query that decodes a 600M-row join projection at
-#: sf100 (21.6 s, the largest committed gap) reads ~4.4k pre-aggregated
-#: rows instead. ``aggs`` values are (fn, canonical-expression builder).
+#: rev_by_nation_year: the TPC-H Q5/Q7/Q8 CLASS (q65, q101, q102). Grain
+#: = 25 customer nations × 25 supplier nations × ~7 order years × ~2
+#: ship years per order year ≈ 9k rows at ANY scale factor — the queries
+#: that decode a 600M-row join projection at sf100 read ~9k
+#: pre-aggregated rows instead. ``aggs`` values are
+#: (fn, canonical-expression builder); one MV column per distinct
+#: canonical aggregate the class declares (extra columns are free at
+#: this grain).
 AGG_MV_SPECS: dict[str, dict] = {
     "rev_by_nation_year": {
         "tables": ["lineitem", "orders", "customer", "supplier"],
@@ -157,9 +173,16 @@ AGG_MV_SPECS: dict[str, dict] = {
             ("orders", "o_custkey", "customer", "c_custkey"),
             ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
         ],
-        "derived": {"o_year": ("year", "o_orderdate")},
-        "group_keys": ["c_nationkey", "s_nationkey", "o_year"],
-        "aggs": {"rev_c": ("sum", _q65_revenue_cents)},
+        "derived": {
+            "o_year": ("year", "o_orderdate"),
+            "ship_year": ("year", "l_shipdate"),
+        },
+        "group_keys": ["c_nationkey", "s_nationkey", "o_year", "ship_year"],
+        "aggs": {
+            "rev_c": ("sum", _q65_revenue_cents),
+            "vol_dec": ("sum", _q7_volume),
+            "vol_dec14": ("sum", _q8_volume),
+        },
     },
 }
 

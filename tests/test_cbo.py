@@ -407,23 +407,32 @@ def test_projection_pickup_across_registered_queries(spark, layout_dir):
     # (no registered query declines any more — exactly what the advisor
     # was for).
     picks = [
-        "q101_volume_shipping",
-        "q102_market_share",
         "q105_shipping_delay_buckets",
         "q104_returned_items",
         "q103_product_profit",
         "q96_large_volume_customers",
     ]
+    # round 8: q101/q102 graduated PAST the projection — they now ride
+    # the rev_by_nation_year AGGREGATE MV (finer lever, same zero query
+    # changes); their plans must scan the MV and neither base fact nor
+    # the projection
+    mv_picks = ["q101_volume_shipping", "q102_market_share"]
     declines: list[str] = []
     plain = {
         n: [tuple(r) for r in QUERIES[n].builder(spark, SF).collect()]
-        for n in picks + declines
+        for n in picks + mv_picks + declines
     }
     L.attach_bucketed(spark, SF, layout_dir, buckets=4)
     for n in picks + declines:
         df = QUERIES[n].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert ("lineitem_orders" in plan) == (n in picks), (n, plan)
+        assert [tuple(r) for r in df.collect()] == plain[n], n
+    for n in mv_picks:
+        df = QUERIES[n].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "rev_by_nation_year" in plan, (n, plan)
+        assert "lineitem_orders" not in plan, (n, plan)
         assert [tuple(r) for r in df.collect()] == plain[n], n
 
 
@@ -1369,3 +1378,52 @@ def test_joint_ndv_harvest_accuracy(tmp_path, monkeypatch):
     # product is 100× the joint — exactly the over-estimate the pair fixes
     prod = ndv["columns"]["a"]["ndv"] * ndv["columns"]["b"]["ndv"]
     assert prod / joint == pytest.approx(100.0, rel=0.05)
+
+
+def test_agg_mv_serves_q7_q8_class(spark, layout_dir):
+    """Round 8 widening: the SAME rev_by_nation_year MV serves the TPC-H
+    Q7 (q101: ship-year derived key + bilateral nation filter above the
+    aggregate) and Q8 (q102: order-year rollup under a region-filtered
+    ratio) classes — registered queries, MV-fired vs MV-off rows equal."""
+    import os as _os
+
+    from highs_duckdb_spark.operators.registry import QUERIES
+    from highs_duckdb_spark.plans.advisor import capture_workloads
+
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    for name in ("q101_volume_shipping", "q102_market_share"):
+        with capture_workloads() as sink:
+            df = QUERIES[name].builder(spark, SF)
+        assert sink[0]["agg_mv"] is not None, (name, sink[0]["agg_mv_declines"])
+        mv_rows = sorted(map(tuple, df.collect()))
+        _os.environ["HDS_DISABLE_AGG_MV"] = "1"
+        try:
+            off_rows = sorted(
+                map(tuple, QUERIES[name].builder(spark, SF).collect())
+            )
+        finally:
+            del _os.environ["HDS_DISABLE_AGG_MV"]
+        assert mv_rows == off_rows, name
+
+
+def test_derived_key_on_carrier_declines_eager(spark, monkeypatch):
+    """A derived group key whose source column lives on the eager
+    carrier (year(l_shipdate) on lineitem) must decline the carrier —
+    merging a join key's rows across years would be WRONG, and the
+    machine-readable reason names the column."""
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("lineitem", load_table(spark, "lineitem", SF))
+    g.fact("orders", load_table(spark, "orders", SF))
+    g.edge("lineitem", "l_orderkey", "orders", "o_orderkey")
+    g.aggregate(
+        (("ship_year", ("year", "l_shipdate")),),
+        {"q": ("sum", "l_quantity")},
+    )
+    df = g.plan()
+    assert g.explain.eager_agg == ()
+    assert g.explain.eager_decline.startswith("derived_key_on_carrier:lineitem")
+    assert df.columns == ["ship_year", "q"]
+    # and the lazy derived key computes (years present in the data)
+    years = {r[0] for r in df.collect()}
+    assert years and all(1990 < y < 2005 for y in years)
