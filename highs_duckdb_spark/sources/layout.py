@@ -183,6 +183,20 @@ AGG_MV_SPECS: dict[str, dict] = {
             "vol_dec": ("sum", _q7_volume),
             "vol_dec14": ("sum", _q8_volume),
         },
+        #: columns the agg expressions read (build-side column pruning)
+        "agg_cols": ["l_extendedprice", "l_discount"],
+        #: BUILD-side broadcast declaration: these tables join on their
+        #: PRIMARY KEY with only key + payload columns the MV needs, so
+        #: their pruned projections are megabytes (supplier: 2 ints/row;
+        #: customer: 2 ints/row ≈ 120 MB at sf100) while shuffling the
+        #: lineitem-grain tree against them costs two fact-sized
+        #: exchanges (~25 GB of spill at sf100 — measured to exhaust
+        #: local disk). With both broadcast, the whole build is ONE
+        #: streaming pass over the bucket-aligned lineitem⋈orders join
+        #: plus the group-grain aggregation's tiny shuffle. At a scale
+        #: where a pruned side outgrows executor memory, drop it from
+        #: this list and pay its exchange — a per-spec deployment choice.
+        "broadcast": ["customer", "supplier"],
     },
 }
 
@@ -613,12 +627,27 @@ def _build_agg_mvs(
             and _fingerprint_current(path, fp)
         )
         if not built:
+            # columns the MV actually consumes: join keys + derived
+            # sources + group keys + declared agg inputs. Pruning
+            # EXPLICITLY (not leaving it to Catalyst) keeps the broadcast
+            # sides provably narrow.
+            needed: set[str] = set(spec["group_keys"])
+            for j in spec["joins"]:
+                needed |= {j[1], j[3]}
+            for _dk, (_dfn, src) in spec.get("derived", {}).items():
+                needed.add(src)
+            needed |= set(spec.get("agg_cols", ()))
+
             def scan(t: str) -> DataFrame:
-                return (
+                df = (
                     spark.table(idents[t])
                     if t in idents
                     else load_table(spark, t, sf_dir, use_layout=False)
                 )
+                df = df.select(*[c for c in df.columns if c in needed])
+                if t in spec.get("broadcast", ()):
+                    df = F.broadcast(df)
+                return df
 
             joined = scan(tables[0])
             in_tree = {tables[0]}
