@@ -1126,20 +1126,24 @@ class JoinGraph:
         # to the LAZY result type (Spark widens every Sum by +10 precision;
         # combining partials would widen twice). Derived WITHOUT a new
         # Catalyst analysis where possible — plan construction is the
-        # measured sf0.1 floor: bare-column inputs read the fact's already-
-        # analyzed schema (the eligibility scan touched .columns, so it is
-        # cached). ANY Column expr pays one schema probe of the built
-        # pre-aggregate — text-matching 'DECIMAL' in str(expr) missed
-        # decimal-typed expressions without an explicit cast in their text
-        # (e.g. col(price) * col(qty) over decimal inputs), which then kept
-        # the double-widened Sum type and diverged from the lazy plan's
-        # schema (ADVICE r07).
+        # measured sf0.1 floor (the round-8 ANY-Column probe cost q64 +35%
+        # of its sf0.1 wall time): bare-column inputs read the fact's
+        # already-analyzed schema, and a Column expr pays the one schema
+        # probe of the built pre-aggregate only when a decimal result is
+        # POSSIBLE — some DECLARED input column is DecimalType (the case
+        # ADVICE r07 reported: decimal inputs with no cast in the
+        # expression text), or the text contains an explicit DECIMAL cast.
+        # A decimal result can only arise from a decimal input or an
+        # explicit cast; the one residual hole — a decimal LITERAL inside
+        # the expr with no decimal inputs — is out of contract here
+        # (documented; consequence would be a wider Sum dtype, never a
+        # wrong value).
         from pyspark.sql.types import DecimalType
 
         input_types = {fld.name: fld.dataType for fld in f.df.schema.fields}
         partial_dec: dict[str, DecimalType] = {}
         probe_needed = False
-        for alias, (fn, expr, _cols) in aggs.items():
+        for alias, (fn, expr, cols) in aggs.items():
             if fn not in ("sum", "avg"):
                 continue
             pname = f"__p_{alias}" if fn == "sum" else f"__ps_{alias}"
@@ -1149,7 +1153,9 @@ class JoinGraph:
                     partial_dec[pname] = DecimalType(
                         min(38, dt.precision + 10), dt.scale
                     )
-            else:
+            elif any(
+                isinstance(input_types.get(c), DecimalType) for c in cols
+            ) or "DECIMAL" in str(expr).upper():
                 probe_needed = True
 
         def pre(df: DataFrame) -> DataFrame:
