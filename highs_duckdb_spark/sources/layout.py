@@ -692,6 +692,131 @@ def _build_agg_mvs(
     return paths
 
 
+def refresh_agg_mv(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    deltas: dict[str, DataFrame],
+    layout_dir: str | None = None,
+) -> str:
+    """INCREMENTALLY maintain a built aggregate MV after an append
+    (round 8): aggregate the DELTA's contribution at group-key grain and
+    MERGE it with the stored partials — sums/counts add, min/max merge —
+    instead of re-joining the full fact history. At 100 TB this is the
+    difference between a per-batch pass over the new files and a
+    600M-row-per-refresh rebuild; it is exactly how warehouse MV
+    maintenance works for append-only facts (partial re-aggregation;
+    deletes/updates are out of scope and take the full rebuild path).
+
+    ``sf_dir``'s tables are the LIVE, post-append sources; ``deltas``
+    maps the DRIVING table (``tables[0]``, the aggregation grain) to
+    exactly its newly appended rows. Soundness needs the FK-append
+    pattern the spec's joins assume: a new driving row may reference old
+    or new parents (both already in the live parent tables the delta
+    joins against), but OLD driving rows never reference NEW parents
+    (parents land with or before children — the only append order
+    referential integrity permits), so the stored partials stay exactly
+    the old rows' contribution: nothing double-counted, nothing missed.
+    Parent-only appends (orders with no lineitems yet) contribute
+    nothing, correctly — refresh again when their children land.
+
+    The merged MV replaces the files in place and the fingerprint is
+    re-stamped against the CURRENT sources, so subsequent attaches
+    validate. Returns the MV path."""
+    import pyspark.sql.functions as F
+
+    spec = AGG_MV_SPECS[name]
+    layout_dir = layout_dir or default_layout_dir(sf_dir)
+    path = os.path.join(layout_dir, name)
+    old = spark.read.parquet(path).localCheckpoint(eager=True)  # pre-swap snapshot
+
+    tables = list(spec["tables"])
+    needed: set[str] = set(spec["group_keys"])
+    for j in spec["joins"]:
+        needed |= {j[1], j[3]}
+    for _dk, (_dfn, src) in spec.get("derived", {}).items():
+        needed.add(src)
+    needed |= set(spec.get("agg_cols", ()))
+
+    def scan(t: str) -> DataFrame:
+        df = load_table(spark, t, sf_dir, use_layout=False)
+        df = df.select(*[c for c in df.columns if c in needed])
+        if t in spec.get("broadcast", ()):
+            df = F.broadcast(df)
+        return df
+
+    joined = deltas[tables[0]].select(
+        *[c for c in deltas[tables[0]].columns if c in needed]
+    )
+    in_tree = {tables[0]}
+    pending = [tuple(j) for j in spec["joins"]]
+    while pending:
+        for j in pending:
+            ta, ka, tb, kb = j
+            if ta in in_tree or tb in in_tree:
+                nxt, cond = (
+                    (tb, F.col(ka) == F.col(kb))
+                    if ta in in_tree
+                    else (ta, F.col(kb) == F.col(ka))
+                )
+                joined = joined.join(scan(nxt), cond)
+                in_tree.add(nxt)
+                pending.remove(j)
+                break
+        else:
+            raise ValueError(f"agg MV {name}: disconnected joins")
+    for dk, (dfn, src) in spec.get("derived", {}).items():
+        joined = joined.withColumn(dk, _derived_col(dfn, src))
+    delta_part = joined.groupBy(*spec["group_keys"]).agg(
+        *[
+            (
+                F.count(F.lit(1)) if b == "*" else getattr(F, fn)(b())
+            ).alias(alias)
+            for alias, (fn, b) in spec["aggs"].items()
+        ]
+    )
+    # merge: partials of the SAME decomposable aggs combine by sum (sum,
+    # count) or the same fn (min/max); decimal sums cast back to the
+    # stored type (the +10 widen must not accumulate across refreshes)
+    from pyspark.sql.types import DecimalType
+
+    merges = []
+    for alias, (fn, _b) in spec["aggs"].items():
+        if fn in ("sum", "count"):
+            c = F.sum(alias)
+            stored = old.schema[alias].dataType
+            if isinstance(stored, DecimalType):
+                c = c.cast(stored)
+        else:  # min/max merge under appends
+            c = getattr(F, fn)(alias)
+        merges.append(c.alias(alias))
+    merged = (
+        old.unionByName(delta_part.select(*old.columns))
+        .groupBy(*spec["group_keys"])
+        .agg(*merges)
+        .coalesce(1)
+    )
+    merged.write.mode("overwrite").parquet(path)
+    from highs_duckdb_spark.sources import stats as zstats
+
+    zstats.write_sidecar(path)
+    import hashlib as _hashlib
+    import json as _json
+
+    fp = (
+        "".join(_source_fingerprint(sf_dir, t) for t in tables)
+        + _hashlib.md5(
+            _json.dumps(
+                _agg_mv_fingerprint_payload(spec), sort_keys=True
+            ).encode()
+        ).hexdigest()
+    )
+    _write_fingerprint(path, fp)
+    app = spark.sparkContext.applicationId
+    _AGG_MV_READERS.pop((app, sf_dir, name), None)
+    return path
+
+
 def attached_agg_mvs(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, tuple[dict, DataFrame, str]]:

@@ -982,3 +982,65 @@ def test_like_prefix_selectivity_on_graded_data(monkeypatch):
     assert 0.08 <= s <= 0.25, s
     monkeypatch.setenv("HDS_DISABLE_PRUNING", "1")
     assert LL.like_prefix_selectivity(SF, "part", "p_type", "PROMO", default=0.4) == 0.4
+
+
+def test_agg_mv_incremental_refresh_equals_rebuild(spark, tmp_path):
+    """Round 8: refresh_agg_mv maintains a built MV after an FK-pattern
+    append by aggregating ONLY the delta's contribution and merging
+    partials — byte-identical rows to a full rebuild over the post-append
+    sources (the 100-TB maintenance path: per-batch pass, not a
+    600M-row re-join per refresh)."""
+    import shutil as _shutil
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    # base = every table, with the last 20% of lineitem held out as the
+    # append batch (orders/customers/suppliers all pre-exist: the
+    # children-last FK append pattern)
+    for t in ("orders", "customer", "supplier", "nation"):
+        _shutil.copy(f"{SF}/{t}.parquet", src / f"{t}.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = li.count()
+    cut = int(n * 0.8)
+    base = li.limit(cut).localCheckpoint(eager=True)
+    delta = li.subtract(base).localCheckpoint(eager=True)
+    assert base.count() + delta.count() == n  # no duplicate rows in SF data
+    lidir = str(src / "lineitem.parquet")
+    base.coalesce(1).write.parquet(lidir)
+
+    from highs_duckdb_spark.sources import layout as LL
+
+    layout_dir = str(tmp_path / "layout")
+    name = "rev_by_nation_year"
+    LL._build_agg_mvs(spark, str(src), layout_dir, idents={})
+    # the append lands in the live table dir, then the MV refreshes from
+    # the delta alone
+    delta.coalesce(1).write.mode("append").parquet(lidir)
+    from highs_duckdb_spark.session import _READER_CACHE
+
+    _READER_CACHE.clear()  # the table's file set changed
+    path = LL.refresh_agg_mv(spark, str(src), name, {"lineitem": delta}, layout_dir)
+    refreshed = sorted(map(tuple, spark.read.parquet(path).collect()))
+    refreshed_schema = spark.read.parquet(path).schema
+
+    # ground truth: full rebuild over the post-append sources
+    _shutil.rmtree(path)
+    LL._build_agg_mvs(spark, str(src), layout_dir, idents={})
+    rebuilt = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert refreshed == rebuilt
+    assert refreshed_schema == spark.read.parquet(path).schema
+    # and the refresh re-stamped a fingerprint current for the appended
+    # sources (a third build call is a no-op — idempotence restored)
+    assert LL._fingerprint_current(
+        path,
+        "".join(
+            LL._source_fingerprint(str(src), t)
+            for t in LL.AGG_MV_SPECS[name]["tables"]
+        )
+        + __import__("hashlib").md5(
+            __import__("json").dumps(
+                LL._agg_mv_fingerprint_payload(LL.AGG_MV_SPECS[name]),
+                sort_keys=True,
+            ).encode()
+        ).hexdigest(),
+    )
