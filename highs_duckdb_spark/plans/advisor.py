@@ -142,6 +142,8 @@ def pair_candidates(records, tinfo: dict[str, dict] | None = None) -> list[dict]
     not decide (module doc)."""
     agg: dict[tuple, dict] = {}
     for rec in records:
+        if rec.get("agg_mv") is not None:
+            continue  # the whole graph is MV-served: nothing to absorb
         facts = {f["name"]: f for f in rec["facts"]}
         served = {
             frozenset(absorbed)
@@ -358,6 +360,8 @@ def chain_candidates(records, min_queries: int = 2) -> list[dict]:
     a query rewrite, not a layout object)."""
     agg: dict[tuple, dict] = {}
     for rec in records:
+        if rec.get("agg_mv") is not None:
+            continue  # the whole graph is MV-served: nothing to absorb
         facts = {f["name"]: f for f in rec["facts"]}
         edges = [
             e for e in rec["edges"]
@@ -432,11 +436,42 @@ def spec_coverage(records) -> dict[str, dict]:
     return out
 
 
+def mv_coverage(records) -> dict[str, dict]:
+    """Per-aggregate-MV coverage from the planner's own capture: which
+    queries each attached MV served, and the per-MV decline reasons
+    (same authority as :func:`spec_coverage` for projections)."""
+    out: dict[str, dict] = {}
+    for rec in records:
+        mv = rec.get("agg_mv")
+        if mv is not None:
+            e = out.setdefault(mv[0], {"served": [], "declined": []})
+            e["served"].append(rec["query"])
+        for mname, reason in rec.get("agg_mv_declines", []):
+            e = out.setdefault(mname, {"served": [], "declined": []})
+            e["declined"].append((rec["query"], reason))
+    return out
+
+
 def render_markdown(
-    pairs, coverage, skipped=(), top=10, agg_mvs=(), chains=()
+    pairs, coverage, skipped=(), top=10, agg_mvs=(), chains=(), mv_cov=None
 ) -> str:
     """The advisor report (markdown)."""
     lines = ["# Projection advisor report", ""]
+    if mv_cov:
+        lines.append("## Attached aggregate MVs — coverage (planner-recorded)")
+        lines.append("")
+        for mname in sorted(mv_cov):
+            e = mv_cov[mname]
+            lines.append(f"### {mname}")
+            lines.append(
+                f"- served ({len(e['served'])}): "
+                f"{', '.join(sorted(e['served'])) or '—'}"
+            )
+            if e["declined"]:
+                lines.append(f"- declined ({len(e['declined'])}):")
+                for q, reason in sorted(set(e["declined"])):
+                    lines.append(f"  - {q}: `{reason}`")
+            lines.append("")
     if agg_mvs:
         lines.append("## Aggregate-MV candidates (from captured aggregates)")
         lines.append("")

@@ -264,3 +264,20 @@ def test_chain_candidates_from_capture(spark):
     ]
     # a single-query chain is below the default floor
     assert advisor.chain_candidates(recs) == []
+
+
+def test_mv_served_records_excluded_from_all_candidates(spark, layout_dir):
+    """An MV-served query absorbs nothing — it must not feed PAIR or
+    CHAIN candidates either (round 8: with the layout attached the
+    Q5/Q7/Q8 class rode the MV yet still generated a chain proposal for
+    its own — already served — triple)."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    recs = advisor.capture_registry(
+        spark, SF,
+        names=["q65_tpch_q5_local_volume", "q101_volume_shipping",
+               "q102_market_share"],
+    )
+    assert all(r["agg_mv"] is not None for r in recs)
+    assert advisor.chain_candidates(recs, min_queries=1) == []
+    assert advisor.pair_candidates(recs) == []
+    assert advisor.agg_mv_candidates(recs, SF) == []

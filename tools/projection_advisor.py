@@ -60,6 +60,7 @@ def main() -> None:
         skipped=getattr(records, "skipped", []),
         agg_mvs=agg_mvs,
         chains=chains,
+        mv_cov=advisor.mv_coverage(records),
     )
     if out_file:
         with open(out_file, "w") as fh:
