@@ -1094,3 +1094,94 @@ def qs18_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     table = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
     run_stream_to_table(stream, table, output_mode="append")
     return spark.table(table).orderBy("user_id", "event_type")
+
+
+@register(
+    "qs19_stream_mv_maintenance",
+    oracle="""
+    SELECT c_nationkey, s_nationkey,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS rev_c
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY c_nationkey, s_nationkey, o_year, ship_year
+    ORDER BY c_nationkey, s_nationkey, o_year, ship_year
+    """,
+    category="streaming",
+    doc=(
+        "STREAMING aggregate-MV maintenance (round 8): the lineitem fact "
+        "streams in as micro-batches (parquet source, maxFilesPerTrigger=1, "
+        "AvailableNow) into a foreachBatch sink that both APPENDS the batch "
+        "to the live fact table and incrementally refreshes the "
+        "rev_by_nation_year aggregate MV from the SAME delta "
+        "(sources/layout.refresh_agg_mv: delta joins the live parents, "
+        "partials merge — never a full re-join). Parents pre-exist, "
+        "children stream: the FK-append order the refresh's soundness "
+        "argument requires, and exactly how facts land in a production "
+        "pipeline. The final MV contents hash-match the batch 4-way-join "
+        "aggregate over ALL rows — the continuous-maintenance story for "
+        "the MVs the planner serves q65/q101/q102 from, at per-batch cost "
+        "instead of a 600M-row rebuild."
+    ),
+)
+def qs19_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from highs_duckdb_spark.session import load_table
+    from highs_duckdb_spark.sources import layout as L
+
+    name = "rev_by_nation_year"
+    work = tempfile.mkdtemp(prefix="hds_qs19_")
+    live = os.path.join(work, "sf")
+    os.makedirs(live)
+    # parents pre-exist (the FK-append pattern); the fact streams in
+    for t in ("orders", "customer", "supplier", "nation"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(live, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    li = load_table(spark, "lineitem", sf_dir)
+    lidir = os.path.join(live, "lineitem.parquet")
+    li.limit(0).coalesce(1).write.parquet(lidir)  # empty base fact
+    layout_dir = os.path.join(work, "layout")
+    L._build_agg_mvs(spark, live, layout_dir, idents={})  # empty-base MV
+
+    incoming = os.path.join(work, "incoming")
+    # deterministic 3-way split → 3 micro-batches
+    li.repartition(3, F.col("l_orderkey") % 3).write.parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(incoming)
+    )
+
+    def maintain(batch_df: DataFrame, _batch_id: int) -> None:
+        # CDC sink: the batch lands in the live fact table...
+        batch_df.write.mode("append").parquet(lidir)
+        # ...and the MV refreshes incrementally from the SAME delta
+        L.refresh_agg_mv(
+            batch_df.sparkSession, live, name, {"lineitem": batch_df}, layout_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/hds_ckpt_qs19_{uuid.uuid4().hex}")
+        .start()
+    )
+    q.awaitTermination()
+    mv = spark.read.parquet(os.path.join(layout_dir, name))
+    return mv.select(
+        "c_nationkey", "s_nationkey", "o_year", "ship_year", "rev_c"
+    ).orderBy("c_nationkey", "s_nationkey", "o_year", "ship_year")
