@@ -1139,6 +1139,25 @@ def qs19_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "rev_by_nation_year"
     work = tempfile.mkdtemp(prefix="hds_qs19_")
+    try:
+        return _qs19_body(spark, sf_dir, work, name)
+    finally:
+        # the work dir holds full copies of orders/customer/supplier plus a
+        # rewritten fact — it scales with SF (ADVICE r08: repeated sweeps
+        # leaked tens of GB against the disk quota), so it must not outlive
+        # the call; the body materializes the (grain-bounded) MV first.
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _qs19_body(
+    spark: SparkSession, sf_dir: str, work: str, name: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from highs_duckdb_spark.session import load_table
+    from highs_duckdb_spark.sources import layout as L
+
     live = os.path.join(work, "sf")
     os.makedirs(live)
     # parents pre-exist (the FK-append pattern); the fact streams in
@@ -1182,6 +1201,10 @@ def qs19_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     mv = spark.read.parquet(os.path.join(layout_dir, name))
-    return mv.select(
+    out = mv.select(
         "c_nationkey", "s_nationkey", "o_year", "ship_year", "rev_c"
     ).orderBy("c_nationkey", "s_nationkey", "o_year", "ship_year")
+    # detach the result from the about-to-be-deleted work dir: the MV's
+    # grain (nation × nation × order-year × ship-year) is bounded by
+    # construction, so a driver-side materialization is a few 10k rows max
+    return spark.createDataFrame(out.collect(), schema=out.schema)

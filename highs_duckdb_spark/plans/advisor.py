@@ -55,7 +55,8 @@ def capture_registry(spark, sf_dir: str, names=None) -> list[dict]:
     """Build (NOT execute) every registered query under capture; each
     record is stamped with its query name.  Builders that raise are
     skipped (a handful need non-plain setup, e.g. streaming sources);
-    their names are returned on the result's ``skipped`` attribute."""
+    ``(name, reason)`` tuples are returned on the result's ``skipped``
+    attribute."""
     from highs_duckdb_spark.operators import QUERIES
 
     records: list[dict] = []
@@ -65,11 +66,12 @@ def capture_registry(spark, sf_dir: str, names=None) -> list[dict]:
             try:
                 QUERIES[name].builder(spark, sf_dir)
             except Exception as exc:
-                # the exception repr rides along so a real builder
-                # regression is distinguishable from expected non-plain
-                # setup (streaming sources etc.) when this capture is read
-                # as a health sweep (VERDICT r07)
-                skipped.append(f"{name} [{type(exc).__name__}: {exc}]"[:200])
+                # (name, reason) tuples keep the bare name machine-readable
+                # (set membership vs registry names) while the reason lets a
+                # health-sweep reader distinguish a real builder regression
+                # from expected non-plain setup (streaming sources etc.)
+                reason = f"{type(exc).__name__}: {exc}"[:160]
+                skipped.append((name, reason))
                 continue
         for r in sink:
             r["query"] = name
@@ -298,18 +300,26 @@ def agg_mv_candidates(records, sf_dir: str | None = None) -> list[dict]:
         if any(e["extra"] for e in rec["edges"]):
             continue
         tables = tuple(sorted(f["table"] for f in facts))
-        dim_tables = tuple(sorted(d["table"] for d in rec["dims"]
-                                  if d.get("catalog_rows") and d["how"] == "inner"))
+        included = [d for d in rec["dims"]
+                    if d.get("catalog_rows") and d["how"] == "inner"]
+        dim_tables = tuple(sorted(d["table"] for d in included))
+        # joins must reference only relations present in tables/dim_tables
+        # (ADVICE r08: an all-dims joins tuple proposed specs naming tables
+        # the candidate doesn't include, e.g. region via n2_region)
         joins = tuple(
             sorted(
                 [tuple(sorted((e["ka"], e["kb"]))) for e in rec["edges"]]
-                + [tuple(sorted(d["on"])) for d in rec["dims"]]
+                + [tuple(sorted(d["on"])) for d in included]
             )
         )
         grain: set[str] = set(a["keys"])
         for d in rec["dims"]:
             if d.get("extra_eq"):
                 grain |= set(d["extra_eq"])
+            if d not in included:
+                # an excluded dim still joins AGAINST the MV later — its
+                # tree-side key (on[0]) must survive in the MV grain
+                grain.add(d["on"][0])
         for f in facts:
             if f.get("range_filter") is not None:
                 grain.add(f"year({f['range_filter'][0]})")
@@ -542,10 +552,14 @@ def render_markdown(
         )
     lines.append("")
     if skipped:
+        shown = [
+            f"{s[0]} [{s[1]}]" if isinstance(s, tuple) else str(s)
+            for s in sorted(skipped)
+        ]
         lines.append(
-            f"_Skipped builders (non-plain setup): {len(skipped)} — "
-            f"{', '.join(sorted(skipped)[:12])}"
-            f"{'…' if len(skipped) > 12 else ''}_"
+            f"_Skipped builders (non-plain setup): {len(shown)} — "
+            f"{', '.join(shown[:12])}"
+            f"{'…' if len(shown) > 12 else ''}_"
         )
         lines.append("")
     lines.append(

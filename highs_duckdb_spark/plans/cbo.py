@@ -1133,12 +1133,19 @@ class JoinGraph:
         # POSSIBLE — some DECLARED input column is DecimalType (the case
         # ADVICE r07 reported: decimal inputs with no cast in the
         # expression text), or the text contains an explicit DECIMAL cast.
-        # A decimal result can only arise from a decimal input or an
-        # explicit cast; the one residual hole — a decimal LITERAL inside
-        # the expr with no decimal inputs — is out of contract here
-        # (documented; consequence would be a wider Sum dtype, never a
-        # wrong value).
+        # A decimal result can only arise from a decimal input, an explicit
+        # cast, or a decimal LITERAL. Literal dtypes are invisible in the
+        # expr text (str() renders Decimal("1.5") and float 1.5 both as
+        # "1.5" — VERDICT r08 item 6), so any bare fractional numeric token
+        # conservatively triggers the probe: the probe then reads the TRUE
+        # built dtype, closing the hole at the cost of one extra schema
+        # analysis for float-literal exprs (which resolve to non-decimal
+        # and cast nothing).
+        import re as _re
+
         from pyspark.sql.types import DecimalType
+
+        _FRAC_LIT = _re.compile(r"(?<![\w.])\d+\.\d+(?![\w.])")
 
         input_types = {fld.name: fld.dataType for fld in f.df.schema.fields}
         partial_dec: dict[str, DecimalType] = {}
@@ -1153,9 +1160,11 @@ class JoinGraph:
                     partial_dec[pname] = DecimalType(
                         min(38, dt.precision + 10), dt.scale
                     )
-            elif any(
-                isinstance(input_types.get(c), DecimalType) for c in cols
-            ) or "DECIMAL" in str(expr).upper():
+            elif (
+                any(isinstance(input_types.get(c), DecimalType) for c in cols)
+                or "DECIMAL" in str(expr).upper()
+                or _FRAC_LIT.search(str(expr)) is not None
+            ):
                 probe_needed = True
 
         def pre(df: DataFrame) -> DataFrame:

@@ -1102,6 +1102,55 @@ def test_eager_agg_decimal_expr_without_cast_text(spark, tmp_path, monkeypatch):
     assert sorted(df.collect()) == sorted(df2.collect())
 
 
+def test_eager_agg_decimal_literal_over_plain_columns(spark, tmp_path, monkeypatch):
+    """A decimal LITERAL in the agg expr with NO decimal input columns and
+    no cast text (VERDICT r08 item 6 — the documented residual hole):
+    str(expr) renders Decimal("1.5") identically to float 1.5, so the
+    fractional-literal token must trigger the schema probe. Without it the
+    eager Sum widens twice and the fire-path schema diverges from lazy."""
+    from decimal import Decimal
+
+    monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
+    sfd = str(tmp_path)
+    (
+        spark.range(0, 4000)
+        .select(
+            (F.col("id") % 1000).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .coalesce(1)
+        .write.parquet(sfd + "/facttab.parquet")
+    )
+    (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k2"), (F.col("id") % 5).alias("grp"))
+        .coalesce(1)
+        .write.parquet(sfd + "/dimtab.parquet")
+    )
+
+    def build(g):
+        g.fact("facttab", spark.read.parquet(sfd + "/facttab.parquet"))
+        g.fact("dimtab", spark.read.parquet(sfd + "/dimtab.parquet"))
+        g.edge("facttab", "k", "dimtab", "k2")
+        # str(expr) is "(v * 1.5)" — bigint input, decimal-typed literal
+        g.aggregate(
+            ("grp",), {"s": ("sum", F.col("v") * F.lit(Decimal("1.5")), ("v",))}
+        )
+        return g.plan()
+
+    g = cbo.JoinGraph(spark, sfd)
+    df = build(g)
+    assert g.explain.eager_agg == ("facttab", ("k",)), g.explain.eager_decline
+    monkeypatch.setenv("HDS_DISABLE_EAGER_AGG", "1")
+    g2 = cbo.JoinGraph(spark, sfd)
+    df2 = build(g2)
+    assert g2.explain.eager_agg == ()
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in df2.schema.fields
+    ]
+    assert sorted(df.collect()) == sorted(df2.collect())
+
+
 def test_eager_agg_drops_noncovering_copies(spark, monkeypatch):
     """After the rewrite, alternate copies whose bucket keys are not a
     subset of the pre-aggregate keys no longer have their claimed output

@@ -198,6 +198,25 @@ def test_jaro_winkler_kernel_matches_duckdb():
         assert abs(d - jaro_winkler(s1, s2)) < 1e-12, (s1, s2, d)
 
 
+def test_t18_two_char_block_recall_unchanged():
+    """The r9 2-char-prefix block (VERDICT r08 item 8 — key space ~676x5
+    instead of ~26x5, removing the heavy-first-letter skew ceiling) is
+    candidate-generation only: at threshold 0.88 the surviving pair SET
+    must equal the 1-char block's on the actual data."""
+    con = _duck()
+    tmpl = """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name x, b.p_name y FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND left(a.p_name, {n}) = left(b.p_name, {n})
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
+    """
+    p1 = set(con.execute(tmpl.format(n=1)).fetchall())
+    p2 = set(con.execute(tmpl.format(n=2)).fetchall())
+    assert p1 == p2 and len(p1) > 0
+
+
 # ---------------------------------------------------------------------------
 # dq11 Misra-Gries candidate guarantee under adversarial batch splits
 # ---------------------------------------------------------------------------
