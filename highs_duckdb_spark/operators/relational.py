@@ -302,11 +302,16 @@ def q10_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = JoinGraph(spark, sf_dir)
     g.fact("lineitem", li)
+    # on= (declarative, planner-built equality) instead of an opaque cond:
+    # the runtime-filter pass can then record its decision for this edge —
+    # at every SF the decision is the pinned DECLINE "build_broadcasts"
+    # (a broadcast hash join drops probe rows at the scan stage already;
+    # a bloom would re-test what the build map tests — VERDICT r08 item 2)
     g.dim(
         "part",
         part,
-        F.col("l_partkey") == F.col("p_partkey"),
         after=("lineitem",),
+        on=("l_partkey", "p_partkey"),
         sel=eq_selectivity(sf_dir, "part", "p_type", default=0.2),
     )
     return (

@@ -107,6 +107,36 @@ EAGER_AGG_MIN_BYTES = int(os.environ.get("HDS_EAGER_AGG_MIN_BYTES", str(32 << 20
 #: partial-below-the-join / combine-above-the-join pair
 _DECOMPOSABLE = ("sum", "count", "min", "max", "avg")
 
+# --- runtime-filter knobs (plans/runtime_filters.py; VERDICT r08 item 2) ---
+
+#: A runtime filter fires only when the estimated probe bytes it removes
+#: clear this floor: the filter's ratio benefit scales with data while its
+#: fixed costs (one build-side pass + an eager driver collect at PLAN
+#: time) do not — the same absolute-benefit reasoning as
+#: EAGER_AGG_MIN_BYTES. 64 MB keeps the sf0.1 plan-construction floor
+#: untouched (largest sf0.1 candidate ≈ 60 MB) and fires from sf10 up.
+RF_MIN_BENEFIT_BYTES = int(os.environ.get("HDS_RF_MIN_BENEFIT_BYTES", str(64 << 20)))
+#: ... and only when the saved probe bytes also clear this multiple of the
+#: estimated build-pass cost (a column-pruned scan of the build side).
+RF_BENEFIT_MARGIN = float(os.environ.get("HDS_RF_BENEFIT_MARGIN", "2.0"))
+#: fraction of the build side's RAW table bytes one key-column build pass
+#: is charged (key + filter columns of a ~10-column table)
+RF_BUILD_COST_FACTOR = float(os.environ.get("HDS_RF_BUILD_COST_FACTOR", "0.1"))
+#: build sides with declared selectivity at/above this can't reduce the
+#: probe enough to matter (pass rate ≥ sel by construction)
+RF_MAX_BUILD_SEL = float(os.environ.get("HDS_RF_MAX_BUILD_SEL", "0.5"))
+#: decline when the estimated pass rate (key fraction + fp) exceeds this
+RF_MAX_PASS = float(os.environ.get("HDS_RF_MAX_PASS", "0.75"))
+#: bloom sizing: target bits per estimated build key (k=3 → fp ≈ 1.1%),
+#: clamped to [RF_MIN_BITS, RF_MAX_BITS]; past the cap the fp estimate
+#: rises and the pass-rate gate declines (an overflowed filter passes
+#: everything — the q64 sf100 lineitem case, declined honestly)
+RF_BITS_PER_KEY = float(os.environ.get("HDS_RF_BITS_PER_KEY", "12"))
+RF_MIN_BITS = 1 << 16
+#: 2^25 bits = 4 MB of longs in the plan — broadcast once per stage with
+#: the task binary, the explicit plan-size budget
+RF_MAX_BITS = int(os.environ.get("HDS_RF_MAX_BITS", str(1 << 25)))
+
 
 def table_card(sf_dir: str, table: str) -> tuple[float | None, dict[str, float]]:
     """(total row count, {col: NDV estimate}) for one catalog table, from
@@ -402,6 +432,12 @@ class PlanExplain:
     agg_mv: tuple[str, tuple[str, ...]] | tuple[()] = ()
     #: per-MV decline reasons (machine-readable, advisor input)
     agg_mv_declines: tuple[tuple[str, str], ...] = ()
+    #: bloom runtime filters pushed onto probe scans: (probe relation,
+    #: probe key, build relation, build key, filter bits)
+    runtime_filters: tuple[tuple[str, str, str, str, int], ...] = ()
+    #: per-candidate decline reasons ("build->probe:key", reason) —
+    #: machine-readable like projection declines
+    rf_declines: tuple[tuple[str, str], ...] = ()
 
 
 class JoinGraph:
@@ -433,6 +469,8 @@ class JoinGraph:
         self._eager_decline = ""
         self._agg_mv_declines: list[tuple[str, str]] = []
         self._agg_derived: dict[str, tuple[str, str]] = {}
+        self._rf_applied: list[tuple[str, str, str, str, int]] = []
+        self._rf_declines: list[tuple[str, str]] = []
         self.explain = PlanExplain()
 
     # -- declaration ---------------------------------------------------------
@@ -1523,6 +1561,164 @@ class JoinGraph:
 
     # -- planning ------------------------------------------------------------
 
+    # -- bloom runtime filters ----------------------------------------------
+
+    def _apply_runtime_filters(self) -> None:
+        """Push bloom membership predicates from selective build sides
+        onto probe scans (plans/runtime_filters.py — VERDICT r08 item 2;
+        q114 proves result equality of the pattern).
+
+        Runs AFTER projection/MV matching (those rewrites hold same-rows
+        contracts a filtered scan would break, and a substituted edge
+        needs no filter) and BEFORE eager aggregation (the pre-aggregate
+        then runs over the reduced input — the filter lands below the
+        first exchange either way). Candidates:
+
+        - fact-fact equi-edges, both directions (always inner in the
+          tree): build = the selective side, probe = the other;
+        - structural dims (``on=`` declared) with inner/semi semantics
+          that the byte model DEMOTES to the co-partitioned strategy —
+          a broadcast dim filters the probe at its scan stage already, so
+          a bloom there saves nothing and declines; outer/anti dims keep
+          probe rows WITHOUT a match and are never filterable.
+
+        Fire/decline is cost-based from the same catalog statistics the
+        rest of the planner ranks with: estimated post-filter build keys
+        (column NDV × declared selectivity) size the filter; the pass
+        rate (key fraction + false-positive rate) and the absolute saved
+        probe bytes gate it (RF_* knobs). Declines land in
+        ``explain.rf_declines`` machine-readably. The build is an EAGER
+        driver-side collect at plan time (bounded by filter words, never
+        build rows), so capture-mode plans (advisor sweeps — build, not
+        execute) skip the pass entirely."""
+        self._rf_applied = []
+        self._rf_declines = []
+        if os.environ.get("HDS_DISABLE_RUNTIME_FILTERS"):
+            return
+        if _WORKLOAD_SINK is not None:
+            return  # capture builds must not run jobs
+        from highs_duckdb_spark.plans import runtime_filters as rfm
+
+        def decline(tag: str, reason: str) -> None:
+            self._rf_declines.append((tag, reason))
+
+        def evaluate(tag, sel, n_keys, build_raw_bytes, probe_bytes):
+            """(m, pass_rate, benefit) or None with the decline recorded."""
+            if sel >= RF_MAX_BUILD_SEL:
+                decline(tag, f"build_sel:{sel:.2f}")
+                return None
+            if n_keys is None:
+                decline(tag, "no_stats")
+                return None
+            m, fp = rfm.geometry(n_keys, RF_BITS_PER_KEY, RF_MIN_BITS, RF_MAX_BITS)
+            pass_rate = min(1.0, sel + (1.0 - sel) * fp)
+            if pass_rate >= RF_MAX_PASS:
+                decline(tag, f"pass_rate:{pass_rate:.2f}")
+                return None
+            benefit = probe_bytes * (1.0 - pass_rate)
+            floor = max(
+                RF_MIN_BENEFIT_BYTES,
+                RF_BENEFIT_MARGIN * RF_BUILD_COST_FACTOR * build_raw_bytes,
+            )
+            if benefit < floor:
+                decline(tag, f"benefit:{benefit / 1e6:.0f}MB<{floor / 1e6:.0f}MB")
+                return None
+            return m, pass_rate, benefit
+
+        # (benefit, tag, build_df, build_key, probe fact, probe_key, m, pass)
+        chosen: dict[str, tuple] = {}  # per edge-tag family: best direction
+
+        for i, e in enumerate(self._edges):
+            best = None
+            for bn, bk, pn, pk in ((e.a, e.ka, e.b, e.kb), (e.b, e.kb, e.a, e.ka)):
+                b, p = self._facts.get(bn), self._facts.get(pn)
+                if b is None or p is None:
+                    continue
+                tag = f"{bn}->{pn}:{pk}"
+                if b.stat_proxy:
+                    # a proxy table's NDV/sel describe different rows —
+                    # the key-count estimate would be fiction
+                    decline(tag, "build_stat_proxy")
+                    continue
+                keys_total = b.ndv.get(bk)
+                n_keys = (
+                    keys_total * b.sel
+                    if keys_total
+                    else (b.rows if b.rows is not None else None)
+                )
+                got = evaluate(tag, b.sel, n_keys, b.bytes / max(b.sel, 1e-9), p.bytes)
+                if got is None:
+                    continue
+                m, pass_rate, benefit = got
+                if best is None or benefit > best[0]:
+                    best = (benefit, tag, b.df, bk, p, pk, m, pass_rate)
+            if best is not None:
+                chosen[f"edge{i}"] = best
+
+        for j, d in enumerate(self._dims):
+            if d.on is None:
+                continue
+            how = d.how.lower().replace("_", "")
+            tkey, dkey = d.on
+            probe = next(
+                (f for f in self._facts.values() if tkey in f.df.columns), None
+            )
+            if probe is None:
+                continue
+            tag = f"{d.name}->{probe.name}:{tkey}"
+            if how not in ("inner", "semi", "leftsemi"):
+                decline(tag, f"join_type:{d.how}")
+                continue
+            if not d.fact_scale and d.bytes <= BROADCAST_CAP_BYTES:
+                # the broadcast hash join drops probe rows in the scan
+                # stage already — a bloom would re-test what the build
+                # map tests, saving no exchange
+                decline(tag, "build_broadcasts")
+                continue
+            rows_total, ndv = table_card(self.sf_dir, d.table)
+            keys_total = ndv.get(dkey)
+            n_keys = (
+                keys_total * d.sel
+                if keys_total
+                else (rows_total * d.sel if rows_total else None)
+            )
+            got = evaluate(tag, d.sel, n_keys, d.bytes / max(d.sel, 1e-9), probe.bytes)
+            if got is None:
+                continue
+            m, pass_rate, benefit = got
+            chosen[f"dim{j}"] = (benefit, tag, d.df, dkey, probe, tkey, m, pass_rate)
+
+        for benefit, tag, build_df, bk, probe, pk, m, pass_rate in sorted(
+            chosen.values(), key=lambda t: (-t[0], t[1])
+        ):
+            words = rfm.build_words(build_df.select(bk), bk, m)
+            pred = rfm.might_contain(words, m, F.col(pk))
+            probe.df = probe.df.filter(pred)
+            # alternate copies hold the SAME rows — the predicate must
+            # follow the fact onto whichever copy scan_df picks
+            probe.copies = {ks: c.filter(pred) for ks, c in probe.copies.items()}
+            probe.bytes = max(probe.bytes * pass_rate, 1.0)
+            if probe.rows is not None:
+                probe.rows = max(probe.rows * pass_rate, 1.0)
+            # keep the NDV model consistent: the filter drops ~pass_rate
+            # of the probe's JOIN-KEY domain (that is what it tests);
+            # other columns only clamp at the new row count. Without this
+            # the eager-agg reduction estimate (rows/NDV-product) reads
+            # filtered rows against unfiltered key counts and declines a
+            # rewrite that still pays.
+            probe.ndv = {
+                c: max(
+                    min(
+                        v * pass_rate if c == pk else v,
+                        probe.rows if probe.rows is not None else v,
+                    ),
+                    1.0,
+                )
+                for c, v in probe.ndv.items()
+            }
+            build_name = tag.split("->", 1)[0]
+            self._rf_applied.append((probe.name, pk, build_name, bk, m))
+
     def _edge_between(self, joined: set[str], nxt: str) -> _Edge | None:
         for e in self._edges:
             if e.a in joined and e.b == nxt:
@@ -1711,6 +1907,7 @@ class JoinGraph:
                     ]
                 return mv
         proj_used = self._substitute_projections()
+        self._apply_runtime_filters()
         eager = self._try_eager_agg() if self._agg is not None else None
         names = tuple(self._facts)
         if not names:
@@ -1833,6 +2030,8 @@ class JoinGraph:
             eager_agg=eager if eager is not None else (),
             eager_decline=self._eager_decline,
             agg_mv_declines=tuple(self._agg_mv_declines),
+            runtime_filters=tuple(self._rf_applied),
+            rf_declines=tuple(self._rf_declines),
         )
         if record is not None:
             record["projections"] = [[p, list(a)] for p, a in proj_used]
