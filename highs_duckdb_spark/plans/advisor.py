@@ -144,6 +144,8 @@ def pair_candidates(records, tinfo: dict[str, dict] | None = None) -> list[dict]
     not decide (module doc)."""
     agg: dict[tuple, dict] = {}
     for rec in records:
+        if rec.get("kind") == "topk":
+            continue  # scan declarations, not join graphs
         if rec.get("agg_mv") is not None:
             continue  # the whole graph is MV-served: nothing to absorb
         facts = {f["name"]: f for f in rec["facts"]}
@@ -360,6 +362,48 @@ def agg_mv_candidates(records, sf_dir: str | None = None) -> list[dict]:
     return out
 
 
+def topk_copy_candidates(records) -> list[dict]:
+    """Rank VALUE-CLUSTERED-COPY candidates from captured top-k scan
+    declarations (VERDICT r08 item 3): ``layout.topk_scan`` records every
+    ORDER-BY/LIMIT declaration (kind="topk") with whether a clustered
+    copy already served it. For each UNSERVED (table, column, direction)
+    the candidate is the copy ``layout.build_value_clustered`` would
+    build — the layout under which the zone-map planner prunes the scan
+    to ~k rows' worth of row groups, where the primary sidecar's
+    threshold provably can't prune unclustered files (the round-8
+    committed negative). Ranked by recurrence × absorbed scan bytes;
+    estimates rank, they do not decide (module doc)."""
+    agg: dict[tuple, dict] = {}
+    for rec in records:
+        if rec.get("kind") != "topk":
+            continue
+        key = (rec["table"], rec["column"], bool(rec["descending"]))
+        entry = agg.setdefault(
+            key,
+            {
+                "table": rec["table"],
+                "column": rec["column"],
+                "descending": bool(rec["descending"]),
+                "queries": [],
+                "served": [],
+                "absorbed_bytes": 0.0,
+                "max_k": 0,
+            },
+        )
+        (entry["served"] if rec.get("clustered_copy") else entry["queries"]).append(
+            rec["query"]
+        )
+        if not rec.get("clustered_copy"):
+            # the copy absorbs ~the whole unpruned scan per run
+            entry["absorbed_bytes"] += float(rec.get("bytes") or 0.0)
+        entry["max_k"] = max(entry["max_k"], int(rec["k"]))
+    out = [e for e in agg.values() if e["queries"]]
+    for e in out:
+        e["n_queries"] = len(e["queries"])
+    out.sort(key=lambda c: (-c["absorbed_bytes"], c["table"], c["column"]))
+    return out
+
+
 def chain_candidates(records, min_queries: int = 2) -> list[dict]:
     """3-table CHAIN projection candidates from recurring connected fact
     triples (VERDICT r07 item 6): two extra-free equi-edges sharing a
@@ -370,6 +414,8 @@ def chain_candidates(records, min_queries: int = 2) -> list[dict]:
     a query rewrite, not a layout object)."""
     agg: dict[tuple, dict] = {}
     for rec in records:
+        if rec.get("kind") == "topk":
+            continue  # scan declarations, not join graphs
         if rec.get("agg_mv") is not None:
             continue  # the whole graph is MV-served: nothing to absorb
         facts = {f["name"]: f for f in rec["facts"]}
@@ -463,10 +509,25 @@ def mv_coverage(records) -> dict[str, dict]:
 
 
 def render_markdown(
-    pairs, coverage, skipped=(), top=10, agg_mvs=(), chains=(), mv_cov=None
+    pairs, coverage, skipped=(), top=10, agg_mvs=(), chains=(), mv_cov=None,
+    topk_copies=(),
 ) -> str:
     """The advisor report (markdown)."""
     lines = ["# Projection advisor report", ""]
+    if topk_copies:
+        lines.append("## Value-clustered copy candidates (from captured top-k scans)")
+        lines.append("")
+        lines.append("| table.column | direction | max k | queries | absorbed scan |")
+        lines.append("|---|---|---|---|---|")
+        for c in topk_copies[:top]:
+            lines.append(
+                f"| {c['table']}.{c['column']} "
+                f"| {'DESC' if c['descending'] else 'ASC'} "
+                f"| {c['max_k']} "
+                f"| {c['n_queries']} "
+                f"| {c['absorbed_bytes'] / 1e6:.1f} MB |"
+            )
+        lines.append("")
     if mv_cov:
         lines.append("## Attached aggregate MVs — coverage (planner-recorded)")
         lines.append("")

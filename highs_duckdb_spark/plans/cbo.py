@@ -107,14 +107,14 @@ EAGER_AGG_MIN_BYTES = int(os.environ.get("HDS_EAGER_AGG_MIN_BYTES", str(32 << 20
 #: partial-below-the-join / combine-above-the-join pair
 _DECOMPOSABLE = ("sum", "count", "min", "max", "avg")
 
-# --- runtime-filter knobs (plans/runtime_filters.py; VERDICT r08 item 2) ---
+# --- runtime-filter knobs (broadcast semi-join reduction; VERDICT r08 item 2)
 
 #: A runtime filter fires only when the estimated probe bytes it removes
 #: clear this floor: the filter's ratio benefit scales with data while its
-#: fixed costs (one build-side pass + an eager driver collect at PLAN
-#: time) do not — the same absolute-benefit reasoning as
-#: EAGER_AGG_MIN_BYTES. 64 MB keeps the sf0.1 plan-construction floor
-#: untouched (largest sf0.1 candidate ≈ 60 MB) and fires from sf10 up.
+#: fixed costs (a build-key distinct + broadcast) do not — the same
+#: absolute-benefit reasoning as EAGER_AGG_MIN_BYTES. 64 MB keeps the
+#: sf0.1 plan floor untouched (largest sf0.1 candidate ≈ 60 MB) and fires
+#: from sf10 up.
 RF_MIN_BENEFIT_BYTES = int(os.environ.get("HDS_RF_MIN_BENEFIT_BYTES", str(64 << 20)))
 #: ... and only when the saved probe bytes also clear this multiple of the
 #: estimated build-pass cost (a column-pruned scan of the build side).
@@ -123,19 +123,25 @@ RF_BENEFIT_MARGIN = float(os.environ.get("HDS_RF_BENEFIT_MARGIN", "2.0"))
 #: is charged (key + filter columns of a ~10-column table)
 RF_BUILD_COST_FACTOR = float(os.environ.get("HDS_RF_BUILD_COST_FACTOR", "0.1"))
 #: build sides with declared selectivity at/above this can't reduce the
-#: probe enough to matter (pass rate ≥ sel by construction)
+#: probe enough to matter (the pass rate IS the key fraction ≈ sel)
 RF_MAX_BUILD_SEL = float(os.environ.get("HDS_RF_MAX_BUILD_SEL", "0.5"))
-#: decline when the estimated pass rate (key fraction + fp) exceeds this
-RF_MAX_PASS = float(os.environ.get("HDS_RF_MAX_PASS", "0.75"))
-#: bloom sizing: target bits per estimated build key (k=3 → fp ≈ 1.1%),
-#: clamped to [RF_MIN_BITS, RF_MAX_BITS]; past the cap the fp estimate
-#: rises and the pass-rate gate declines (an overflowed filter passes
-#: everything — the q64 sf100 lineitem case, declined honestly)
-RF_BITS_PER_KEY = float(os.environ.get("HDS_RF_BITS_PER_KEY", "12"))
-RF_MIN_BITS = 1 << 16
-#: 2^25 bits = 4 MB of longs in the plan — broadcast once per stage with
-#: the task binary, the explicit plan-size budget
-RF_MAX_BITS = int(os.environ.get("HDS_RF_MAX_BITS", str(1 << 25)))
+#: budget for the build side's broadcast KEY SET — the filter here is the
+#: exact key set (broadcast left-semi, zero false positives), so every
+#: probe row pays one hash-map lookup against it: past ~L3 size the map
+#: stops being cache-resident and the per-row probe cost jumps. Measured
+#: at sf10 local[32]: a 234k-key map (3.7 MB — q64's customer→orders)
+#: pays −11%; a 3.2M-key map (51 MB — q65's orders→lineitem) costs +63%
+#: despite a LARGER estimated byte saving. 32 MB ≈ the L3 boundary keeps
+#: the first class and declines the second ("keys_overflow" — where only
+#: an engine-internal bloom like DuckDB's or Spark's 10 GiB+
+#: InjectRuntimeFilter can still play).
+RF_MAX_KEY_BYTES = int(os.environ.get("HDS_RF_MAX_KEY_BYTES", str(32 << 20)))
+#: charged bytes per broadcast key (8-byte key + hash-set overhead)
+RF_KEY_BYTES = float(os.environ.get("HDS_RF_KEY_BYTES", "16"))
+#: a broadcast byte is also charged this multiple of a shuffled byte: the
+#: key set replicates to EVERY executor (design scale: hundreds) while a
+#: shuffled byte moves once — the second half of the same A/B split.
+RF_BROADCAST_COST_MULT = float(os.environ.get("HDS_RF_BROADCAST_COST_MULT", "25"))
 
 
 def table_card(sf_dir: str, table: str) -> tuple[float | None, dict[str, float]]:
@@ -432,8 +438,9 @@ class PlanExplain:
     agg_mv: tuple[str, tuple[str, ...]] | tuple[()] = ()
     #: per-MV decline reasons (machine-readable, advisor input)
     agg_mv_declines: tuple[tuple[str, str], ...] = ()
-    #: bloom runtime filters pushed onto probe scans: (probe relation,
-    #: probe key, build relation, build key, filter bits)
+    #: runtime filters (broadcast semi-join reductions) planted on probe
+    #: scans: (probe relation, probe key, build relation, build key,
+    #: estimated build keys)
     runtime_filters: tuple[tuple[str, str, str, str, int], ...] = ()
     #: per-candidate decline reasons ("build->probe:key", reason) —
     #: machine-readable like projection declines
@@ -1295,6 +1302,16 @@ class JoinGraph:
             if isinstance(res, str):
                 self._agg_mv_declines.append((name, res))
                 continue
+            # staleness guard on the ACCEPT path only (declines pay
+            # nothing): a source mutated after attach outside the
+            # append/refresh paths downgrades to the lazy plan with a
+            # machine-readable reason instead of serving stale partials
+            from highs_duckdb_spark.sources.layout import agg_mv_stale
+
+            stale = agg_mv_stale(self.sf_dir, name, _path)
+            if stale is not None:
+                self._agg_mv_declines.append((name, stale))
+                continue
             df, absorbed = res
             self.explain = PlanExplain(
                 agg_mv=(name, absorbed),
@@ -1564,69 +1581,80 @@ class JoinGraph:
     # -- bloom runtime filters ----------------------------------------------
 
     def _apply_runtime_filters(self) -> None:
-        """Push bloom membership predicates from selective build sides
-        onto probe scans (plans/runtime_filters.py — VERDICT r08 item 2;
-        q114 proves result equality of the pattern).
+        """Reduce probe scans by the build side's key set BEFORE any
+        exchange forms (VERDICT r08 item 2): a BROADCAST LEFT-SEMI join
+        against the build side's distinct keys, planted on the probe
+        fact's scan. The drop happens inside the probe's scan stage
+        (BroadcastHashJoin LeftSemi), so the fact-fact shuffle and any
+        eager pre-aggregate run over the reduced input — the same
+        build-filters-the-probe-scan behavior DuckDB's hash join gives
+        the reference natively (SURVEY.md §4.2).
+
+        Form: the exact key set, not a bloom. The literal-bloom variant
+        (plans/runtime_filters.py, q114) was MEASURED impractical at
+        planner scale: Py4J converts literal arrays element-wise
+        (~0.43 ms/element — 227 s of pure plan construction for a 2^25-bit
+        filter at sf10), and Spark's native InjectRuntimeFilter only
+        fires above a 10 GiB application-side scan. The broadcast semi
+        join is lazy (no plan-time job — capture-safe), exact (zero false
+        positives; the planner's pass-rate estimate is just the build key
+        fraction), and pure public DataFrame API; its budget is the
+        broadcast itself, capped by RF_MAX_KEY_BYTES with a
+        machine-readable "keys_overflow" decline when the key set can't
+        fit (where only an engine-internal filter could still play).
 
         Runs AFTER projection/MV matching (those rewrites hold same-rows
         contracts a filtered scan would break, and a substituted edge
-        needs no filter) and BEFORE eager aggregation (the pre-aggregate
-        then runs over the reduced input — the filter lands below the
-        first exchange either way). Candidates:
+        needs no filter) and BEFORE eager aggregation. Candidates:
 
         - fact-fact equi-edges, both directions (always inner in the
           tree): build = the selective side, probe = the other;
         - structural dims (``on=`` declared) with inner/semi semantics
           that the byte model DEMOTES to the co-partitioned strategy —
-          a broadcast dim filters the probe at its scan stage already, so
-          a bloom there saves nothing and declines; outer/anti dims keep
-          probe rows WITHOUT a match and are never filterable.
+          a broadcast dim filters the probe at its scan stage already
+          ("build_broadcasts" decline); outer/anti dims keep probe rows
+          WITHOUT a match and are never filterable.
 
         Fire/decline is cost-based from the same catalog statistics the
-        rest of the planner ranks with: estimated post-filter build keys
-        (column NDV × declared selectivity) size the filter; the pass
-        rate (key fraction + false-positive rate) and the absolute saved
-        probe bytes gate it (RF_* knobs). Declines land in
-        ``explain.rf_declines`` machine-readably. The build is an EAGER
-        driver-side collect at plan time (bounded by filter words, never
-        build rows), so capture-mode plans (advisor sweeps — build, not
-        execute) skip the pass entirely."""
+        rest of the planner ranks with (RF_* knobs); declines land in
+        ``explain.rf_declines``. Capture-mode plans skip the pass so the
+        advisor records the DECLARED graph."""
         self._rf_applied = []
         self._rf_declines = []
         if os.environ.get("HDS_DISABLE_RUNTIME_FILTERS"):
             return
         if _WORKLOAD_SINK is not None:
-            return  # capture builds must not run jobs
-        from highs_duckdb_spark.plans import runtime_filters as rfm
+            return
 
         def decline(tag: str, reason: str) -> None:
             self._rf_declines.append((tag, reason))
 
         def evaluate(tag, sel, n_keys, build_raw_bytes, probe_bytes):
-            """(m, pass_rate, benefit) or None with the decline recorded."""
+            """(n_keys, pass_rate, benefit) or None (decline recorded)."""
             if sel >= RF_MAX_BUILD_SEL:
                 decline(tag, f"build_sel:{sel:.2f}")
                 return None
             if n_keys is None:
                 decline(tag, "no_stats")
                 return None
-            m, fp = rfm.geometry(n_keys, RF_BITS_PER_KEY, RF_MIN_BITS, RF_MAX_BITS)
-            pass_rate = min(1.0, sel + (1.0 - sel) * fp)
-            if pass_rate >= RF_MAX_PASS:
-                decline(tag, f"pass_rate:{pass_rate:.2f}")
+            if n_keys * RF_KEY_BYTES > RF_MAX_KEY_BYTES:
+                decline(tag, f"keys_overflow:{n_keys:.0f}")
                 return None
+            pass_rate = min(1.0, sel)  # exact key set: no fp term
             benefit = probe_bytes * (1.0 - pass_rate)
             floor = max(
                 RF_MIN_BENEFIT_BYTES,
                 RF_BENEFIT_MARGIN * RF_BUILD_COST_FACTOR * build_raw_bytes,
+                RF_BROADCAST_COST_MULT * n_keys * RF_KEY_BYTES,
             )
             if benefit < floor:
                 decline(tag, f"benefit:{benefit / 1e6:.0f}MB<{floor / 1e6:.0f}MB")
                 return None
-            return m, pass_rate, benefit
+            return n_keys, pass_rate, benefit
 
-        # (benefit, tag, build_df, build_key, probe fact, probe_key, m, pass)
-        chosen: dict[str, tuple] = {}  # per edge-tag family: best direction
+        # (benefit, tag, build_df, build_key, probe fact, probe_key,
+        #  n_keys, pass_rate) — per edge/dim: best direction only
+        chosen: dict[str, tuple] = {}
 
         for i, e in enumerate(self._edges):
             best = None
@@ -1649,9 +1677,10 @@ class JoinGraph:
                 got = evaluate(tag, b.sel, n_keys, b.bytes / max(b.sel, 1e-9), p.bytes)
                 if got is None:
                     continue
-                m, pass_rate, benefit = got
+                n_keys, pass_rate, benefit = got
                 if best is None or benefit > best[0]:
-                    best = (benefit, tag, b.df, bk, p, pk, m, pass_rate)
+                    best = (benefit, tag, b.df, bk, p, pk, n_keys, pass_rate,
+                            b.rows)
             if best is not None:
                 chosen[f"edge{i}"] = best
 
@@ -1671,8 +1700,8 @@ class JoinGraph:
                 continue
             if not d.fact_scale and d.bytes <= BROADCAST_CAP_BYTES:
                 # the broadcast hash join drops probe rows in the scan
-                # stage already — a bloom would re-test what the build
-                # map tests, saving no exchange
+                # stage already — a second filter would re-test what the
+                # build map tests, saving no exchange
                 decline(tag, "build_broadcasts")
                 continue
             rows_total, ndv = table_card(self.sf_dir, d.table)
@@ -1685,18 +1714,33 @@ class JoinGraph:
             got = evaluate(tag, d.sel, n_keys, d.bytes / max(d.sel, 1e-9), probe.bytes)
             if got is None:
                 continue
-            m, pass_rate, benefit = got
-            chosen[f"dim{j}"] = (benefit, tag, d.df, dkey, probe, tkey, m, pass_rate)
+            n_keys, pass_rate, benefit = got
+            chosen[f"dim{j}"] = (
+                benefit, tag, d.df, dkey, probe, tkey, n_keys, pass_rate,
+                rows_total * d.sel if rows_total else None,
+            )
 
-        for benefit, tag, build_df, bk, probe, pk, m, pass_rate in sorted(
-            chosen.values(), key=lambda t: (-t[0], t[1])
-        ):
-            words = rfm.build_words(build_df.select(bk), bk, m)
-            pred = rfm.might_contain(words, m, F.col(pk))
-            probe.df = probe.df.filter(pred)
-            # alternate copies hold the SAME rows — the predicate must
+        for (benefit, tag, build_df, bk, probe, pk, n_keys, pass_rate,
+             build_rows) in sorted(chosen.values(), key=lambda t: (-t[0], t[1])):
+            # key column under a NEUTRAL name (pk may equal bk in a
+            # self-join); semi output carries only probe columns. distinct
+            # ONLY when the build actually duplicates keys — on a unique
+            # key (orders.o_orderkey) it would pay a full extra shuffle to
+            # remove nothing (measured +2 HashAggregates +1 Exchange at
+            # sf10); the semi build map dedups keys anyway.
+            keys = build_df.select(F.col(bk).alias("__rf_key"))
+            if build_rows is not None and build_rows > 1.5 * n_keys:
+                keys = keys.distinct()
+
+            def reduce_probe(df: DataFrame, keys=keys, pk=pk) -> DataFrame:
+                return df.join(
+                    F.broadcast(keys), F.col(pk) == F.col("__rf_key"), "left_semi"
+                )
+
+            probe.df = reduce_probe(probe.df)
+            # alternate copies hold the SAME rows — the reduction must
             # follow the fact onto whichever copy scan_df picks
-            probe.copies = {ks: c.filter(pred) for ks, c in probe.copies.items()}
+            probe.copies = {ks: reduce_probe(c) for ks, c in probe.copies.items()}
             probe.bytes = max(probe.bytes * pass_rate, 1.0)
             if probe.rows is not None:
                 probe.rows = max(probe.rows * pass_rate, 1.0)
@@ -1717,7 +1761,9 @@ class JoinGraph:
                 for c, v in probe.ndv.items()
             }
             build_name = tag.split("->", 1)[0]
-            self._rf_applied.append((probe.name, pk, build_name, bk, m))
+            self._rf_applied.append(
+                (probe.name, pk, build_name, bk, int(n_keys))
+            )
 
     def _edge_between(self, joined: set[str], nxt: str) -> _Edge | None:
         for e in self._edges:

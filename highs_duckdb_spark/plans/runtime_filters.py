@@ -1,43 +1,33 @@
-"""Planner-integrated bloom runtime filters (VERDICT r08 item 2).
+"""Bloom-filter kernels for explicit runtime-filter queries (q114).
 
-Generalizes q114's bloom semi-join reduction
-(operators/relational5.py:69) into the :class:`~highs_duckdb_spark.
-plans.cbo.JoinGraph` planner: when one side of an equi-join edge is
-SELECTIVE and its post-filter key set fits a bounded bloom filter, the
-planner builds the filter JVM-side (xxhash64 bit positions, ``bit_or``
-with map-side partial aggregation, a driver collect bounded by the
-filter's WORD COUNT — never by build cardinality) and pushes the
-membership predicate onto the probe side's scan, cutting the probe's
-shuffle / pre-aggregation input to roughly the build side's key
-fraction before any exchange forms.
+These are the literal-array bloom primitives q114
+(operators/relational5.py:69) demonstrates: build JVM-side (xxhash64
+bit positions, ``bit_or`` with map-side partial aggregation, a driver
+collect bounded by the filter's WORD COUNT), probe as one literal-array
+predicate inside whole-stage codegen.
 
-Why not Spark's native ``InjectRuntimeFilter``: the built-in rule only
-fires above a 10 GiB application-side scan
-(``spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold``)
-and sizes from fixed expectations (1M items) — it cannot see this
-planner's footer-sidecar NDV/selectivity statistics, and it records no
-decline reasons. The reference inherits the equivalent from DuckDB's
-hash join, which pushes build-side filters into probe scans natively
-(SURVEY.md §4.2); here the planner emits the literal-array predicate
-itself, sized from estimated build keys, with machine-readable declines
-(``explain.rf_declines``) when the statistics say it can't pay.
+PLANNER INTEGRATION DOES NOT USE THESE — a measured negative (round 9):
+Py4J converts a literal list element-wise at ~0.43 ms/element, so a
+2^25-bit filter (524288 longs, the size a few million build keys need)
+costs ~227 s of pure plan construction — three orders of magnitude over
+the planner's whole floor. Literal blooms are only practical at q114's
+fixed 2^16 bits (1024 words ≈ 0.4 s), which caps useful build sides at
+a few thousand keys. The planner's runtime filters
+(``JoinGraph._apply_runtime_filters``) therefore use a BROADCAST
+LEFT-SEMI reduction against the build side's distinct keys instead:
+lazy (no plan-time job), exact (zero false positives), pure public
+DataFrame API, with the broadcast budget as the explicit cost knob.
+Spark's own ``InjectRuntimeFilter`` covers the residual niche (build
+key sets too big to broadcast probing 10 GiB+ scans) with an
+engine-internal bloom, which is also what DuckDB's hash join gives the
+reference natively (SURVEY.md §4.2).
 
-Soundness: the predicate is a conservative SUPERSET test (false
-positives only, the exact join removes them — q114's oracle proves the
-pattern), so it is valid on any probe side whose rows must equi-match
-the build side to survive: fact-fact INNER edges and inner/semi dims.
-Outer/anti joins keep probe rows WITHOUT a match and are never
-filtered. NULL probe keys never equi-match, so dropping them is sound
-on the gated join types. Filters compose: building one filter from an
-already-bloom-filtered side stays sound because every filtered set is a
-superset of the keys that survive its own joins.
-
-100-TB shape: the filter is a fixed-budget literal array in the plan
-(≤ ``RF_MAX_BITS``/8 bytes, broadcast once per stage with the task
-binary), the build is one column-pruned pass over the selective side,
-and the probe predicate is three JVM hashes per row inside whole-stage
-codegen — no Python, no per-task driver traffic, no growth with data
-size. What grows with scale is exactly the saved probe volume.
+Soundness of either form: the probe reduction is a superset test (the
+semi join is exact; the bloom admits false positives the exact join
+removes — q114's oracle proves that pattern), valid on any probe whose
+rows must equi-match the build to survive (inner/semi), never on
+outer/anti probes. NULL probe keys never equi-match, so dropping them
+is sound on the gated join types.
 """
 
 from __future__ import annotations

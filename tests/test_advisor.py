@@ -281,3 +281,85 @@ def test_mv_served_records_excluded_from_all_candidates(spark, layout_dir):
     assert advisor.chain_candidates(recs, min_queries=1) == []
     assert advisor.pair_candidates(recs) == []
     assert advisor.agg_mv_candidates(recs, SF) == []
+
+
+# --- round 9: top-k clustered-copy candidates (VERDICT r08 item 3) ----------
+
+
+def test_topk_capture_and_candidates(spark, tmp_path, monkeypatch):
+    """topk_scan declares every ORDER-BY/LIMIT plan to the workload sink
+    (kind="topk"); the advisor ranks an UNSERVED (table, column,
+    direction) as a value-clustered-copy candidate, and the join-graph
+    candidate functions skip the scan records without tripping."""
+    from highs_duckdb_spark.operators import QUERIES
+
+    # empty layout dir: the ambient benchdata layout must not mark the
+    # declaration as already served
+    monkeypatch.setattr(L, "default_layout_dir", lambda sf: str(tmp_path))
+    with advisor.capture_workloads() as sink:
+        QUERIES["q42_topk"].builder(spark, SF)
+    recs = [dict(r, query="q42_topk") for r in sink]
+    tk = [r for r in recs if r.get("kind") == "topk"]
+    assert len(tk) == 1
+    assert (tk[0]["table"], tk[0]["column"], tk[0]["descending"]) == (
+        "orders", "o_totalprice", True,
+    )
+    cands = advisor.topk_copy_candidates(recs)
+    assert len(cands) == 1 and cands[0]["n_queries"] == 1
+    assert cands[0]["absorbed_bytes"] > 0
+    # join-graph candidate fns must tolerate scan records in the stream
+    assert advisor.pair_candidates(recs) == []
+    assert advisor.chain_candidates(recs) == []
+    assert advisor.agg_mv_candidates(recs) == []
+    md = advisor.render_markdown(
+        [], {}, topk_copies=cands
+    )
+    assert "Value-clustered copy candidates" in md
+
+
+def test_value_clustered_copy_serves_topk(spark, tmp_path, monkeypatch):
+    """The advisor-proposed copy end-to-end on the GENERIC path (a
+    non-orders table): build_value_clustered, then topk_scan serves the
+    pruned scan from the copy's zone sidecar with a pushable threshold,
+    and the top-k result is identical to the plain path's."""
+    monkeypatch.setattr(L, "default_layout_dir", lambda sf: str(tmp_path))
+    path = L.build_value_clustered(spark, SF, "customer", "c_acctbal")
+    assert L.clustered_copy_path(SF, "customer", "c_acctbal") == path
+
+    df, t = L.topk_scan(spark, SF, "customer", "c_acctbal", 10)
+    assert t is not None
+    assert all(str(tmp_path) in f for f in df.inputFiles())
+    got = (
+        df.filter(F.col("c_acctbal") >= F.lit(t))
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    )
+    monkeypatch.setenv("HDS_DISABLE_TOPK_COPY", "1")
+    plain, t2 = L.topk_scan(spark, SF, "customer", "c_acctbal", 10)
+    if t2 is not None:
+        plain = plain.filter(F.col("c_acctbal") >= F.lit(t2))
+    want = (
+        plain.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    )
+    assert got == want and len(got) == 10
+
+
+def test_q42_topk_uses_built_copy(spark, tmp_path, monkeypatch):
+    """With the (advisor-proposed) orders copy built, the PLAIN q42_topk
+    entry serves from it — files pruned to the copy — and hash-equals the
+    no-copy run (the graded no-layout path stays the reference)."""
+    from highs_duckdb_spark.operators import QUERIES
+
+    monkeypatch.setattr(L, "default_layout_dir", lambda sf: str(tmp_path))
+    L.build_value_clustered(spark, SF, "orders", "o_totalprice")
+    df = QUERIES["q42_topk"].builder(spark, SF)
+    assert all(str(tmp_path) in f for f in df.inputFiles())
+    got = df.collect()
+    monkeypatch.setenv("HDS_DISABLE_TOPK_COPY", "1")
+    want = QUERIES["q42_topk"].builder(spark, SF).collect()
+    assert got == want

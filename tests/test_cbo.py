@@ -1173,12 +1173,13 @@ def test_eager_agg_drops_noncovering_copies(spark, monkeypatch):
 
 
 def _q65_graph(spark, *, window=None, opaque_orders=False, group_keys=("n_name",),
-               sup_catalog_rows=True, nation_unique=True):
+               sup_catalog_rows=True, nation_unique=True, sf=SF):
     """The q65/TPC-H-Q5 declaration with knobs for decline tests."""
     import datetime as dt
 
     from highs_duckdb_spark.functions.money import cents
 
+    SF = sf  # noqa: N806 — keep the body's references on the chosen dir
     lo, hi = window or (dt.datetime(1996, 1, 1), dt.datetime(1998, 1, 1))
     g = cbo.JoinGraph(spark, SF)
     orders = load_table(spark, "orders", SF)
@@ -1317,6 +1318,56 @@ def test_agg_mv_declines_unasserted_dim_contracts(spark, layout_dir):
     assert ("rev_by_nation_year", "dim_multiplies:nation") in (
         g2.explain.agg_mv_declines
     )
+
+
+def test_agg_mv_staleness_downgrades_to_lazy(spark, tmp_path):
+    """VERDICT r08 item 4: a source mutated AFTER attach — outside the
+    append/refresh maintenance paths — must not be served from stale MV
+    partials. The guard (layout.agg_mv_stale, checked on the matcher's
+    ACCEPT path only) compares the MV's build-time source fingerprint
+    against the live listing and downgrades to the lazy plan with a
+    machine-readable decline."""
+    import os
+    import shutil
+
+    sfd = str(tmp_path / "sf")
+    shutil.copytree("/root/testdata/sf0.001", sfd)  # mutable source copy
+    ldir = str(tmp_path / "layout")
+    # register the MVs only (no bucketed table copies): the lazy fallback
+    # then reads the RAW mutated source, so the two plans are comparable
+    L._build_agg_mvs(spark, sfd, ldir, idents={})
+    g = _q65_graph(spark, sf=sfd)
+    df = g.plan()
+    assert g.explain.agg_mv != (), g.explain.agg_mv_declines
+    served = sorted(df.collect())
+
+    # mutate lineitem outside the refresh path: rewrite the source file
+    # with doubled rows (different size -> different fingerprint,
+    # different true aggregate)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lipath = os.path.join(sfd, "lineitem.parquet")
+    t = pq.read_table(lipath)
+    pq.write_table(pa.concat_tables([t, t]), lipath)
+    # in-place file mutation under a live session additionally needs
+    # Spark's file-status cache and the session reader cache refreshed
+    # (standard Spark operational contract; the MV guard is about the
+    # PLANNER not serving stale partials, which needs no refresh — the
+    # guard fires below, before any reader is consulted)
+    spark.catalog.refreshByPath(lipath)
+    from highs_duckdb_spark import session as _S
+
+    _S._READER_CACHE.clear()
+
+    g2 = _q65_graph(spark, sf=sfd)
+    df2 = g2.plan()
+    assert g2.explain.agg_mv == ()
+    assert ("rev_by_nation_year", "stale_source") in g2.explain.agg_mv_declines
+    # the lazy plan reads the MUTATED source — the duplicated rows change
+    # the revenue, which is exactly what the stale MV would have missed
+    lazy = sorted(df2.collect())
+    assert lazy != served
 
 
 def test_agg_mv_inert_without_layout(spark):

@@ -84,6 +84,7 @@ def _q3_graph(spark):
 
 def test_rf_fires_and_result_unchanged(spark, monkeypatch):
     monkeypatch.setattr(cbo, "RF_MIN_BENEFIT_BYTES", 0)
+    monkeypatch.setattr(cbo, "RF_BROADCAST_COST_MULT", 0)
     g = _q3_graph(spark)
     df = g.plan()
     applied = {(p, pk, b, bk) for p, pk, b, bk, _m in g.explain.runtime_filters}
@@ -103,6 +104,7 @@ def test_rf_fires_and_result_unchanged(spark, monkeypatch):
 
 def test_rf_declines_unselective_build(spark, monkeypatch):
     monkeypatch.setattr(cbo, "RF_MIN_BENEFIT_BYTES", 0)
+    monkeypatch.setattr(cbo, "RF_BROADCAST_COST_MULT", 0)
     g = cbo.JoinGraph(spark, SF)
     g.fact("orders", load_table(spark, "orders", SF))  # sel=1.0
     g.fact("lineitem", load_table(spark, "lineitem", SF))
@@ -127,6 +129,7 @@ def test_rf_declines_broadcast_dim(spark, monkeypatch):
     """q10's shape: the filtered part dim broadcasts, so a bloom saves
     no exchange — pinned as a decline, not a filter."""
     monkeypatch.setattr(cbo, "RF_MIN_BENEFIT_BYTES", 0)
+    monkeypatch.setattr(cbo, "RF_BROADCAST_COST_MULT", 0)
     g = cbo.JoinGraph(spark, SF)
     g.fact("lineitem", load_table(spark, "lineitem", SF))
     part = load_table(spark, "part", SF).filter(F.col("p_type") == "ECONOMY")
@@ -146,6 +149,7 @@ def test_rf_never_filters_outer_or_anti_probe(spark, monkeypatch):
     """Outer/anti dims keep probe rows WITHOUT a match — bloom-filtering
     the probe would drop rows the join must retain."""
     monkeypatch.setattr(cbo, "RF_MIN_BENEFIT_BYTES", 0)
+    monkeypatch.setattr(cbo, "RF_BROADCAST_COST_MULT", 0)
     for how in ("left", "anti"):
         g = cbo.JoinGraph(spark, SF)
         g.fact("customer", load_table(spark, "customer", SF))
@@ -173,6 +177,7 @@ def test_rf_demoted_inner_dim_fires(spark, monkeypatch):
     bloom cuts real exchange bytes. Result must equal the unfiltered
     plan's."""
     monkeypatch.setattr(cbo, "RF_MIN_BENEFIT_BYTES", 0)
+    monkeypatch.setattr(cbo, "RF_BROADCAST_COST_MULT", 0)
 
     def build(g):
         g.fact("lineitem", load_table(spark, "lineitem", SF))
@@ -202,6 +207,7 @@ def test_rf_composes_with_eager_agg(spark, monkeypatch):
     """The bloom lands BELOW the eager pre-aggregate: both rewrites fire
     on the q64 shape and the aggregate result is unchanged."""
     monkeypatch.setattr(cbo, "RF_MIN_BENEFIT_BYTES", 0)
+    monkeypatch.setattr(cbo, "RF_BROADCAST_COST_MULT", 0)
     monkeypatch.setattr(cbo, "EAGER_AGG_MIN_BYTES", 0)
 
     def build(g):
@@ -229,6 +235,7 @@ def test_rf_skipped_under_capture(spark, monkeypatch):
     """Advisor capture BUILDS plans without executing them — the eager
     bloom collect must not run a job there."""
     monkeypatch.setattr(cbo, "RF_MIN_BENEFIT_BYTES", 0)
+    monkeypatch.setattr(cbo, "RF_BROADCAST_COST_MULT", 0)
     from highs_duckdb_spark.plans.advisor import capture_workloads
 
     with capture_workloads() as sink:

@@ -48,7 +48,12 @@ def main() -> None:
         f"({len(getattr(records, 'skipped', []))} builders skipped)",
         file=sys.stderr,
     )
-    tables = {f["table"] for r in records for f in r["facts"]}
+    tables = {
+        f["table"]
+        for r in records
+        if r.get("kind") != "topk"
+        for f in r["facts"]
+    }
     tinfo = advisor.table_info(sf_dir, tables)
     pairs = advisor.pair_candidates(records, tinfo)
     coverage = advisor.spec_coverage(records)
@@ -61,6 +66,7 @@ def main() -> None:
         agg_mvs=agg_mvs,
         chains=chains,
         mv_cov=advisor.mv_coverage(records),
+        topk_copies=advisor.topk_copy_candidates(records),
     )
     if out_file:
         with open(out_file, "w") as fh:
