@@ -2517,3 +2517,87 @@ def s19_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "s20_filtered_ann",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    meta AS (SELECT doc_id, lang FROM documents WHERE lang = 'en' AND n_chars >= 200),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT e.vec_id, e.v, m.lang FROM emb e JOIN meta m ON e.vec_id = m.doc_id
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.lang,
+             round(1e-9 + list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM q JOIN cand c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, lang, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+    category="similarity",
+    doc=(
+        "METADATA-FILTERED vector search — the RAG retrieval primitive "
+        "(Qdrant/pgvector's filtered query, FAISS's IDSelector): top-k "
+        "cosine per query restricted to corpus vectors whose DOCUMENT "
+        "metadata passes a predicate (lang='en' AND n_chars>=200), joined "
+        "on the shared id. PRE-filter strategy: the metadata predicate "
+        "prunes candidates BEFORE any scoring (post-filtering a top-k "
+        "under-returns when the filter is selective — the classic filtered-"
+        "ANN failure), so recall of the filtered set is exact by "
+        "construction. Scale shape: embeddings ⋈ metadata is an FK "
+        "equi-join on the shared id — broadcast at test scale, "
+        "co-partitioned (id-bucketed, zero shuffle) at corpus scale — and "
+        "the scoring reuses s17's explode+broadcast JVM form (the s05 "
+        "partition-local top-k merge applies unchanged past memory scale)."
+    ),
+)
+def s20_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = (
+        load_table(spark, "documents", sf_dir)
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id", "lang")
+    )
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("nq"),
+    )
+    cand = emb.join(
+        F.broadcast(meta), F.col("vec_id") == F.col("doc_id")
+    ).drop("doc_id")
+    qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
+    scored = (
+        cand.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "lang",
+            "v",
+            _norm(F.col("v")).alias("nv"),
+            F.explode(qids).alias("query_id"),
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.lit(1e-9)
+                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                6,
+            ),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _topk_per_query(
+        scored, "neighbor_id", ["query_id", "rk", "neighbor_id", "lang", "cosine"]
+    )

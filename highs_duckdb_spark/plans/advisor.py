@@ -397,9 +397,10 @@ def topk_copy_candidates(records) -> list[dict]:
             # the copy absorbs ~the whole unpruned scan per run
             entry["absorbed_bytes"] += float(rec.get("bytes") or 0.0)
         entry["max_k"] = max(entry["max_k"], int(rec["k"]))
-    out = [e for e in agg.values() if e["queries"]]
+    out = list(agg.values())
     for e in out:
         e["n_queries"] = len(e["queries"])
+        e["n_served"] = len(e["served"])
     out.sort(key=lambda c: (-c["absorbed_bytes"], c["table"], c["column"]))
     return out
 
@@ -515,19 +516,37 @@ def render_markdown(
     """The advisor report (markdown)."""
     lines = ["# Projection advisor report", ""]
     if topk_copies:
-        lines.append("## Value-clustered copy candidates (from captured top-k scans)")
-        lines.append("")
-        lines.append("| table.column | direction | max k | queries | absorbed scan |")
-        lines.append("|---|---|---|---|---|")
-        for c in topk_copies[:top]:
+        cands = [c for c in topk_copies if c["n_queries"]]
+        served = [c for c in topk_copies if not c["n_queries"]]
+        if cands:
             lines.append(
-                f"| {c['table']}.{c['column']} "
-                f"| {'DESC' if c['descending'] else 'ASC'} "
-                f"| {c['max_k']} "
-                f"| {c['n_queries']} "
-                f"| {c['absorbed_bytes'] / 1e6:.1f} MB |"
+                "## Value-clustered copy candidates (from captured top-k scans)"
             )
-        lines.append("")
+            lines.append("")
+            lines.append(
+                "| table.column | direction | max k | queries | absorbed scan |"
+            )
+            lines.append("|---|---|---|---|---|")
+            for c in cands[:top]:
+                lines.append(
+                    f"| {c['table']}.{c['column']} "
+                    f"| {'DESC' if c['descending'] else 'ASC'} "
+                    f"| {c['max_k']} "
+                    f"| {c['n_queries']} "
+                    f"| {c['absorbed_bytes'] / 1e6:.1f} MB |"
+                )
+            lines.append("")
+        if served:
+            lines.append("## Top-k scans served by a built value-clustered copy")
+            lines.append("")
+            for c in served:
+                lines.append(
+                    f"- {c['table']}.{c['column']} "
+                    f"({'DESC' if c['descending'] else 'ASC'}, "
+                    f"{c['n_served']} declaration(s): "
+                    f"{', '.join(sorted(set(c['served'])))})"
+                )
+            lines.append("")
     if mv_cov:
         lines.append("## Attached aggregate MVs — coverage (planner-recorded)")
         lines.append("")
