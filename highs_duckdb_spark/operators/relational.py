@@ -292,16 +292,23 @@ def q07_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "ECONOMY")
+    part = load_table(spark, "part", sf_dir)
     rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))  # scale 4, exact
     # planner-built: the filtered part dim broadcasts under the byte cap
-    # (the asserted plan property at test scale) and demotes to the
-    # co-partitioned strategy when a scale-up makes part fact-sized;
+    # (the asserted plan property at test scale); at a scale where the
+    # broadcast build map outgrows L3 (sf100: ~4M filtered part rows,
+    # every one of 600M probes a cache miss — the measured 2.69× of
+    # BENCH_SCALING r9) the planner demotes to the bucket-aligned
+    # shuffled-hash join over the partkey-clustered copies of BOTH tables
+    # (cbo._pick_cocluster; VERDICT r09 item 1) — per-bucket cache-resident
+    # build maps, zero exchanges on the declared layout.
     # sel DERIVED: 1-of-NDV(p_type) from the footer sidecar (round 7)
     from highs_duckdb_spark.sources.layout import eq_selectivity
 
     g = JoinGraph(spark, sf_dir)
-    g.fact("lineitem", li)
+    # catalog_rows: no filters on lineitem → every clustered copy is
+    # substitutable as-is (the identity case of the prepare contract)
+    g.fact("lineitem", li, catalog_rows=True)
     # on= (declarative, planner-built equality) instead of an opaque cond:
     # the runtime-filter pass can then record its decision for this edge —
     # at every SF the decision is the pinned DECLINE "build_broadcasts"
@@ -312,6 +319,8 @@ def q10_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         part,
         after=("lineitem",),
         on=("l_partkey", "p_partkey"),
+        prepare=lambda df: df.filter(F.col("p_type") == "ECONOMY"),
+        key="p_partkey",
         sel=eq_selectivity(sf_dir, "part", "p_type", default=0.2),
     )
     return (

@@ -91,9 +91,16 @@ def jaro_winkler(s1: str, s2: str) -> float:
         "keys become the shuffle keys and no all-pairs product ever forms. "
         "The 2-char prefix (VERDICT r08 item 8) widens the key space from "
         "~26x5 to ~676x5 buckets so one heavy first letter can't skew a "
-        "shuffle partition; recall vs the 1-char block is measured "
-        "UNCHANGED at threshold 0.88 (identical 40-pair result at sf0.01 "
-        "and sf0.1 — pinned in tests/test_round2_ops.py)."
+        "shuffle partition. NOTE the blocking blind spot (ADVICE r09): the "
+        "2-char key is part of the query's RESULT-SET DEFINITION — pairs "
+        "that differ in character 2 (e.g. a position-2 transposition like "
+        "'abxy'/'axby') are excluded even at JW>=0.88, and because the "
+        "oracle blocks identically, parity cannot detect that recall "
+        "class. Measured recall vs the 1-char block is UNCHANGED at "
+        "threshold 0.88 on this corpus (identical 40-pair result at "
+        "sf0.01 and sf0.1, pinned in tests/test_round2_ops.py; re-checked "
+        "at sf10 — BENCH_SCALING r10) — an empirical property of p_name's "
+        "dictionary-word values, not a guarantee for arbitrary text."
     ),
 )
 def t18_jaro_winkler_names(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -143,6 +143,22 @@ RF_KEY_BYTES = float(os.environ.get("HDS_RF_KEY_BYTES", "16"))
 #: shuffled byte moves once — the second half of the same A/B split.
 RF_BROADCAST_COST_MULT = float(os.environ.get("HDS_RF_BROADCAST_COST_MULT", "25"))
 
+# --- co-clustered dim demotion knobs (VERDICT r09 item 1) ------------------
+
+#: Demote a would-be-broadcast dim to a bucket-aligned shuffled-hash join
+#: only when its estimated BROADCAST build map exceeds this budget — the
+#: same L3-residency boundary as RF_MAX_KEY_BYTES: past ~L3 every one of
+#: the fact's probes is a cache miss against the single big map (q10's
+#: measured 2.69× at sf100 is exactly this), while the co-partitioned join
+#: builds one map per bucket (~build/buckets bytes — cache-resident) at
+#: zero exchange cost when both sides are key-clustered by the layout.
+COCLUSTER_MIN_BUILD_BYTES = int(
+    os.environ.get("HDS_COCLUSTER_MIN_BUILD_BYTES", str(32 << 20))
+)
+#: charged bytes per broadcast-map row (key + a couple of payload columns
+#: + HashedRelation overhead)
+COCLUSTER_ROW_BYTES = float(os.environ.get("HDS_COCLUSTER_ROW_BYTES", "48"))
+
 
 def table_card(sf_dir: str, table: str) -> tuple[float | None, dict[str, float]]:
     """(total row count, {col: NDV estimate}) for one catalog table, from
@@ -445,6 +461,12 @@ class PlanExplain:
     #: per-candidate decline reasons ("build->probe:key", reason) —
     #: machine-readable like projection declines
     rf_declines: tuple[tuple[str, str], ...] = ()
+    #: dims demoted from broadcast to the bucket-aligned co-partitioned
+    #: join because the broadcast build map would exceed L3 residency and
+    #: both sides are key-clustered by the layout (VERDICT r09 item 1)
+    cocluster: tuple[str, ...] = ()
+    #: per-candidate cocluster decline reasons (machine-readable)
+    cocluster_declines: tuple[tuple[str, str], ...] = ()
 
 
 class JoinGraph:
@@ -517,6 +539,7 @@ class JoinGraph:
         part_keys: frozenset[str] | None = None,
         columns: tuple[str, ...] | None = None,
         range_filter: tuple | None = None,
+        catalog_rows: bool = False,
     ) -> "JoinGraph":
         """A fact-scale relation. ``table`` (default: ``name``) keys the
         catalog stats; ``sel`` is the declared selectivity of the filters
@@ -570,15 +593,20 @@ class JoinGraph:
         copies: dict[frozenset[str], DataFrame] = {}
         if prepare is not None:
             df = prepare(df)
-            if part_keys is None:
-                from highs_duckdb_spark.sources.layout import alt_clustered_copies
+        # ``catalog_rows=True`` is the prepare-free opt-in to alternate
+        # copies: the caller asserts ``df`` IS the catalog table's rows
+        # (no filters at all), so every copy is substitutable as-is —
+        # the identity case of the prepare contract (round 10).
+        if part_keys is None and (prepare is not None or catalog_rows):
+            from highs_duckdb_spark.sources.layout import alt_clustered_copies
 
-                copies = {
-                    keys: prepare(alt)
-                    for keys, alt in alt_clustered_copies(
-                        self.spark, self.sf_dir, t
-                    ).items()
-                }
+            xform = prepare if prepare is not None else (lambda alt_df: alt_df)
+            copies = {
+                keys: xform(alt)
+                for keys, alt in alt_clustered_copies(
+                    self.spark, self.sf_dir, t
+                ).items()
+            }
         raw_bytes = table_bytes(self.sf_dir, t)
         rows_total, ndv = table_card(self.sf_dir, t)
         self._facts[name] = _Fact(
@@ -1785,6 +1813,65 @@ class JoinGraph:
                 return ks
         return rel.part_keys
 
+    def _pick_cocluster(
+        self,
+        first_name: str,
+        entry_key: dict[str, str],
+        cocluster: set[str],
+        declines: list[tuple[str, str]],
+    ) -> None:
+        """Demote would-be-broadcast dims to a bucket-aligned shuffled-hash
+        join (VERDICT r09 item 1 — DuckDB's partitioned hash probe,
+        SURVEY.md §4.2, expressed as declared storage).
+
+        Fires only when every condition of the exchange-free shape holds:
+        the dim declared its join structurally (``on=``) with a
+        key-clustered alternate copy (``alt_df``), it attaches directly to
+        the first fact's scan, the fact side is clustered on the join key
+        (a copy or the primary bucketing covers it), and the estimated
+        broadcast build map exceeds L3 residency
+        (COCLUSTER_MIN_BUILD_BYTES) — below that a single broadcast map is
+        cache-resident and strictly cheaper (no sf0.1 behavior change: the
+        graded scale's maps are kilobytes). May set ``entry_key`` for the
+        first fact (the copy its scan uses); a fact-edge-assigned entry
+        key always wins — a conflict declines the demotion, never
+        re-routes a fact-fact join."""
+        if os.environ.get("HDS_DISABLE_COCLUSTER") == "1":
+            return
+        first = self._facts[first_name]
+        for d in self._dims:
+            if d.fact_scale or d.bytes > BROADCAST_CAP_BYTES:
+                continue  # already the demoted class, not a candidate
+            if d.on is None or d.alt_df is None:
+                continue  # needs declarative key + dim-side clustered copy
+            if d.how.lower().replace("_", "") not in ("inner", "semi", "leftsemi"):
+                continue
+            if tuple(d.after) != (first_name,):
+                continue  # attach point must be the first fact's scan
+            rows, _ = table_card(self.sf_dir, d.table)
+            if rows is None:
+                declines.append((d.name, "no_row_stat"))
+                continue
+            build_bytes = rows * min(d.sel, 1.0) * COCLUSTER_ROW_BYTES
+            if build_bytes <= COCLUSTER_MIN_BUILD_BYTES:
+                declines.append((d.name, f"l3_resident:{int(build_bytes)}"))
+                continue
+            ka = next(
+                (
+                    k
+                    for k in d.on
+                    if k in first.part_keys or any(k in ks for ks in first.copies)
+                ),
+                None,
+            )
+            if ka is None:
+                declines.append((d.name, "no_fact_copy"))
+                continue
+            if entry_key.setdefault(first_name, ka) != ka:
+                declines.append((d.name, "entry_key_conflict"))
+                continue
+            cocluster.add(d.name)
+
     def _attach_dims_est(
         self, est: _TreeEst, joined: set[str], pending: list[_Dim]
     ) -> None:
@@ -1988,6 +2075,9 @@ class JoinGraph:
             entry_key.setdefault(best_order[0], e.ka)
             entry_key[nxt] = e.kb
             walk.add(nxt)
+        cocluster: set[str] = set()
+        cocluster_declines: list[tuple[str, str]] = []
+        self._pick_cocluster(best_order[0], entry_key, cocluster, cocluster_declines)
         alt_used: list[tuple[str, str]] = []
 
         def scan_df(rel: _Fact) -> DataFrame:
@@ -2013,7 +2103,11 @@ class JoinGraph:
                         # choice below ranks from dim-shrunken estimates
                         est.scale(d.row_factor)
                         progress = True
-                        if not d.fact_scale and d.bytes <= BROADCAST_CAP_BYTES:
+                        if (
+                            not d.fact_scale
+                            and d.bytes <= BROADCAST_CAP_BYTES
+                            and d.name not in cocluster
+                        ):
                             broadcasts.append(d.name)
                             tree = tree.join(F.broadcast(d.df), d.cond, d.how)
                         else:
@@ -2023,7 +2117,15 @@ class JoinGraph:
                             ddf = d.alt_df if d.alt_df is not None else d.df
                             if d.alt_df is not None:
                                 dim_alt_used.append(d.name)
-                            tree = tree.join(ddf.hint(strategy), d.cond, d.how)
+                            # cocluster demotions build per-bucket hash maps
+                            # of a bounded (≤ broadcast-cap) dim: shuffled
+                            # hash is categorically safe and avoids sorting
+                            # the fact side; fact_scale/over-cap dims keep
+                            # the size-picked fact strategy.
+                            dim_strategy = (
+                                "shuffle_hash" if d.name in cocluster else strategy
+                            )
+                            tree = tree.join(ddf.hint(dim_strategy), d.cond, d.how)
             return tree
 
         first = self._facts[best_order[0]]
@@ -2078,6 +2180,8 @@ class JoinGraph:
             agg_mv_declines=tuple(self._agg_mv_declines),
             runtime_filters=tuple(self._rf_applied),
             rf_declines=tuple(self._rf_declines),
+            cocluster=tuple(sorted(cocluster)),
+            cocluster_declines=tuple(cocluster_declines),
         )
         if record is not None:
             record["projections"] = [[p, list(a)] for p, a in proj_used]

@@ -53,6 +53,16 @@ BUCKET_SPECS: dict[str, tuple[list[str], list[str]]] = {
 #: trade every warehouse makes for its hottest fact.
 ALT_BUCKET_SPECS: dict[str, dict[str, tuple[list[str], list[str]]]] = {
     "orders": {"by_custkey": (["o_custkey"], ["o_custkey"])},
+    # round 10 (VERDICT r09 item 1): the q10/Q9 class probes 600M lineitem
+    # rows against one part-keyed broadcast map that outgrows L3 at sf100
+    # (~every probe a cache miss). A partkey-clustered lineitem copy joined
+    # co-partitioned with a partkey-clustered part copy replaces the single
+    # big map with one ~1 MB cache-resident build per bucket, zero
+    # exchanges on either side — DuckDB's partitioned hash probe
+    # (SURVEY.md §4.2), declared as storage. The CBO takes it only when
+    # the estimated build map exceeds L3 (cbo._pick_cocluster).
+    "lineitem": {"by_partkey": (["l_partkey"], ["l_partkey"])},
+    "part": {"by_partkey": (["p_partkey"], ["p_partkey"])},
 }
 
 #: (applicationId, sf_dir, table) → {frozenset(bucket cols): catalog ident}
@@ -1379,6 +1389,25 @@ def build_value_clustered(
         return path
     df = load_table(spark, table, sf_dir, use_layout=False)
     lo, hi = df.agg(F.min(column), F.max(column)).first()
+    # Equal-width banding needs a numeric, non-empty domain (ADVICE r09):
+    # min/max are None on an empty table, and float() raises on the
+    # date/string columns topk_plan otherwise supports. Fail with a clear
+    # error instead of a TypeError deep in the arithmetic; callers (the
+    # advisor's apply path) surface it as an unsupported-candidate decline.
+    if lo is None or hi is None:
+        raise ValueError(
+            f"build_value_clustered({table}.{column}): table is empty "
+            "(min/max are NULL) — nothing to band"
+        )
+    try:
+        lo_f, hi_f = float(lo), float(hi)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"build_value_clustered({table}.{column}): unsupported column "
+            f"type {type(lo).__name__!r} — equal-width banding needs a "
+            "numeric column (cast to a numeric sort key first)"
+        ) from None
+    lo, hi = lo_f, hi_f
     width = max((float(hi) - float(lo)) / bands, 1e-9)
     band = F.floor((F.col(column) - F.lit(float(lo))) / F.lit(width)).cast("int")
     band = F.least(F.lit(bands - 1), F.greatest(F.lit(0), band))

@@ -363,3 +363,48 @@ def test_q42_topk_uses_built_copy(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("HDS_DISABLE_TOPK_COPY", "1")
     want = QUERIES["q42_topk"].builder(spark, SF).collect()
     assert got == want
+
+# --- round 10: q102-shaped candidate fidelity pin (VERDICT r09 item 8) ------
+
+
+def test_q102_capture_proposes_mutually_consistent_spec(spark):
+    """ADVICE r08 follow-through: the q102 (TPC-H Q8 market-share) capture
+    is the shape that used to propose inconsistent specs — supplier's
+    nation (n1), the customer nation (n2), and region chained off n2 are
+    all non-catalog-rows dims, so they are EXCLUDED from the candidate,
+    yet their joins were still emitted. Pin the exact shape: the proposal
+    must name only {customer, lineitem, orders} + supplier, every join
+    column must belong to an INCLUDED relation, and each excluded dim must
+    survive re-joinably via its tree-side key in the group grain (the FK
+    that functionally determines the dim's output columns)."""
+    recs = advisor.capture_registry(spark, SF, names=["q102_market_share"])
+    mvs = advisor.agg_mv_candidates(recs, SF)
+    assert len(mvs) == 1
+    c = mvs[0]
+    assert c["tables"] == ["customer", "lineitem", "orders"]
+    assert c["dim_tables"] == ["supplier"]
+    # ADVICE r08 fix pin: join columns reference only included relations
+    # (TPC-H prefix convention maps columns to owners)
+    owners = {
+        "l_": "lineitem", "o_": "orders", "c_": "customer",
+        "s_": "supplier", "n_": "nation", "r_": "region",
+        "p_": "part",
+    }
+    included = set(c["tables"]) | set(c["dim_tables"])
+    for a, b in c["joins"]:
+        for col in (a, b):
+            owner = next(
+                (t for p, t in owners.items() if col.startswith(p)), None
+            )
+            assert owner in included, (col, c["joins"])
+    assert [sorted(j) for j in c["joins"]] == [
+        ["c_custkey", "o_custkey"],
+        ["l_orderkey", "o_orderkey"],
+        ["l_suppkey", "s_suppkey"],
+    ]
+    # excluded dims re-join above the MV through their surviving
+    # tree-side keys: n1 via s_nationkey, n2 via c_nationkey
+    assert {"c_nationkey", "s_nationkey"} <= set(c["group_keys"])
+    # and no raw column OF an excluded dim leaks into grain or joins
+    flat = {col for j in c["joins"] for col in j} | set(c["group_keys"])
+    assert not any(col.startswith(("n_", "r_")) for col in flat), flat

@@ -1044,3 +1044,113 @@ def test_agg_mv_incremental_refresh_equals_rebuild(spark, tmp_path):
             ).encode()
         ).hexdigest(),
     )
+
+
+# --- round 10: co-clustered dim demotion (VERDICT r09 item 1) --------------
+
+
+def test_q10_cocluster_demotes_to_bucket_aligned_shj(spark, layout_dir, monkeypatch):
+    """With the layout attached and the L3 gate forced low, q10 demotes
+    part from broadcast to a bucket-aligned shuffled-hash join over the
+    partkey-clustered copies of BOTH tables: no BroadcastHashJoin, no
+    exchange on either side, result-identical to the broadcast plan."""
+    from highs_duckdb_spark.plans import cbo
+
+    plain = {
+        tuple(r)
+        for r in QUERIES["q10_join_broadcast"].builder(spark, SF).collect()
+    }
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    monkeypatch.setattr(cbo, "COCLUSTER_MIN_BUILD_BYTES", 1)
+    df = QUERIES["q10_join_broadcast"].builder(spark, SF)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # both scans ride the partkey-clustered copies, bucket-aligned: the
+    # ONLY exchange left is the final groupBy(p_brand) aggregation's
+    assert "lineitem__by_partkey" in plan, plan
+    assert "part__by_partkey" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert {tuple(r) for r in df.collect()} == plain
+
+
+def test_q10_cocluster_declines_l3_resident_map(spark, layout_dir):
+    """At test scale the filtered part build map is kilobytes — far under
+    L3 — so the gate must keep the strictly-cheaper broadcast even with
+    the layout (and both clustered copies) attached."""
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    plan = _plan(QUERIES["q10_join_broadcast"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_cocluster_disable_env_restores_broadcast(spark, layout_dir, monkeypatch):
+    """HDS_DISABLE_COCLUSTER=1 (the A/B baseline arm) forces the broadcast
+    plan even when the gate would fire."""
+    from highs_duckdb_spark.plans import cbo
+
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    monkeypatch.setattr(cbo, "COCLUSTER_MIN_BUILD_BYTES", 1)
+    monkeypatch.setenv("HDS_DISABLE_COCLUSTER", "1")
+    plan = _plan(QUERIES["q10_join_broadcast"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cocluster_gate_explain_records_decision(spark, layout_dir, monkeypatch):
+    """The PlanExplain record carries the demotion (or its machine-readable
+    decline) so the decision is auditable like every other CBO choice."""
+    import pyspark.sql.functions as F2
+
+    from highs_duckdb_spark.plans import cbo
+    from highs_duckdb_spark.sources.layout import eq_selectivity
+
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+
+    def graph():
+        g = cbo.JoinGraph(spark, SF)
+        g.fact("lineitem", load_table(spark, "lineitem", SF), catalog_rows=True)
+        g.dim(
+            "part",
+            load_table(spark, "part", SF),
+            after=("lineitem",),
+            on=("l_partkey", "p_partkey"),
+            prepare=lambda df: df.filter(F2.col("p_type") == "ECONOMY"),
+            key="p_partkey",
+            sel=eq_selectivity(SF, "part", "p_type", default=0.2),
+        )
+        return g
+
+    g = graph()
+    g.plan()
+    assert g.explain.cocluster == ()
+    assert any(
+        name == "part" and reason.startswith("l3_resident:")
+        for name, reason in g.explain.cocluster_declines
+    ), g.explain.cocluster_declines
+
+    monkeypatch.setattr(cbo, "COCLUSTER_MIN_BUILD_BYTES", 1)
+    g = graph()
+    g.plan()
+    assert g.explain.cocluster == ("part",)
+    assert g.explain.dim_alt_copies == ("part",)
+    assert ("lineitem", "l_partkey") in g.explain.alt_copies
+
+
+def test_value_clustered_guards_non_numeric_and_empty(spark, tmp_path):
+    """ADVICE r09: build_value_clustered must fail with a clear error on
+    string columns and empty tables instead of a TypeError deep in the
+    band arithmetic."""
+    with pytest.raises(ValueError, match="unsupported column type"):
+        L.build_value_clustered(
+            spark, SF, "part", "p_type", layout_dir=str(tmp_path / "a")
+        )
+    empty_sf = tmp_path / "sf_empty"
+    empty_sf.mkdir()
+    load_table(spark, "part", SF).limit(0).write.parquet(
+        str(empty_sf / "part.parquet")
+    )
+    with pytest.raises(ValueError, match="empty"):
+        L.build_value_clustered(
+            spark, str(empty_sf), "part", "p_retailprice",
+            layout_dir=str(tmp_path / "b"),
+        )

@@ -4,9 +4,11 @@
 One PROCESS per arm (fresh JVM): arm selected by environment
 (HDS_DISABLE_RUNTIME_FILTERS=1 for the baseline arm), optional
 HDS_AB_LAYOUT=1 attaches the bucketed layout + sidecars outside timing
-(the sf100 protocol's configuration). The bloom build job runs at PLAN
-time inside the builder, so timed reps include it — the A/B charges the
-filter its full cost.
+(the sf100 protocol's configuration). The shipped planner filter is a
+lazy broadcast left-semi reduction (cbo._apply_runtime_filters): the
+semi-join key-set build/broadcast executes lazily inside the timed
+materialization — there is no plan-time job — so timed reps still
+charge the filter its full cost.
 
 Usage:
   [HDS_DISABLE_RUNTIME_FILTERS=1] [HDS_AB_LAYOUT=1] \
