@@ -28,6 +28,8 @@ engine-stable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2519,6 +2521,43 @@ def s19_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fraction of a documents-table row the PRUNED metadata projection
+#: (doc_id + one label column) reads — documents is text-dominated, so the
+#: FK-join side is ~5% of the table's parquet bytes (catalog-size stat for
+#: the broadcast-vs-copartition gate below)
+S20_META_COLS_FRACTION = float(os.environ.get("HDS_S20_META_COLS_FRACTION", "0.05"))
+
+
+def _s20_meta_join(spark, sf_dir: str, emb, meta):
+    """embeddings ⋈ document-metadata on the shared id — strategy picked
+    by the metadata side's estimated pruned bytes (the same catalog-size
+    reasoning as cbo.BROADCAST_CAP_BYTES):
+
+    - **broadcast** below the cap (test scale: kilobytes);
+    - **co-partitioned shuffled-hash** above it — at corpus scale the
+      metadata side is itself fact-sized (one row per document), so a
+      static broadcast is the no-raw-fact-broadcast invariant violation.
+      When both tables are registered as id-bucketed catalog copies
+      (tools/s20_ab.py builds them; a deployment would declare them like
+      ALT_BUCKET_SPECS), the shuffled-hash join is exchange-free on both
+      sides — the zero-shuffle shape the round-9 docstring promised,
+      A/B'd in BENCH_SCALING round 10.
+
+    ``HDS_S20_JOIN=broadcast|copartition`` overrides for experiments."""
+    from highs_duckdb_spark.plans.cbo import BROADCAST_CAP_BYTES, table_bytes
+
+    mode = os.environ.get("HDS_S20_JOIN")
+    if mode not in ("broadcast", "copartition"):
+        meta_bytes = table_bytes(sf_dir, "documents") * S20_META_COLS_FRACTION
+        mode = "copartition" if meta_bytes > BROADCAST_CAP_BYTES else "broadcast"
+    cond = F.col("vec_id") == F.col("doc_id")
+    if mode == "copartition":
+        # hint on the metadata side: it becomes the per-partition hash
+        # build (bounded per bucket); the embedding side streams
+        return emb.join(meta.hint("shuffle_hash"), cond).drop("doc_id")
+    return emb.join(F.broadcast(meta), cond).drop("doc_id")
+
+
 @register(
     "s20_filtered_ann",
     oracle=f"""
@@ -2556,9 +2595,12 @@ def s19_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ANN failure), so recall of the filtered set is exact by "
         "construction. Scale shape: embeddings ⋈ metadata is an FK "
         "equi-join on the shared id — broadcast at test scale, "
-        "co-partitioned (id-bucketed, zero shuffle) at corpus scale — and "
-        "the scoring reuses s17's explode+broadcast JVM form (the s05 "
-        "partition-local top-k merge applies unchanged past memory scale)."
+        "co-partitioned (shuffled-hash; zero shuffle when id-bucketed "
+        "copies of both tables are registered — _s20_meta_join, round 10's "
+        "measured A/B) past the broadcast cap — and the scoring reuses "
+        "s17's explode+broadcast JVM form (the s05 partition-local top-k "
+        "merge applies unchanged past memory scale). The pre/post-filter "
+        "SELECTIVITY SWITCH lives in s21_filtered_ann_switch."
     ),
 )
 def s20_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2575,9 +2617,7 @@ def s20_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("nq"),
     )
-    cand = emb.join(
-        F.broadcast(meta), F.col("vec_id") == F.col("doc_id")
-    ).drop("doc_id")
+    cand = _s20_meta_join(spark, sf_dir, emb, meta)
     qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
     scored = (
         cand.select(
@@ -2600,4 +2640,222 @@ def s20_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _topk_per_query(
         scored, "neighbor_id", ["query_id", "rk", "neighbor_id", "lang", "cosine"]
+    )
+
+
+# --- round 10: the filtered-ANN selectivity switch (VERDICT r09 item 5) ----
+
+#: s21's metadata predicate: n_chars >= this. UNSELECTIVE on the test
+#: corpus (~70% pass) so the data-driven switch resolves to the
+#: post-filter arm at every graded SF; s20's selective predicate (~29%)
+#: covers the pre-filter side of the same tradeoff.
+S21_MIN_CHARS = 200
+
+
+def _s21_oracle_sql() -> str:
+    """DuckDB replication of the full s21 pipeline — BOTH arms as CTEs,
+    the winner selected by the same integer-exact switch the Spark side
+    computes (2·n_pass >= n_all), so parity covers the switch itself."""
+    dist = (
+        "((list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c}))"
+        " + list_dot_product({c}, {c}))"
+    )
+    d_corp = dist.format(v="e.v", c="c.c")
+    cos = (
+        "round(1e-9 + list_dot_product({q}, {v})"
+        " / (sqrt(list_dot_product({q}, {q})) * sqrt(list_dot_product({v}, {v}))), 6)"
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_kmeans_cents_ctes()},
+    meta AS (SELECT doc_id FROM documents WHERE n_chars >= {S21_MIN_CHARS}),
+    stats AS (SELECT (SELECT count(*) FROM meta) AS n_pass,
+                     (SELECT count(*) FROM documents) AS n_all),
+    corp AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_corp}, c.cell) AS rn
+        FROM emb e CROSS JOIN c{IVF_ROUNDS} c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_corp}, c.cell) AS rn
+        FROM emb e CROSS JOIN c{IVF_ROUNDS} c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    shortlist AS (
+      SELECT p.query_id, co.vec_id AS neighbor_id,
+             {cos.format(q="p.qv", v="co.v")} AS cosine
+      FROM corp co JOIN probes p ON co.cell = p.cell AND co.vec_id <> p.query_id
+    ),
+    unf AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk0
+      FROM shortlist
+    ),
+    overfetched AS (
+      SELECT u.query_id, u.neighbor_id, u.cosine
+      FROM unf u, stats s
+      WHERE u.rk0 <= ((({TOP_K} * s.n_all + s.n_pass - 1) // s.n_pass) + {TOP_K})
+    ),
+    post AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk,
+             neighbor_id, cosine, 'post' AS arm
+      FROM overfetched JOIN meta ON neighbor_id = doc_id
+    ),
+    pre_scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {cos.format(q="q.v", v="e.v")} AS cosine
+      FROM emb q
+      JOIN emb e ON e.vec_id <> q.vec_id
+      JOIN meta m ON e.vec_id = m.doc_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    pre AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk,
+             neighbor_id, cosine, 'pre' AS arm
+      FROM pre_scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cosine, arm
+    FROM (
+      SELECT * FROM post
+      WHERE rk <= {TOP_K}
+        AND 2 * (SELECT n_pass FROM stats) >= (SELECT n_all FROM stats)
+      UNION ALL
+      SELECT * FROM pre
+      WHERE rk <= {TOP_K}
+        AND 2 * (SELECT n_pass FROM stats) < (SELECT n_all FROM stats)
+    )
+    ORDER BY query_id, rk
+    """
+
+
+@register(
+    "s21_filtered_ann_switch",
+    oracle=_s21_oracle_sql(),
+    category="similarity",
+    doc=(
+        "Filtered ANN with the classic PRE/POST-FILTER SELECTIVITY SWITCH "
+        "(VERDICT r09 item 5 — the tradeoff s20's docstring names, now "
+        "implemented): when the metadata predicate is SELECTIVE (few "
+        "candidates pass: 2·n_pass < n_all), pre-filter + exact scoring of "
+        "survivors is cheapest and exact; when it is UNSELECTIVE, the "
+        "unfiltered IVF shortlist (s04's index machinery) is reused and the "
+        "predicate applied POST-scoring to an OVERFETCHED prefix — "
+        "k' = ceil(k/sel) + k by the expected-pass-rate argument — so the "
+        "index need not be rebuilt per predicate. The switch, the overfetch "
+        "depth, and both arms are integer-exact and replicated in the "
+        "DuckDB oracle, so parity covers the switch decision itself (on "
+        "this corpus n_chars>=200 passes ~70% → the post arm at every "
+        "graded SF; s20 pins the pre arm; HDS_S21_FORCE_ARM=pre|post is a "
+        "test/experiment override that bypasses the data-driven switch). "
+        "Scale shape: the selectivity probe is one global aggregate (one "
+        "driver row); the overfetched shortlist is bounded (queries × k') "
+        "and BROADCASTS against the corpus-scale metadata table, never the "
+        "reverse; the pre arm reuses _s20_meta_join's broadcast/"
+        "co-partitioned gate."
+    ),
+)
+def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from highs_duckdb_spark.session import ensure_shipped
+
+    ensure_shipped(spark)  # IVF kernels reference module-level _seq_dists
+    docs = load_table(spark, "documents", sf_dir)
+    # one bounded driver action: the predicate's pass count (1 row)
+    n_pass, n_all = docs.agg(
+        F.sum(F.when(F.col("n_chars") >= S21_MIN_CHARS, 1).otherwise(0)),
+        F.count("*"),
+    ).first()
+    n_pass, n_all = int(n_pass), int(n_all)
+    meta = docs.filter(F.col("n_chars") >= S21_MIN_CHARS).select("doc_id")
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("nq"),
+    )
+    forced = os.environ.get("HDS_S21_FORCE_ARM")
+    arm = (
+        forced
+        if forced in ("pre", "post")
+        else ("post" if 2 * n_pass >= n_all else "pre")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    if arm == "pre":
+        cand = _s20_meta_join(spark, sf_dir, emb, meta)
+        qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
+        scored = (
+            cand.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "v",
+                _norm(F.col("v")).alias("nv"),
+                F.explode(qids).alias("query_id"),
+            )
+            .join(F.broadcast(q), "query_id")
+            .withColumn(
+                "cosine",
+                F.round(
+                    F.lit(1e-9)
+                    + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                    6,
+                ),
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "cosine")
+        )
+    else:
+        cents = _train_ivf_centroids(emb)
+        assign = _assign_seq_udf_factory(cents)
+        corpus = emb.select(
+            "vec_id",
+            "v",
+            _norm(F.col("v")).alias("nv"),
+            assign(F.col("v")).alias("cell"),
+        )
+        probe = _probe_udf_factory(cents, IVF_NPROBE)
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("nq"),
+            F.explode(probe(F.col("v"))).alias("cell"),
+        )
+        shortlist = (
+            corpus.join(F.broadcast(queries), ["cell"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(
+                    F.lit(1e-9)
+                    + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+        # integer-exact overfetch depth: ceil(k / sel) + k
+        k_over = (TOP_K * n_all + n_pass - 1) // n_pass + TOP_K
+        overfetched = (
+            shortlist.withColumn("rk0", F.row_number().over(w))
+            .filter(F.col("rk0") <= k_over)
+            .drop("rk0")
+        )
+        # bounded (queries × k') — broadcasts against corpus-scale metadata
+        scored = meta.join(
+            F.broadcast(overfetched), F.col("neighbor_id") == F.col("doc_id")
+        ).drop("doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .withColumn("arm", F.lit(arm))
+        .select("query_id", "rk", "neighbor_id", "cosine", "arm")
+        .orderBy("query_id", "rk")
     )

@@ -98,9 +98,11 @@ def jaro_winkler(s1: str, s2: str) -> float:
         "oracle blocks identically, parity cannot detect that recall "
         "class. Measured recall vs the 1-char block is UNCHANGED at "
         "threshold 0.88 on this corpus (identical 40-pair result at "
-        "sf0.01 and sf0.1, pinned in tests/test_round2_ops.py; re-checked "
-        "at sf10 — BENCH_SCALING r10) — an empirical property of p_name's "
-        "dictionary-word values, not a guarantee for arbitrary text."
+        "sf0.01 and sf0.1, pinned in tests/test_round2_ops.py) — an "
+        "empirical property of p_name's dictionary-word values, not a "
+        "guarantee for arbitrary text; a larger-SF re-check is vacuous "
+        "here because key-remapped replication (tools/gen_scale.py) "
+        "duplicates non-key columns, so DISTINCT p_name is scale-invariant."
     ),
 )
 def t18_jaro_winkler_names(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -184,3 +184,95 @@ def test_ivfpq_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
     again = s11_ivfpq_topk(spark, SF).collect()
     assert [tuple(r) for r in approx] == [tuple(r) for r in again]
+
+
+# --- round 10: filtered-ANN scale path + selectivity switch (VERDICT r09 #5)
+
+
+def test_s20_copartition_mode_result_identical(spark, monkeypatch):
+    """HDS_S20_JOIN=copartition must produce the same rows as the
+    broadcast default, through a ShuffledHashJoin on the shared id."""
+    from highs_duckdb_spark.operators.registry import QUERIES
+
+    base = {tuple(r) for r in QUERIES["s20_filtered_ann"].builder(spark, SF).collect()}
+    monkeypatch.setenv("HDS_S20_JOIN", "copartition")
+    df = QUERIES["s20_filtered_ann"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert {tuple(r) for r in df.collect()} == base
+
+
+def test_s21_switch_picks_post_arm_on_this_corpus(spark):
+    """n_chars>=200 passes ~70% of documents, so the data-driven switch
+    must resolve to the post-filter-with-overfetch arm, return exactly
+    TOP_K rows per query, and every neighbor must pass the predicate."""
+    from highs_duckdb_spark.operators.registry import QUERIES
+    from highs_duckdb_spark.operators.similarity import (
+        N_QUERIES, S21_MIN_CHARS, TOP_K,
+    )
+    from highs_duckdb_spark.session import load_table
+
+    rows = QUERIES["s21_filtered_ann_switch"].builder(spark, SF).collect()
+    assert {r["arm"] for r in rows} == {"post"}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == set(range(N_QUERIES))
+    assert all(len(v) == TOP_K for v in per_q.values())
+    passing = {
+        r["doc_id"]
+        for r in load_table(spark, "documents", SF)
+        .filter(f"n_chars >= {S21_MIN_CHARS}")
+        .select("doc_id")
+        .collect()
+    }
+    assert all(r["neighbor_id"] in passing for r in rows)
+
+
+def test_s21_forced_pre_arm_equals_exact_filtered_topk(spark, monkeypatch):
+    """HDS_S21_FORCE_ARM=pre must equal an independently computed exact
+    filtered brute-force top-k (the pre arm is exact by construction)."""
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.operators.registry import QUERIES
+    from highs_duckdb_spark.operators.similarity import (
+        N_QUERIES, S21_MIN_CHARS, TOP_K,
+    )
+    from highs_duckdb_spark.session import load_table
+
+    monkeypatch.setenv("HDS_S21_FORCE_ARM", "pre")
+    got = [
+        (r["query_id"], r["rk"], r["neighbor_id"], r["cosine"])
+        for r in QUERIES["s21_filtered_ann_switch"].builder(spark, SF).collect()
+    ]
+    # independent exact computation in pandas
+    import numpy as np
+
+    docs = {
+        r["doc_id"]
+        for r in load_table(spark, "documents", SF)
+        .filter(f"n_chars >= {S21_MIN_CHARS}")
+        .select("doc_id")
+        .collect()
+    }
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, "embeddings", SF)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    want = []
+    for qid in range(N_QUERIES):
+        qv = emb[qid]
+        nq = np.sqrt(qv @ qv)
+        scored = sorted(
+            (
+                (-round(1e-9 + (qv @ v) / (nq * np.sqrt(v @ v)), 6), nid)
+                for nid, v in emb.items()
+                if nid != qid and nid in docs
+            ),
+        )[:TOP_K]
+        want += [
+            (qid, rk + 1, nid, -negcos) for rk, (negcos, nid) in enumerate(scored)
+        ]
+    assert got == want
