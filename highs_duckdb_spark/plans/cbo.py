@@ -147,13 +147,17 @@ RF_BROADCAST_COST_MULT = float(os.environ.get("HDS_RF_BROADCAST_COST_MULT", "25"
 
 #: Demote a would-be-broadcast dim to a bucket-aligned shuffled-hash join
 #: only when its estimated BROADCAST build map exceeds this budget — the
-#: same L3-residency boundary as RF_MAX_KEY_BYTES: past ~L3 every one of
-#: the fact's probes is a cache miss against the single big map (q10's
-#: measured 2.69× at sf100 is exactly this), while the co-partitioned join
-#: builds one map per bucket (~build/buckets bytes — cache-resident) at
-#: zero exchange cost when both sides are key-clustered by the layout.
+#: L3-residency boundary (same physics as RF_MAX_KEY_BYTES): past ~L3
+#: every one of the fact's probes is a cache miss against the single big
+#: map (q10's measured 2.69× at sf100 was exactly this), while the
+#: co-partitioned join builds one map per bucket (~build/buckets bytes —
+#: cache-resident) at zero exchange cost when both sides are
+#: key-clustered by the layout. Measured (BENCH_SCALING round 10): the
+#: demotion wins −35% at a 19 MB estimated map (sf10) and −57% at 192 MB
+#: (sf100), so the boundary sits below 19 MB on this host; 16 MB keeps
+#: both wins while sf0.1-class maps (~kilobytes) stay broadcast.
 COCLUSTER_MIN_BUILD_BYTES = int(
-    os.environ.get("HDS_COCLUSTER_MIN_BUILD_BYTES", str(32 << 20))
+    os.environ.get("HDS_COCLUSTER_MIN_BUILD_BYTES", str(16 << 20))
 )
 #: charged bytes per broadcast-map row (key + a couple of payload columns
 #: + HashedRelation overhead)

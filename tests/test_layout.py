@@ -1154,3 +1154,48 @@ def test_value_clustered_guards_non_numeric_and_empty(spark, tmp_path):
             spark, str(empty_sf), "part", "p_retailprice",
             layout_dir=str(tmp_path / "b"),
         )
+
+
+def test_agg_mv_refresh_cost_is_delta_bound_never_rescans_fact(spark, tmp_path):
+    """Round 10 (VERDICT r09 item 7's regression pin): the refresh's COST
+    contract is that it reads the delta + live parents + stored partials,
+    NEVER the accumulated base fact. Pin it structurally: delete the base
+    lineitem files after the MV is built — a refresh that re-joined the
+    fact history would fail on missing files; the delta-bound refresh
+    cannot notice and must still produce the exact rebuild-equivalent."""
+    import shutil as _shutil
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    for t in ("orders", "customer", "supplier", "nation"):
+        _shutil.copy(f"{SF}/{t}.parquet", src / f"{t}.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = li.count()
+    base = li.limit(int(n * 0.8)).localCheckpoint(eager=True)
+    delta = li.subtract(base).localCheckpoint(eager=True)
+    lidir = str(src / "lineitem.parquet")
+    base.coalesce(1).write.parquet(lidir)
+
+    from highs_duckdb_spark.sources import layout as LL
+
+    layout_dir = str(tmp_path / "layout")
+    name = "rev_by_nation_year"
+    LL._build_agg_mvs(spark, str(src), layout_dir, idents={})
+
+    # ground truth FIRST (needs the fact): full rebuild over base+delta
+    truth_dir = str(tmp_path / "truth_layout")
+    delta.coalesce(1).write.mode("append").parquet(lidir)
+    from highs_duckdb_spark.session import _READER_CACHE
+
+    _READER_CACHE.clear()
+    LL._build_agg_mvs(spark, str(src), truth_dir, idents={})
+    truth = sorted(
+        map(tuple, spark.read.parquet(os.path.join(truth_dir, name)).collect())
+    )
+
+    # now DELETE the base fact entirely and refresh from the delta alone
+    _shutil.rmtree(lidir)
+    _READER_CACHE.clear()
+    path = LL.refresh_agg_mv(spark, str(src), name, {"lineitem": delta}, layout_dir)
+    refreshed = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert refreshed == truth

@@ -60,3 +60,28 @@ def test_tune_for_data_sets_session_confs(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_native_bloom_thresholds_stay_spark_defaults(spark):
+    """Round 10 (VERDICT r09 item 4): tuning Spark's InjectRuntimeFilter
+    thresholds to fire on q64's big edge was a measured NEGATIVE at sf100
+    (+7.7%, BENCH_SCALING) — the session must keep the engine defaults so
+    the bloom continues NOT to fire there. Guards against a future
+    'optimization' re-tuning them without re-measuring."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
+        == "10485760b"
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        == "10737418240b"
+    )
