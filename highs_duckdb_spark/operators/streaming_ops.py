@@ -1175,8 +1175,20 @@ def _qs19_body(
     L._build_agg_mvs(spark, live, layout_dir, idents={})  # empty-base MV
 
     incoming = os.path.join(work, "incoming")
-    # deterministic 3-way split → 3 micro-batches
-    li.repartition(3, F.col("l_orderkey") % 3).write.parquet(incoming)
+    # deterministic 3-way split → 3 micro-batches of EQUAL thirds. The
+    # former repartition(3, l_orderkey % 3) hash-partitioned the three
+    # modulus values and two of them collided into one partition, yielding
+    # 0 / n/3 / 2n/3-row batches — the round-10 throughput bench read the
+    # skew as "per-cycle refresh latency grows" until the decomposition
+    # showed latency tracks DELTA SIZE (BENCH_SCALING r10); explicit
+    # filters make each batch exactly one residue class.
+    for b in range(3):
+        (
+            li.filter(F.col("l_orderkey") % 3 == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(incoming)
+        )
     schema = spark.read.parquet(incoming).schema
     stream = (
         spark.readStream.schema(schema)
