@@ -213,6 +213,19 @@ def main() -> None:
         if debug:
             print(f"{name:32s} {[round(r, 3) for r in runs]}", file=sys.stderr)
         timings[name] = round(min(runs), 3)
+        # UNTIMED between-query GC: Spark's ContextCleaner deletes shuffle
+        # temp files only when the JVM garbage-collects their references —
+        # a 16-query sf100 session otherwise accumulates ~fact-sized temp
+        # per big-shuffle query and exhausts local disk mid-protocol
+        # (observed round 10: 19 GB free at start, ENOSPC at query 12).
+        # Runs outside every timed window, identically after each query.
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     if compare:
         import duckdb
