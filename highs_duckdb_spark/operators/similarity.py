@@ -2597,49 +2597,84 @@ def _s20_meta_join(spark, sf_dir: str, emb, meta):
         "equi-join on the shared id — broadcast at test scale, "
         "co-partitioned (shuffled-hash; zero shuffle when id-bucketed "
         "copies of both tables are registered — _s20_meta_join, round 10's "
-        "measured A/B) past the broadcast cap — and the scoring reuses "
-        "s17's explode+broadcast JVM form (the s05 partition-local top-k "
-        "merge applies unchanged past memory scale). The pre/post-filter "
+        "measured A/B) past the broadcast cap — and the scoring is s05's "
+        "partition-local BLAS top-k kernel over the FILTERED candidates "
+        "(one (batch × dim)·(dim × queries) matmul per Arrow batch, local "
+        "top-k per query, bounded global merge; the round-10 A/B at the "
+        "100× corpus measured the former explode×queries JVM form 1.6× "
+        "slower, and with the kernel the id-bucketed co-partitioned arm "
+        "became the FASTEST arm — BENCH_SCALING r10). The pre/post-filter "
         "SELECTIVITY SWITCH lives in s21_filtered_ann_switch."
     ),
 )
 def s20_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from highs_duckdb_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     meta = (
         load_table(spark, "documents", sf_dir)
         .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
         .select("doc_id", "lang")
     )
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # bounded query set (N_QUERIES rows): collected once, shipped inside
+    # the kernel closure — queries come from the FULL corpus, only the
+    # candidate side is metadata-filtered (the oracle's join shape)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("nq"),
-    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
     cand = _s20_meta_join(spark, sf_dir, emb, meta)
-    qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
-    scored = (
-        cand.select(
-            F.col("vec_id").alias("neighbor_id"),
-            "lang",
-            "v",
-            _norm(F.col("v")).alias("nv"),
-            F.explode(qids).alias("query_id"),
-        )
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                F.lit(1e-9)
-                + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
-                6,
-            ),
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
+            sims = np.round(1e-9 + sims, 6)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            langs = pdf["lang"].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = vec_ids != qid  # self-match excluded
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                order = np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:TOP_K]
+                take = cand_idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": vec_ids[take],
+                            "lang": langs[take],
+                            "cosine": col[take],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    local = cand.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, lang string, cosine double"
     )
-    return _topk_per_query(
-        scored, "neighbor_id", ["query_id", "rk", "neighbor_id", "lang", "cosine"]
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "neighbor_id", "lang", "cosine")
+        .transform(present_sorted, "query_id", "rk")
     )
 
 
