@@ -2558,6 +2558,69 @@ def _s20_meta_join(spark, sf_dir: str, emb, meta):
     return emb.join(F.broadcast(meta), cond).drop("doc_id")
 
 
+def _collect_query_matrix(emb: DataFrame):
+    """(q_ids, q_mat, q_norm) for the bounded query set (N_QUERIES rows),
+    collected once and shipped inside kernel closures."""
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    return q_ids, q_mat, q_norm
+
+
+def _blas_filtered_topk(cand: DataFrame, q_ids, q_mat, q_norm, carry=None):
+    """s05's partition-local BLAS top-k over a (pre-filtered) candidate
+    frame carrying (vec_id, embedding[, carry]): one (batch × dim) ·
+    (dim × queries) matmul per Arrow batch, local top-k per query with the
+    merge's exact (-cosine, neighbor_id) tie-break, bounded output
+    (partitions × queries × k rows). Same float64/round discipline as the
+    parity-proven s05 kernel. Returns the LOCAL frame; callers apply the
+    global rank window."""
+    import pandas as pd
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
+            sims = np.round(1e-9 + sims, 6)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            extra = pdf[carry].to_numpy() if carry else None
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = vec_ids != qid  # self-match excluded
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                order = np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:TOP_K]
+                take = cand_idx[order]
+                row = {
+                    "query_id": qid,
+                    "neighbor_id": vec_ids[take],
+                }
+                if carry:
+                    row[carry] = extra[take]
+                row["cosine"] = col[take]
+                out.append(pd.DataFrame(row))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    schema = "query_id long, neighbor_id long, " + (
+        f"{carry} string, cosine double" if carry else "cosine double"
+    )
+    return cand.mapInPandas(local_topk, schema)
+
+
+
 @register(
     "s20_filtered_ann",
     oracle=f"""
@@ -2608,8 +2671,6 @@ def _s20_meta_join(spark, sf_dir: str, emb, meta):
     ),
 )
 def s20_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
     from highs_duckdb_spark.session import ensure_shipped
 
     ensure_shipped(spark)
@@ -2619,56 +2680,11 @@ def s20_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
     )
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    # bounded query set (N_QUERIES rows): collected once, shipped inside
-    # the kernel closure — queries come from the FULL corpus, only the
-    # candidate side is metadata-filtered (the oracle's join shape)
-    qrows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    # queries come from the FULL corpus; only candidates are filtered
+    # (the oracle's join shape)
+    q_ids, q_mat, q_norm = _collect_query_matrix(emb)
     cand = _s20_meta_join(spark, sf_dir, emb, meta)
-
-    def local_topk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            norms = np.sqrt((mat * mat).sum(axis=1))
-            sims = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
-            sims = np.round(1e-9 + sims, 6)
-            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            langs = pdf["lang"].to_numpy()
-            out = []
-            for qi, qid in enumerate(q_ids):
-                col = sims[:, qi]
-                mask = vec_ids != qid  # self-match excluded
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) == 0:
-                    continue
-                order = np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:TOP_K]
-                take = cand_idx[order]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": vec_ids[take],
-                            "lang": langs[take],
-                            "cosine": col[take],
-                        }
-                    )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
-
-    local = cand.mapInPandas(
-        local_topk, "query_id long, neighbor_id long, lang string, cosine double"
-    )
+    local = _blas_filtered_topk(cand, q_ids, q_mat, q_norm, carry="lang")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         local.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -2826,27 +2842,15 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     if arm == "pre":
-        cand = _s20_meta_join(spark, sf_dir, emb, meta)
-        qids = F.array(*[F.lit(i) for i in range(N_QUERIES)])
-        scored = (
-            cand.select(
-                F.col("vec_id").alias("neighbor_id"),
-                "v",
-                _norm(F.col("v")).alias("nv"),
-                F.explode(qids).alias("query_id"),
-            )
-            .join(F.broadcast(q), "query_id")
-            .withColumn(
-                "cosine",
-                F.round(
-                    F.lit(1e-9)
-                    + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
-                    6,
-                ),
-            )
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", "cosine")
+        # exact filtered brute force via the same BLAS kernel s20 uses
+        # (local top-k is a superset of each partition's contribution to
+        # the global top-k, so the rank window below completes it exactly)
+        emb_raw = load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", "embedding"
         )
+        q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
+        cand = _s20_meta_join(spark, sf_dir, emb_raw, meta)
+        scored = _blas_filtered_topk(cand, q_ids, q_mat, q_norm)
     else:
         cents = _train_ivf_centroids(emb)
         assign = _assign_seq_udf_factory(cents)
