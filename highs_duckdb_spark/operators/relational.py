@@ -566,6 +566,14 @@ def q14_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from highs_duckdb_spark.sources.layout import scan_for_keys
 
+    # Round 10 measured NEGATIVE: a size-gated switch to q177's two-pass
+    # shape was tried and reverted. The two-pass wins at sf10 (−31%, 6M
+    # pre-agg groups fit the hash-agg maps) but LOSES 2× at sf100 (18.0 →
+    # 35.3 s: 60M (flag, partkey) groups per branch spill the pre-agg),
+    # so the decisive statistic is distinct-key cardinality vs aggregate
+    # memory, not table bytes — and the native Expand plan is already
+    # 1.36× DuckDB at sf100. q177 stays registered as the documented
+    # alternative with the cardinality caveat (BENCH_SCALING r10).
     # copy selection: this aggregates on returnflag/partkey/suppkey, which
     # no layout clusters — under a bucketed layout the override would only
     # destroy combine locality (BENCH_SCALING r4: +139% at sf100)
@@ -596,8 +604,12 @@ def q20_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "3x-Expand plan — each branch map-side combines to its key "
         "cardinality before shuffling, where Expand shuffles the tripled "
         "fact. Measured at sf10: 3.17 s -> 2.17 s (-31%); at sf0.1 the "
-        "extra scan+join costs ~7%, which is why q20 keeps the native plan "
-        "for the latency bench while this is the 100-TB shape."
+        "extra scan+join costs ~7%. ROUND-10 CAVEAT: at sf100 this shape "
+        "is 2x WORSE (18.0 -> 35.3 s) — 60M (flag, partkey) pre-agg "
+        "groups per branch spill the hash-agg maps that sf10's 6M fit — "
+        "so the decisive statistic is distinct-key cardinality vs "
+        "aggregate memory, not fact bytes; q20 keeps the native Expand "
+        "plan at every scale on this host (1.36x at sf100)."
     ),
 )
 def q177_distinct_agg_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
