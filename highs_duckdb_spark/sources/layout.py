@@ -929,6 +929,31 @@ def alt_clustered_copies(
     }
 
 
+def register_alt_copy(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    bucket_cols: list[str] | tuple[str, ...],
+    ident: str,
+) -> None:
+    """Record an already-built bucketed catalog table as an ALTERNATE
+    clustered copy of ``table`` for this (session, sf_dir) — the
+    deployment-facing registration a production catalog performs when a
+    projection/clustered copy is created out-of-band (tools/s20_ab.py's
+    id-bucketed documents/embeddings copies use it; ``attach_bucketed``
+    registers its ALT_BUCKET_SPECS builds through the same map).
+
+    Registration is metadata only: planners that consult
+    ``alt_clustered_copies`` (cbo's copy selection, s20's filtered-ANN
+    metadata-join gate) may pick the copy; ``load_table`` keeps serving
+    the source. Same-rows contract is the caller's to uphold, exactly as
+    for ALT_BUCKET_SPECS."""
+    if not spark.catalog.tableExists(ident):
+        raise ValueError(f"register_alt_copy: catalog table {ident!r} not found")
+    app = spark.sparkContext.applicationId
+    _ALT_COPIES.setdefault((app, sf_dir, table), {})[frozenset(bucket_cols)] = ident
+
+
 def clear_alt_copies(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     for key in [k for k in _ALT_COPIES if k[0] == app]:

@@ -276,3 +276,128 @@ def test_s21_forced_pre_arm_equals_exact_filtered_topk(spark, monkeypatch):
             (qid, rk + 1, nid, -negcos) for rk, (negcos, nid) in enumerate(scored)
         ]
     assert got == want
+
+# --- round 11: layout-aware s20 gate + s21 guards (VERDICT r10 items 1/5) --
+
+
+def _register_id_bucketed_copies(spark, buckets=4):
+    """Build + register tiny id-bucketed copies of documents/embeddings at
+    SF via the deployment-facing register_alt_copy. Returns the popper that
+    surgically removes ONLY these registrations (not the whole app's alt
+    copies — other tests in the session own theirs)."""
+    import shutil
+    import tempfile
+
+    from highs_duckdb_spark.sources.layout import _ALT_COPIES, register_alt_copy
+
+    app = spark.sparkContext.applicationId
+    tmp = tempfile.mkdtemp(prefix="hds_s20gate_")
+    for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        ident = f"hds_s20gate_{table}"
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        (
+            spark.read.parquet(f"{SF}/{table}.parquet")
+            .repartition(buckets, key)
+            .write.mode("overwrite")
+            .option("path", f"{tmp}/{table}")  # external: no warehouse-dir
+            .bucketBy(buckets, key)            # collisions across sessions
+            .sortBy(key)
+            .saveAsTable(ident)
+        )
+        register_alt_copy(spark, SF, table, [key], ident)
+
+    def pop():
+        for table in ("documents", "embeddings"):
+            _ALT_COPIES.pop((app, SF, table), None)
+            spark.sql(f"DROP TABLE IF EXISTS hds_s20gate_{table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return pop
+
+
+def test_s20_gate_prefers_copartition_when_copies_registered(spark):
+    """VERDICT r10 item 1: with id-bucketed copies of BOTH tables in the
+    layout catalog, the DEFAULT gate (no env override) must pick the
+    co-partitioned shuffled-hash join OVER THE COPIES — the measured-
+    fastest arm — result-identical to the broadcast shape; without them
+    the size gate keeps broadcast at this (kilobyte) scale."""
+    from highs_duckdb_spark.operators import similarity as S
+    from highs_duckdb_spark.operators.registry import QUERIES
+
+    # baseline: no copies → size gate → broadcast at test scale
+    base_df = QUERIES["s20_filtered_ann"].builder(spark, SF)
+    base = {tuple(r) for r in base_df.collect()}
+    mode, reason = S.S20_LAST_JOIN_DECISION
+    assert mode == "broadcast" and reason.startswith("meta_under_cap:"), (
+        S.S20_LAST_JOIN_DECISION
+    )
+
+    pop = _register_id_bucketed_copies(spark)
+    try:
+        df = QUERIES["s20_filtered_ann"].builder(spark, SF)
+        assert S.S20_LAST_JOIN_DECISION == (
+            "copartition",
+            "id_bucketed_copies_registered",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
+        assert "hds_s20gate_documents" in plan, plan
+        assert "hds_s20gate_embeddings" in plan, plan
+        assert {tuple(r) for r in df.collect()} == base
+    finally:
+        pop()
+    # and the pop really restores the size gate
+    QUERIES["s20_filtered_ann"].builder(spark, SF)
+    assert S.S20_LAST_JOIN_DECISION[0] == "broadcast"
+
+
+def test_s20_gate_env_override_beats_layout(spark, monkeypatch):
+    """HDS_S20_JOIN=broadcast must still force the broadcast arm (the A/B
+    baseline) even when both copies are registered."""
+    from highs_duckdb_spark.operators import similarity as S
+    from highs_duckdb_spark.operators.registry import QUERIES
+
+    pop = _register_id_bucketed_copies(spark)
+    try:
+        monkeypatch.setenv("HDS_S20_JOIN", "broadcast")
+        df = QUERIES["s20_filtered_ann"].builder(spark, SF)
+        assert S.S20_LAST_JOIN_DECISION == ("broadcast", "env_override")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        pop()
+
+
+def test_s20_meta_fraction_env_read_per_call(spark, monkeypatch):
+    """ADVICE r10: HDS_S20_META_COLS_FRACTION set AFTER import must take
+    effect (per-call read). An absurdly large fraction pushes the tiny
+    test table over the cap → copartition via the size gate."""
+    from highs_duckdb_spark.operators import similarity as S
+    from highs_duckdb_spark.operators.registry import QUERIES
+
+    monkeypatch.setenv("HDS_S20_META_COLS_FRACTION", "1e12")
+    QUERIES["s20_filtered_ann"].builder(spark, SF)
+    mode, reason = S.S20_LAST_JOIN_DECISION
+    assert mode == "copartition" and reason.startswith("meta_over_cap:"), (
+        S.S20_LAST_JOIN_DECISION
+    )
+
+
+def test_s21_zero_pass_predicate_short_circuits_empty(spark, monkeypatch):
+    """ADVICE r10: n_pass == 0 must not divide by zero — the result is
+    provably empty, in BOTH the data-driven switch and the forced post
+    arm (the previously-reachable ZeroDivisionError path)."""
+    from highs_duckdb_spark.operators import similarity as S
+    from highs_duckdb_spark.operators.registry import QUERIES
+
+    monkeypatch.setattr(S, "S21_MIN_CHARS", 10**9)  # nothing passes
+    for force in (None, "post", "pre"):
+        if force is None:
+            monkeypatch.delenv("HDS_S21_FORCE_ARM", raising=False)
+        else:
+            monkeypatch.setenv("HDS_S21_FORCE_ARM", force)
+        df = QUERIES["s21_filtered_ann_switch"].builder(spark, SF)
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == [
+            "query_id", "rk", "neighbor_id", "cosine", "arm",
+        ]

@@ -1199,3 +1199,62 @@ def test_agg_mv_refresh_cost_is_delta_bound_never_rescans_fact(spark, tmp_path):
     path = LL.refresh_agg_mv(spark, str(src), name, {"lineitem": delta}, layout_dir)
     refreshed = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert refreshed == truth
+
+
+def test_cocluster_gate_validates_copy_keys(spark, layout_dir, monkeypatch):
+    """ADVICE r10: the cocluster gate must VERIFY, not trust, the copy
+    wiring — (a) a dim whose alt copy is not clustered on the join's
+    dim-side column declines with 'alt_copy_not_on_dim_key' instead of
+    recording a bogus exchange-free demotion; (b) fact-copy matching is
+    restricted to on[0], the fact-side key, so a dim-side column name that
+    happens to match a fact copy can't demote."""
+    import pyspark.sql.functions as F2
+
+    from highs_duckdb_spark.plans import cbo
+    from highs_duckdb_spark.sources.layout import _ALT_COPIES
+
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    monkeypatch.setattr(cbo, "COCLUSTER_MIN_BUILD_BYTES", 1)
+    app = spark.sparkContext.applicationId
+
+    # (a) corrupt the catalog record: claim part's copy is bucketed on a
+    # column that is NOT the join's dim-side key — the gate must decline
+    ident = _ALT_COPIES[(app, SF, "part")].pop(frozenset({"p_partkey"}))
+    _ALT_COPIES[(app, SF, "part")][frozenset({"p_brand"})] = ident
+    try:
+        g = cbo.JoinGraph(spark, SF)
+        g.fact("lineitem", load_table(spark, "lineitem", SF), catalog_rows=True)
+        g.dim(
+            "part",
+            load_table(spark, "part", SF),
+            after=("lineitem",),
+            on=("l_partkey", "p_partkey"),
+            prepare=lambda df: df.filter(F2.col("p_type") == "ECONOMY"),
+            key="p_brand",  # mis-declared: matches the (corrupted) copy
+            sel=0.2,
+        )
+        g.plan()
+        assert g.explain.cocluster == ()
+        assert ("part", "alt_copy_not_on_dim_key") in g.explain.cocluster_declines
+    finally:
+        _ALT_COPIES[(app, SF, "part")].pop(frozenset({"p_brand"}), None)
+        _ALT_COPIES[(app, SF, "part")][frozenset({"p_partkey"})] = ident
+
+    # (b) on[0] not covered by any fact copy → no_fact_copy, even though
+    # the dim-side name (on[1]) IS a key some fact copy is clustered on
+    g = cbo.JoinGraph(spark, SF)
+    g.fact("lineitem", load_table(spark, "lineitem", SF), catalog_rows=True)
+    g.dim(
+        "part",
+        load_table(spark, "part", SF),
+        # l_suppkey: a real lineitem column no copy clusters on
+        cond=None,
+        after=("lineitem",),
+        on=("l_suppkey", "p_partkey"),
+        prepare=lambda df: df.filter(F2.col("p_type") == "ECONOMY"),
+        key="p_partkey",
+        sel=0.2,
+    )
+    g.plan()
+    assert g.explain.cocluster == ()
+    assert ("part", "no_fact_copy") in g.explain.cocluster_declines

@@ -81,7 +81,12 @@ def main() -> None:
         t = _best(lambda: run_named("s20_filtered_ann"), runs)
         print(f"s20 {arm:22s} {t:7.3f}s  exchanges={_exchanges(df)}", flush=True)
 
-    # id-bucketed copies (outside timing): the declared-layout arm
+    # id-bucketed copies (outside timing): the declared-layout arm.
+    # register_alt_copy is the round-11 layout-catalog registration — with
+    # BOTH copies registered the DEFAULT gate must pick the co-partitioned
+    # join over them (no env override), which the 'auto' arm verifies.
+    from highs_duckdb_spark.sources.layout import register_alt_copy
+
     ident = {}
     for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
         ident[table] = f"hds_s20ab_{table}"
@@ -97,12 +102,25 @@ def main() -> None:
             .saveAsTable(ident[table])
         )
         set_table_override(spark, corpus, table, spark.table(ident[table]))
+        register_alt_copy(spark, corpus, table, [key], ident[table])
     os.environ["HDS_S20_JOIN"] = "copartition"
     df = QUERIES["s20_filtered_ann"].builder(spark, corpus)
     t = _best(lambda: run_named("s20_filtered_ann"), runs)
     print(f"s20 {'copartition+bucketed':22s} {t:7.3f}s  exchanges={_exchanges(df)}",
           flush=True)
     del os.environ["HDS_S20_JOIN"]
+
+    # the round-11 default: no env override — the gate must see the
+    # registered copies and land on the exchange-free shape by itself
+    from highs_duckdb_spark.operators import similarity as S
+
+    df = QUERIES["s20_filtered_ann"].builder(spark, corpus)
+    t = _best(lambda: run_named("s20_filtered_ann"), runs)
+    print(
+        f"s20 {'auto(layout-aware)':22s} {t:7.3f}s  exchanges={_exchanges(df)}"
+        f"  decision={S.S20_LAST_JOIN_DECISION}",
+        flush=True,
+    )
 
     # --- 3. bucket-skew audit of the id-bucketed embeddings copy ------------
     import pyspark.sql.functions as F
