@@ -2845,12 +2845,29 @@ def _s21_oracle_sql() -> str:
                                 ORDER BY cosine DESC, neighbor_id) AS rk,
              neighbor_id, cosine, 'pre' AS arm
       FROM pre_scored
+    ),
+    post_counts AS (
+      SELECT query_id, count(*) AS n FROM post WHERE rk <= {TOP_K}
+      GROUP BY query_id
+    ),
+    esc AS (
+      SELECT e.vec_id AS query_id
+      FROM emb e LEFT JOIN post_counts pc ON pc.query_id = e.vec_id
+      WHERE e.vec_id < {N_QUERIES} AND coalesce(pc.n, 0) < {TOP_K}
     )
     SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, cosine, arm
     FROM (
       SELECT * FROM post
       WHERE rk <= {TOP_K}
         AND 2 * (SELECT n_pass FROM stats) >= (SELECT n_all FROM stats)
+        AND query_id NOT IN (SELECT query_id FROM esc)
+      UNION ALL
+      -- the under-return guard: post-arm queries with fewer than k
+      -- survivors escalate to the exact pre arm (round 11)
+      SELECT * FROM pre
+      WHERE rk <= {TOP_K}
+        AND 2 * (SELECT n_pass FROM stats) >= (SELECT n_all FROM stats)
+        AND query_id IN (SELECT query_id FROM esc)
       UNION ALL
       SELECT * FROM pre
       WHERE rk <= {TOP_K}
@@ -2873,9 +2890,15 @@ def _s21_oracle_sql() -> str:
         "unfiltered IVF shortlist (s04's index machinery) is reused and the "
         "predicate applied POST-scoring to an OVERFETCHED prefix — "
         "k' = ceil(k/sel) + k by the expected-pass-rate argument — so the "
-        "index need not be rebuilt per predicate. The switch, the overfetch "
-        "depth, and both arms are integer-exact and replicated in the "
-        "DuckDB oracle, so parity covers the switch decision itself (on "
+        "index need not be rebuilt per predicate — with a per-query UNDER-"
+        "RETURN GUARD (round 11): the overfetch bound assumes predicate-"
+        "similarity independence, so any query whose overfetched prefix "
+        "yields fewer than k survivors escalates to the exact pre arm "
+        "(detected over the bounded survivor set, one driver action; the "
+        "correlated-corpus pytest pins the failure mode). The switch, the "
+        "overfetch depth, the guard, and both arms are integer-exact and "
+        "replicated in the DuckDB oracle, so parity covers the decisions "
+        "themselves (on "
         "this corpus n_chars>=200 passes ~70% → the post arm at every "
         "graded SF; s20 pins the pre arm; HDS_S21_FORCE_ARM=pre|post is a "
         "test/experiment override that bypasses the data-driven switch). "
@@ -2923,14 +2946,27 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         else ("post" if 2 * n_pass >= n_all else "pre")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    if arm == "pre":
-        # exact filtered brute force via the same BLAS kernel s20 uses
-        # (local top-k is a superset of each partition's contribution to
-        # the global top-k, so the rank window below completes it exactly)
+
+    def _ranked(scored_df: DataFrame, arm_name: str) -> DataFrame:
+        return (
+            scored_df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= TOP_K)
+            .withColumn("arm", F.lit(arm_name))
+            .select("query_id", "rk", "neighbor_id", "cosine", "arm")
+        )
+
+    def _pre_arm_scored(only_query_ids=None) -> DataFrame:
+        """Exact filtered brute force via the same BLAS kernel s20 uses
+        (local top-k is a superset of each partition's contribution to the
+        global top-k, so the rank window completes it exactly). Optionally
+        restricted to a subset of queries (the under-return escalation)."""
         emb_raw = load_table(spark, "embeddings", sf_dir).select(
             "vec_id", "embedding"
         )
         q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
+        if only_query_ids is not None:
+            keep = np.isin(q_ids, list(only_query_ids))
+            q_ids, q_mat, q_norm = q_ids[keep], q_mat[keep], q_norm[keep]
         cand = _s20_meta_join(
             spark,
             sf_dir,
@@ -2939,7 +2975,10 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id"
             ),
         )
-        scored = _blas_filtered_topk(cand, q_ids, q_mat, q_norm)
+        return _blas_filtered_topk(cand, q_ids, q_mat, q_norm)
+
+    if arm == "pre":
+        out = _ranked(_pre_arm_scored(), "pre")
     else:
         cents = _train_ivf_centroids(emb)
         assign = _assign_seq_udf_factory(cents)
@@ -2980,10 +3019,27 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = meta.join(
             F.broadcast(overfetched), F.col("neighbor_id") == F.col("doc_id")
         ).drop("doc_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= TOP_K)
-        .withColumn("arm", F.lit(arm))
-        .select("query_id", "rk", "neighbor_id", "cosine", "arm")
-        .orderBy("query_id", "rk")
-    )
+        # UNDER-RETURN GUARD (round 11, VERDICT r10 item 5): the overfetch
+        # depth assumes predicate-similarity independence; when the
+        # predicate correlates with similarity (e.g. the failing docs
+        # dominate the top of a ranking) the overfetched prefix can hold
+        # fewer than k survivors. Detect per query over the BOUNDED
+        # survivor set (≤ queries × k' rows — one driver action) and
+        # escalate exactly those queries to the exact pre arm. Replicated
+        # in the oracle (post_counts/esc CTEs), so parity covers the
+        # guard decision itself.
+        surv = {
+            r["query_id"]: r["n"]
+            for r in scored.groupBy("query_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        q_universe = [r["query_id"] for r in q.select("query_id").collect()]
+        under = sorted(u for u in q_universe if surv.get(u, 0) < TOP_K)
+        post_scored = (
+            scored.filter(~F.col("query_id").isin(under)) if under else scored
+        )
+        out = _ranked(post_scored, "post")
+        if under:
+            out = out.unionByName(_ranked(_pre_arm_scored(under), "pre"))
+    return out.orderBy("query_id", "rk")

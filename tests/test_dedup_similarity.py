@@ -401,3 +401,131 @@ def test_s21_zero_pass_predicate_short_circuits_empty(spark, monkeypatch):
         assert [f.name for f in df.schema.fields] == [
             "query_id", "rk", "neighbor_id", "cosine", "arm",
         ]
+
+
+def _build_correlated_corpus(tmp):
+    """Synthetic corpus where the metadata predicate CORRELATES with
+    similarity (VERDICT r10 item 5): for queries 1..9 the top of every
+    unfiltered ranking is dominated by short (predicate-failing) docs, so
+    the post arm's overfetched prefix holds zero survivors; query 0 has no
+    short docs, so its prefix is all survivors. ~66% of docs pass, so the
+    data-driven switch still picks the post arm. Fully deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim, n_short_per_q, n_pass_per_q = 16, 15, 19
+    vecs, n_chars = [], []
+    # ids 0..9: the queries themselves (passing), orthogonal directions
+    for i in range(10):
+        v = np.zeros(dim)
+        v[i] = 1.0
+        vecs.append(v)
+        n_chars.append(500)
+    # short (failing) docs: nearly identical to their query's vector —
+    # they dominate the top of query i's ranking (cos ≈ 0.9988)
+    for i in range(1, 10):
+        for j in range(n_short_per_q):
+            v = np.zeros(dim)
+            v[i] = 1.0
+            v[(i + 10 + j) % dim or 15] = 0.05
+            vecs.append(v)
+            n_chars.append(50)
+    # passing docs: clearly similar to their query but below the shorts
+    # (cos ≈ 0.89) — the TRUE filtered neighbors
+    for i in range(10):
+        for j in range(n_pass_per_q):
+            v = np.zeros(dim)
+            v[i] = 1.0
+            v[(i + 1 + j) % dim] = 0.5 + 0.001 * j
+            vecs.append(v)
+            n_chars.append(400 + j)
+    n = len(vecs)
+    ids = list(range(n))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([i % 4 for i in ids], pa.int32()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["x" * c for c in n_chars]),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["syn"] * n),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    # the oracle harness registers views for EVERY table name
+    import os as _os
+
+    from highs_duckdb_spark.session import TABLES
+
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            _os.symlink(f"{SF}/{t}.parquet", f"{tmp}/{t}.parquet")
+    return n
+
+
+def test_s21_under_return_guard_on_correlated_corpus(spark, tmp_path):
+    """VERDICT r10 item 5: on a predicate-similarity-CORRELATED corpus the
+    post arm's overfetched prefix under-returns; the per-query guard must
+    escalate exactly those queries to the exact pre arm, the escalated
+    rows must equal the forced-pre ground truth, and the DuckDB oracle
+    (which replicates the guard) must hash-match the whole result."""
+    import os as _os
+
+    from highs_duckdb_spark.operators.registry import QUERIES
+    from highs_duckdb_spark.operators.similarity import TOP_K
+    from tests.oracle_harness import compare
+
+    tmp = str(tmp_path / "corpus")
+    _os.makedirs(tmp)
+    _build_correlated_corpus(tmp)
+
+    rows = QUERIES["s21_filtered_ann_switch"].builder(spark, tmp).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # query 0 (no correlated shorts): stays on the post arm, full k
+    assert {r["arm"] for r in by_q[0]} == {"post"}
+    assert len(by_q[0]) == TOP_K
+    # queries 1..9: zero survivors in the overfetched prefix -> escalated
+    for qid in range(1, 10):
+        assert {r["arm"] for r in by_q[qid]} == {"pre"}, by_q[qid]
+        assert len(by_q[qid]) == TOP_K
+
+    # escalated rows == exact pre-arm ground truth (filtered recall@k = 1)
+    _os.environ["HDS_S21_FORCE_ARM"] = "pre"
+    try:
+        want = {
+            (r["query_id"], r["rk"], r["neighbor_id"], r["cosine"])
+            for r in QUERIES["s21_filtered_ann_switch"].builder(spark, tmp).collect()
+            if r["query_id"] >= 1
+        }
+    finally:
+        del _os.environ["HDS_S21_FORCE_ARM"]
+    got = {
+        (r["query_id"], r["rk"], r["neighbor_id"], r["cosine"])
+        for r in rows
+        if r["query_id"] >= 1
+    }
+    assert got == want
+
+    # and the oracle replicates the guard bit-for-bit on this corpus
+    ok, msg = compare(
+        QUERIES["s21_filtered_ann_switch"].builder(spark, tmp),
+        QUERIES["s21_filtered_ann_switch"].oracle,
+        tmp,
+    )
+    assert ok, msg
