@@ -214,3 +214,81 @@ def test_qs07_processor_running_totals_match_batch(spark):
             last = out[0].iloc[0]
         got.add((key, int(last["n_events"]), int(last["total_cents"])))
     assert got == exp
+
+
+def test_mv_maintenance_cycles_flat(spark, tmp_path):
+    """VERDICT r10 item 8: regression pin for the round-10 skewed-batch-
+    split bug (repartition(3, key % 3) collided two residue classes into
+    one partition, so per-cycle refresh latency LOOKED like it grew with
+    cycle count). Drives the qs19-shaped MV-maintenance stream on the
+    small corpus with instrumented foreachBatch and asserts the two
+    invariants the bench decomposition established: (1) micro-batch
+    DELTAS are equal thirds (the deterministic signal the bug violated),
+    and (2) refresh wall time per cycle is flat — generous 5x bound so
+    host CPU-steal windows can't flake it (measured flat: 0.91x)."""
+    import os
+    import time
+    import uuid as _uuid
+
+    from highs_duckdb_spark.sources import layout as L
+
+    name = "rev_by_nation_year"
+    work = str(tmp_path)
+    live = os.path.join(work, "sf")
+    os.makedirs(live)
+    import shutil
+
+    for t in ("orders", "customer", "supplier", "nation"):
+        shutil.copy(f"{SF}/{t}.parquet", os.path.join(live, f"{t}.parquet"))
+    li = load_table(spark, "lineitem", SF)
+    lidir = os.path.join(live, "lineitem.parquet")
+    li.limit(0).coalesce(1).write.parquet(lidir)
+    layout_dir = os.path.join(work, "layout")
+    L._build_agg_mvs(spark, live, layout_dir, idents={})
+
+    incoming = os.path.join(work, "incoming")
+    for b in range(3):
+        (
+            li.filter(F.col("l_orderkey") % 3 == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(incoming)
+        )
+    schema = spark.read.parquet(incoming).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(incoming)
+    )
+    cycles: list[tuple[int, float]] = []
+
+    def maintain(batch_df, _batch_id):
+        n = batch_df.count()
+        batch_df.write.mode("append").parquet(lidir)
+        t0 = time.perf_counter()
+        L.refresh_agg_mv(
+            batch_df.sparkSession, live, name, {"lineitem": batch_df}, layout_dir
+        )
+        cycles.append((n, time.perf_counter() - t0))
+
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", f"/tmp/hds_ckpt_flat_{_uuid.uuid4().hex}"
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(cycles) == 3, cycles
+    sizes = [n for n, _ in cycles]
+    # (1) equal thirds: every batch is one residue class of l_orderkey % 3
+    # — the skew bug produced [0, n/3, 2n/3] here
+    assert min(sizes) > 0, sizes
+    assert max(sizes) <= 2 * min(sizes), sizes
+    # (2) flat refresh cycles: last/first bounded (no growth with the size
+    # of the already-accumulated fact — refresh cost tracks DELTA size)
+    times = [t for _, t in cycles]
+    assert times[-1] <= 5 * times[0], cycles
