@@ -11,6 +11,12 @@ Usage:
   python bench.py --all           # every registered query
   python bench.py --compare       # also time DuckDB on the oracle SQL (stderr)
   python bench.py --queries=a,b   # explicit subset (the sf100 ladder protocol)
+  python bench.py --set=corpus    # the LLM-pipeline scale headliners
+      # (VERDICT r10 item 2) — run with SPARK_GRAFT_SF_DIR=benchdata/
+      # corpus100x (the vocab-permuted 100x corpus, tools/gen_corpus.py;
+      # sf100's verbatim-replicated documents would measure duplicate-
+      # cluster explosion, not the operators). Works on corpus-only dirs:
+      # warm-up / banded-layout / oracle views skip absent tables.
   python bench.py --layout=bucketed
       # run on the bucketed/sort-clustered storage layout
       # (sources/layout.py): lineitem/orders bucketed+sorted by orderkey,
@@ -47,6 +53,16 @@ HEADLINE = [
     "s01_cosine_topk",
     # optimization (bulk, distributed)
     "opt05_solve_many_bulk",
+]
+
+#: the LLM-pipeline scale headliners (VERDICT r10 item 2): measured under
+#: the same min-over-3 --compare protocol as HEADLINE, but at the 100x
+#: corpus (documents/embeddings only)
+CORPUS_HEADLINE = [
+    "s05_cosine_topk_local_merge",
+    "s20_filtered_ann",
+    "d03_full_minhash_lsh_pairs",
+    "p09_full_corpus_pipeline",
 ]
 
 
@@ -110,18 +126,35 @@ def main() -> None:
     elif layout:
         raise SystemExit(f"unknown --layout={layout!r} (expected 'bucketed')")
 
+    # Tables actually present in sf_dir: a corpus dir (tools/gen_corpus.py)
+    # holds documents/embeddings only — warm-up, the banded layout, and the
+    # oracle views must not touch the others there.
+    from highs_duckdb_spark.session import TABLES as _ALL_TABLES
+
+    present = [
+        t for t in _ALL_TABLES if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    ]
+
     # Explicit layout step for the zone-map top-k (q42_topk_banded is
     # READ-ONLY and falls back to the plain plan without this): build the
     # price-banded orders + stats sidecar once, outside the measured window.
-    from highs_duckdb_spark.sources.layout import build_banded_orders
+    if "orders" in present:
+        from highs_duckdb_spark.sources.layout import build_banded_orders
 
-    build_banded_orders(spark, sf_dir)
+        build_banded_orders(spark, sf_dir)
 
     subset = next(
         (a.split("=", 1)[1] for a in sys.argv if a.startswith("--queries=")), None
     )
+    named_set = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--set=")), None
+    )
     if subset:  # explicit subset (e.g. the sf100 ladder protocol)
         names = [n for n in subset.split(",") if n in QUERIES]
+    elif named_set == "corpus":
+        names = [n for n in CORPUS_HEADLINE if n in QUERIES]
+    elif named_set:
+        raise SystemExit(f"unknown --set={named_set!r} (expected 'corpus')")
     else:
         names = sorted(QUERIES) if run_all else [n for n in HEADLINE if n in QUERIES]
 
@@ -130,33 +163,43 @@ def main() -> None:
     # Warm-up must NOT be a measured headline query (it would get an extra
     # run and bias its best-of-2 timing vs peers): scan the two big tables
     # through a trivial shuffle instead.
-    from highs_duckdb_spark.session import TABLES, load_table
+    from highs_duckdb_spark.session import load_table
 
-    # Touch every table once: populates the reader-DataFrame cache (file
-    # listing + footer schema) and the OS page cache, so no measured query
-    # pays first-load costs that are session setup, not query work.
-    for t in TABLES:
+    # Touch every PRESENT table once: populates the reader-DataFrame cache
+    # (file listing + footer schema) and the OS page cache, so no measured
+    # query pays first-load costs that are session setup, not query work.
+    for t in present:
         load_table(spark, t, sf_dir).groupBy().count().collect()
     # Exercise the codegen paths the measured queries hit (decimal agg,
     # window, broadcast join) so the first measured query doesn't absorb
     # their one-time JIT/codegen compile cost. None of these is a measured
-    # query — just the same physical operator kinds.
+    # query — just the same physical operator kinds. On a corpus-only dir
+    # the documents table plays the scan/agg/window role instead.
     import pyspark.sql.functions as F  # noqa: N812
     from pyspark.sql import Window
 
-    li = load_table(spark, "lineitem", sf_dir)
-    li.groupBy("l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-    ).collect()
-    li.limit(1000).select(
-        F.row_number()
-        .over(Window.partitionBy("l_suppkey").orderBy("l_orderkey"))
-        .alias("rn")
-    ).collect()
-    nat = load_table(spark, "nation", sf_dir)
-    load_table(spark, "supplier", sf_dir).join(
-        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
-    ).groupBy().count().collect()
+    if "lineitem" in present:
+        li = load_table(spark, "lineitem", sf_dir)
+        li.groupBy("l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        ).collect()
+        li.limit(1000).select(
+            F.row_number()
+            .over(Window.partitionBy("l_suppkey").orderBy("l_orderkey"))
+            .alias("rn")
+        ).collect()
+        nat = load_table(spark, "nation", sf_dir)
+        load_table(spark, "supplier", sf_dir).join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        ).groupBy().count().collect()
+    else:
+        docs = load_table(spark, "documents", sf_dir)
+        docs.groupBy("lang").agg(F.sum("n_chars")).collect()
+        docs.limit(1000).select(
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy("doc_id"))
+            .alias("rn")
+        ).collect()
     import pandas as pd  # noqa: F401
 
     # Spawn the full Python-worker pool (workers are forked lazily per
@@ -230,11 +273,9 @@ def main() -> None:
     if compare:
         import duckdb
 
-        from highs_duckdb_spark.session import TABLES
-
         con = duckdb.connect()
         con.execute(f"SET threads={cpus}")
-        for t in TABLES:
+        for t in present:
             if t in layout_paths:  # same bucketed files Spark reads
                 src = f"{layout_paths[t]}/*.parquet"
             else:
