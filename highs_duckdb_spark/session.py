@@ -29,12 +29,22 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def get_spark(app_name: str = "highs_duckdb_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "highs_duckdb_spark",
+    cpus: int | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults.
 
     AQE is enabled so that at real scale Spark re-plans at runtime:
     coalescing post-shuffle partitions, converting sort-merge joins to
     broadcast when a side turns out small, and splitting skewed partitions.
+
+    ``conf``: extra session-BUILD configs — the hook for core confs that
+    cannot be set via spark.conf.set at runtime (e.g.
+    spark.io.compression.codec for shuffle-temp-bound builds). Applied
+    last, so they override the defaults above. No effect when an existing
+    session is reused (Spark builder semantics).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -70,6 +80,8 @@ def get_spark(app_name: str = "highs_duckdb_spark", cpus: int | None = None) -> 
         .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

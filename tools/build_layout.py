@@ -30,7 +30,13 @@ def main() -> None:
 
     layout_dir = sys.argv[2] if len(sys.argv) > 2 else L.default_layout_dir(sf_dir)
     spark = get_spark(
-        "layout-build", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        "layout-build",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # zstd shuffle/spill compression: the projection build's fan-out
+        # shuffle is DISK-bound on this host (lz4 temp hit ENOSPC with
+        # ~39 GB free, round 11) — zstd shrinks the temp ~40% for a
+        # build whose cost is one-off and untimed
+        conf={"spark.io.compression.codec": "zstd"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
