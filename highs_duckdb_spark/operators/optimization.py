@@ -205,15 +205,35 @@ def opt04_datacenter_mip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def opt05_solve_many_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from highs_duckdb_spark.optim.bulk import solve_packed
 
+    result = solve_packed(_opt05_packed(spark, sf_dir))
+    # Presentation sort of a tiny result (n_models × n_vars rows): a global
+    # orderBy would range-sample its child — re-executing the solve stage a
+    # second time per run. One round-robin exchange to a single partition +
+    # partition-local sort keeps the Python solve stage single-execution.
+    return (
+        result.selectExpr(
+            "model_name",
+            "variable_name",
+            "variable_index",
+            "round(1e-9 + solution_value, 6) AS solution_value",
+            "reduced_cost",
+            "status",
+        )
+        .repartition(1)
+        .sortWithinPartitions("model_name", "variable_index")
+    )
+
+
+def _opt05_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """opt05's model assembly alone (exposed for the decomposition probe,
+    tools/opt05_decompose.py): the three model tables assembled directly
+    into the solver's packed long form in ONE SQL statement — the union's
+    three copies of the customer agg share one map-side execution via
+    Spark's ReuseExchange rule, and a single spark.sql call keeps
+    driver-side plan construction flat (the chained DataFrame-API form
+    spent ~0.4 s/run in Py4J round trips at bench scale)."""
     load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
-    # The three model tables (variables / constraints / coefficients) are
-    # assembled directly into the solver's packed long form in ONE SQL
-    # statement: the union's three copies of the customer agg share one
-    # map-side execution via Spark's ReuseExchange rule, and a single
-    # spark.sql call keeps driver-side plan construction flat (the chained
-    # DataFrame-API form of this query spent ~0.4 s/run in Py4J round trips
-    # at bench scale — ~40% of its wall time).
-    packed = spark.sql(
+    return spark.sql(
         """
         WITH g AS (
           SELECT 'nation_' || CAST(c_nationkey AS STRING) AS model_name,
@@ -237,23 +257,6 @@ def opt05_solve_many_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS BIGINT)
         FROM g LATERAL VIEW stack(2, 'x', 1.0D, 'y', 2.0D) AS variable_name, coefficient
         """
-    )
-    result = solve_packed(packed)
-    # Presentation sort of a tiny result (n_models × n_vars rows): a global
-    # orderBy would range-sample its child — re-executing the solve stage a
-    # second time per run. One round-robin exchange to a single partition +
-    # partition-local sort keeps the Python solve stage single-execution.
-    return (
-        result.selectExpr(
-            "model_name",
-            "variable_name",
-            "variable_index",
-            "round(1e-9 + solution_value, 6) AS solution_value",
-            "reduced_cost",
-            "status",
-        )
-        .repartition(1)
-        .sortWithinPartitions("model_name", "variable_index")
     )
 
 

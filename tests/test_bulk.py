@@ -159,3 +159,16 @@ def test_solve_many_duplicate_variable_error_row(spark):
     rows = solve_many(v, c, k).collect()
     assert len(rows) == 1
     assert "already exists" in rows[0]["status"]
+
+
+def test_solve_packed_batched_equals_per_model(spark):
+    """batch_models=True (one task per hash bucket of models) must produce
+    exactly the per-model-task rows — the batching is an execution-shape
+    change only (VERDICT r10 item 7)."""
+    from highs_duckdb_spark.operators.optimization import _opt05_packed
+    from highs_duckdb_spark.optim.bulk import solve_packed
+
+    packed = _opt05_packed(spark, "/root/testdata/sf0.001")
+    a = {tuple(r) for r in solve_packed(packed, batch_models=False).collect()}
+    b = {tuple(r) for r in solve_packed(packed, batch_models=True).collect()}
+    assert a == b and len(a) > 0
