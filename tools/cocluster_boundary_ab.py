@@ -110,8 +110,14 @@ def main() -> None:
                 os.environ.pop("HDS_DISABLE_COCLUSTER", None)
                 cbo.COCLUSTER_MIN_BUILD_BYTES = 1
             times[arm] = _best(m)
+            plan = q10_shaped(m)._jdf.queryExecution().executedPlan().toString()
+            shape = "SHJ" if "ShuffledHashJoin" in plan else (
+                "BHJ" if "BroadcastHashJoin" in plan else "?"
+            )
             print(
-                f"map~{est_mb:6.1f}MB (1/{m:<2d}) {arm:9s} {times[arm]:7.3f}s",
+                f"map~{est_mb:6.1f}MB (1/{m:<2d}) {arm:9s} {times[arm]:7.3f}s"
+                f"  join={shape} exchanges="
+                f"{plan.count('Exchange hashpartitioning')}",
                 flush=True,
             )
         win = min(times, key=times.get)
