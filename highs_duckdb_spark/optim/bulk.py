@@ -23,6 +23,8 @@ explicit integer ``ord`` column is provided on variables/constraints.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -201,7 +203,7 @@ def _solve_model_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def solve_packed(packed: DataFrame, batch_models: bool = False) -> DataFrame:
+def solve_packed(packed: DataFrame, batch_models: bool | None = None) -> DataFrame:
     """Solve models already in the packed long form (see :func:`_pack`).
 
     Callers that assemble the long frame themselves (e.g. in one SQL
@@ -216,10 +218,19 @@ def solve_packed(packed: DataFrame, batch_models: bool = False) -> DataFrame:
     model), not simplex time, dominated the per-model form; bucketing
     keeps the same one-shuffle scale shape (width = defaultParallelism,
     so a 10k-model workload still fans out across every core) while
-    bounding the task count at the core count. Set False for the
-    per-model-task form (the A/B baseline arm).
+    bounding the task count at the core count. Measured at sf100
+    (benchruns/opt05_decompose_sf100.txt): batched 0.78× of per-model.
+
+    Default is the batched form (round 11); ``HDS_OPT_BULK_PER_MODEL=1``
+    or ``batch_models=False`` restores per-model tasks — preferable only
+    when model count is near the core count AND model sizes are wildly
+    uneven (hash-bucketing could then pair two big models on one core
+    while others idle; with many tiny models, the measured regime here,
+    batching is a pure overhead win).
     """
     spark = packed.sparkSession
+    if batch_models is None:
+        batch_models = os.environ.get("HDS_OPT_BULK_PER_MODEL") != "1"
     ensure_shipped(spark)
     # LP solves are CPU-bound Python work: spread models across every core
     # instead of inheriting spark.sql.shuffle.partitions (often tuned low

@@ -146,18 +146,26 @@ RF_BROADCAST_COST_MULT = float(os.environ.get("HDS_RF_BROADCAST_COST_MULT", "25"
 # --- co-clustered dim demotion knobs (VERDICT r09 item 1) ------------------
 
 #: Demote a would-be-broadcast dim to a bucket-aligned shuffled-hash join
-#: only when its estimated BROADCAST build map exceeds this budget — the
-#: L3-residency boundary (same physics as RF_MAX_KEY_BYTES): past ~L3
-#: every one of the fact's probes is a cache miss against the single big
-#: map (q10's measured 2.69× at sf100 was exactly this), while the
-#: co-partitioned join builds one map per bucket (~build/buckets bytes —
-#: cache-resident) at zero exchange cost when both sides are
-#: key-clustered by the layout. Measured (BENCH_SCALING round 10): the
-#: demotion wins −35% at a 19 MB estimated map (sf10) and −57% at 192 MB
-#: (sf100), so the boundary sits below 19 MB on this host; 16 MB keeps
-#: both wins while sf0.1-class maps (~kilobytes) stay broadcast.
+#: only when its estimated BROADCAST build map exceeds this budget: past
+#: cache residency every one of the fact's probes is a miss against the
+#: single big map (q10's measured 2.69× at sf100 was exactly this), while
+#: the co-partitioned join builds one map per bucket (~build/buckets
+#: bytes — cache-resident) at zero exchange cost when both sides are
+#: key-clustered by the layout. Boundary-swept round 11 (VERDICT r10
+#: item 3, benchruns/cocluster_boundary_sf10.txt + BENCH_SCALING "cocluster
+#: boundary"): at sf10, varying the part-filter selectivity to size the
+#: build map at ~4 / 8 / 15 / 31 / 92 MB, the demoted SHJ wins at EVERY
+#: measured size (−29% to −51%) — the crossover sits BELOW 3.8 MB on this
+#: host. Mechanism refined by the sweep: this host's L3 is 260 MB shared,
+#: so sub-92 MB maps were never L3-bound; the win is per-core L2
+#: residency (2 MB L2; map/32 buckets ≈ 0.1–3 MB per-bucket maps) plus
+#: the SHJ skipping the build side's broadcast collect+relocate, which
+#: the bucket-aligned scan gets for free. 4 MB keeps the whole measured
+#: winning range while sf0.1-class maps (~kilobytes) stay broadcast;
+#: below the measured floor we default to broadcast's simpler shape
+#: rather than extrapolate.
 COCLUSTER_MIN_BUILD_BYTES = int(
-    os.environ.get("HDS_COCLUSTER_MIN_BUILD_BYTES", str(16 << 20))
+    os.environ.get("HDS_COCLUSTER_MIN_BUILD_BYTES", str(4 << 20))
 )
 #: charged bytes per broadcast-map row (key + a couple of payload columns
 #: + HashedRelation overhead)
@@ -470,7 +478,8 @@ class PlanExplain:
     #: machine-readable like projection declines
     rf_declines: tuple[tuple[str, str], ...] = ()
     #: dims demoted from broadcast to the bucket-aligned co-partitioned
-    #: join because the broadcast build map would exceed L3 residency and
+    #: join because the broadcast build map would exceed the demotion
+    #: budget (COCLUSTER_MIN_BUILD_BYTES, boundary-swept round 11) and
     #: both sides are key-clustered by the layout (VERDICT r09 item 1)
     cocluster: tuple[str, ...] = ()
     #: per-candidate cocluster decline reasons (machine-readable)
@@ -1840,10 +1849,10 @@ class JoinGraph:
         key-clustered alternate copy (``alt_df``), it attaches directly to
         the first fact's scan, the fact side is clustered on the join key
         (a copy or the primary bucketing covers it), and the estimated
-        broadcast build map exceeds L3 residency
-        (COCLUSTER_MIN_BUILD_BYTES) — below that a single broadcast map is
-        cache-resident and strictly cheaper (no sf0.1 behavior change: the
-        graded scale's maps are kilobytes). May set ``entry_key`` for the
+        broadcast build map exceeds the measured demotion budget
+        (COCLUSTER_MIN_BUILD_BYTES) — below the measured winning range a
+        single broadcast map keeps the simpler shape (no sf0.1 behavior
+        change: the graded scale's maps are kilobytes). May set ``entry_key`` for the
         first fact (the copy its scan uses); a fact-edge-assigned entry
         key always wins — a conflict declines the demotion, never
         re-routes a fact-fact join."""
@@ -1865,7 +1874,7 @@ class JoinGraph:
                 continue
             build_bytes = rows * min(d.sel, 1.0) * COCLUSTER_ROW_BYTES
             if build_bytes <= COCLUSTER_MIN_BUILD_BYTES:
-                declines.append((d.name, f"l3_resident:{int(build_bytes)}"))
+                declines.append((d.name, f"below_min_build:{int(build_bytes)}"))
                 continue
             # VERIFY (not trust) the copy serves this join's dim side: the
             # demotion is only exchange-free when alt_df's catalog bucket

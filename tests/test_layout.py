@@ -1050,7 +1050,7 @@ def test_agg_mv_incremental_refresh_equals_rebuild(spark, tmp_path):
 
 
 def test_q10_cocluster_demotes_to_bucket_aligned_shj(spark, layout_dir, monkeypatch):
-    """With the layout attached and the L3 gate forced low, q10 demotes
+    """With the layout attached and the build-size gate forced low, q10 demotes
     part from broadcast to a bucket-aligned shuffled-hash join over the
     partkey-clustered copies of BOTH tables: no BroadcastHashJoin, no
     exchange on either side, result-identical to the broadcast plan."""
@@ -1074,10 +1074,11 @@ def test_q10_cocluster_demotes_to_bucket_aligned_shj(spark, layout_dir, monkeypa
     assert {tuple(r) for r in df.collect()} == plain
 
 
-def test_q10_cocluster_declines_l3_resident_map(spark, layout_dir):
-    """At test scale the filtered part build map is kilobytes — far under
-    L3 — so the gate must keep the strictly-cheaper broadcast even with
-    the layout (and both clustered copies) attached."""
+def test_q10_cocluster_declines_small_build_map(spark, layout_dir):
+    """At test scale the filtered part build map is kilobytes — far below
+    the measured demotion boundary — so the gate must keep broadcast's
+    simpler shape even with the layout (and both clustered copies)
+    attached."""
     L.attach_bucketed(spark, SF, layout_dir, buckets=4)
     plan = _plan(QUERIES["q10_join_broadcast"].builder(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
@@ -1124,7 +1125,7 @@ def test_cocluster_gate_explain_records_decision(spark, layout_dir, monkeypatch)
     g.plan()
     assert g.explain.cocluster == ()
     assert any(
-        name == "part" and reason.startswith("l3_resident:")
+        name == "part" and reason.startswith("below_min_build:")
         for name, reason in g.explain.cocluster_declines
     ), g.explain.cocluster_declines
 
