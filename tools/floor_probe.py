@@ -19,7 +19,13 @@ add one is a separate decision recorded in BENCH_SCALING.md — bench.py
 keeps calling builders fresh either way (DuckDB re-parses per execute, so
 fresh-vs-fresh is the fair comparison).
 
-Usage: python tools/floor_probe.py [sf_dir] [runs]
+Usage: python tools/floor_probe.py [sf_dir] [runs] [q1,q2,...]
+
+The optional third arg overrides the default probe set — used round 11 to
+decompose the corpus100x LLM-pipeline headliners (s05/s20/p09), whose
+sub-second protocol ratios are floor-dominated at the 107 MB corpus.
+Warm-up skips tables the directory doesn't have (corpus dirs hold only
+documents/embeddings).
 """
 
 from __future__ import annotations
@@ -42,6 +48,7 @@ PROBES = [
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    probes = sys.argv[3].split(",") if len(sys.argv) > 3 else PROBES
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     from highs_duckdb_spark.operators import QUERIES
@@ -55,7 +62,8 @@ def main() -> None:
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     tune_for_data(spark, sf_dir)
     for t in TABLES:
-        load_table(spark, t, sf_dir).groupBy().count().collect()
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, t, sf_dir).groupBy().count().collect()
 
     def mat(df) -> None:
         try:
@@ -63,7 +71,7 @@ def main() -> None:
         except Exception:
             df.collect()
 
-    for name in PROBES:
+    for name in probes:
         spec = QUERIES[name]
         mat(spec.builder(spark, sf_dir))  # steady state
         t_construct = min(
