@@ -963,6 +963,62 @@ def clear_alt_copies(spark: SparkSession) -> None:
     for key in [k for k in _AGG_MVS if k[0] == app]:
         del _AGG_MVS[key]
         _AGG_MV_READERS.pop(key, None)
+    for key in [k for k in _VECTOR_INDEXES if k[0] == app]:
+        del _VECTOR_INDEXES[key]
+
+
+# --- persisted vector (IVF) index registry (round 11) ----------------------
+#
+# Storage + registration only — training and query semantics live in
+# operators/similarity.py (build_ivf_index), which owns the IVF parameters.
+# Same catalog discipline as the aggregate MVs: registration is metadata,
+# the accept path re-validates the build-time source fingerprint AND the
+# recorded training parameters, and a mismatch declines with a
+# machine-readable reason instead of serving a stale or differently-shaped
+# index.
+
+#: (applicationId, sf_dir) -> index directory
+_VECTOR_INDEXES: dict[tuple[str, str], str] = {}
+
+
+def register_vector_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Record a built vector index directory for this (session, sf_dir).
+
+    The directory must carry the `_source_fingerprint.json` marker its
+    build wrote (centroids + cell-partitioned corpus copy + params);
+    consumers re-validate freshness per call via
+    :func:`vector_index_stale`."""
+    if not _layout_marker(path):
+        raise ValueError(f"register_vector_index: no marker at {path!r}")
+    app = spark.sparkContext.applicationId
+    _VECTOR_INDEXES[(app, sf_dir)] = path
+
+
+def attached_vector_index(spark: SparkSession, sf_dir: str) -> str | None:
+    """The registered vector-index directory for this (session, sf_dir),
+    or None — the answer a production catalog's index registry gives."""
+    app = spark.sparkContext.applicationId
+    return _VECTOR_INDEXES.get((app, sf_dir))
+
+
+def vector_index_stale(sf_dir: str, path: str, params: dict) -> str | None:
+    """Decline reason for a registered vector index, or None when fresh.
+
+    Two accept conditions, both from the marker the build stamped:
+    the LIVE embeddings source fingerprint still matches (same
+    filesystem-metadata check as :func:`agg_mv_stale` — no data scan),
+    and the recorded training parameters equal the caller's ``params``
+    (an index trained under different k/rounds/sample/quantizer would
+    return DIFFERENT results, not just slower ones — a silent accept
+    would be a correctness bug, unlike the MV case)."""
+    marker = _layout_marker(path)
+    if not marker:
+        return "stale_source:no_marker"
+    if marker.get("fingerprint") != _source_fingerprint(sf_dir, "embeddings"):
+        return "stale_source"
+    if marker.get("params") != params:
+        return "params_mismatch"
+    return None
 
 
 def scan_for_keys(

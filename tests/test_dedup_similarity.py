@@ -529,3 +529,92 @@ def test_s21_under_return_guard_on_correlated_corpus(spark, tmp_path):
         tmp,
     )
     assert ok, msg
+
+
+# --- persisted IVF index (round 11) ----------------------------------------
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_s22_persisted_index_equals_inquery_and_prunes(spark, tmp_path):
+    """The persisted index must be a pure physical substitution: same rows
+    as in-query training (training is deterministic and float64 survives
+    the parquet round-trip bit-exactly), with the shortlist scan
+    PARTITION-PRUNED to the probed cells."""
+    from highs_duckdb_spark.operators import QUERIES
+    from highs_duckdb_spark.operators.similarity import _ivf_corpus, build_ivf_index
+    from highs_duckdb_spark.sources import layout as L
+
+    build = QUERIES["s22_filtered_ann_ivf_indexed"].builder
+    try:
+        baseline = _sorted_rows(build(spark, SF))
+        assert L.attached_vector_index(spark, SF) is None
+        path = build_ivf_index(spark, SF, str(tmp_path / "ivf"))
+        assert L.attached_vector_index(spark, SF) == path
+        _, _, how = _ivf_corpus(spark, SF)
+        assert how == "index"
+        df = build(spark, SF)
+        assert _sorted_rows(df) == baseline
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan  # pruned probed-cell scan
+    finally:
+        L.clear_alt_copies(spark)
+
+
+def test_vector_index_staleness_declines(spark, tmp_path):
+    """A stale or differently-parameterized index must DECLINE with a
+    machine-readable reason and fall back to in-query training — a params
+    mismatch would change results, not just speed."""
+    import json
+    import os
+
+    from highs_duckdb_spark.operators.similarity import (
+        IVF_INDEX_PARAMS,
+        _ivf_corpus,
+        build_ivf_index,
+    )
+    from highs_duckdb_spark.sources import layout as L
+
+    try:
+        path = build_ivf_index(spark, SF, str(tmp_path / "ivf"))
+        assert L.vector_index_stale(SF, path, dict(IVF_INDEX_PARAMS)) is None
+        # params mismatch: recorded k differs from the caller's
+        marker = os.path.join(path, "_source_fingerprint.json")
+        rec = json.load(open(marker))
+        rec["params"]["k"] = rec["params"]["k"] + 1
+        json.dump(rec, open(marker, "w"))
+        assert (
+            L.vector_index_stale(SF, path, dict(IVF_INDEX_PARAMS))
+            == "params_mismatch"
+        )
+        _, _, how = _ivf_corpus(spark, SF)
+        assert how == "params_mismatch"  # fell back, reason recorded
+        # source mutated after build: fingerprint no longer matches
+        rec["params"]["k"] -= 1
+        rec["fingerprint"] = "tampered"
+        json.dump(rec, open(marker, "w"))
+        assert L.vector_index_stale(SF, path, dict(IVF_INDEX_PARAMS)) == "stale_source"
+        # a directory without a marker must refuse registration outright
+        with pytest.raises(ValueError, match="no marker"):
+            L.register_vector_index(spark, SF, str(tmp_path / "empty"))
+    finally:
+        L.clear_alt_copies(spark)
+
+
+def test_s21_post_arm_identical_with_persisted_index(spark, tmp_path, monkeypatch):
+    """s21's post arm served from the persisted quantizer must return the
+    exact rows the in-query-trained form returns."""
+    from highs_duckdb_spark.operators import QUERIES
+    from highs_duckdb_spark.operators.similarity import build_ivf_index
+    from highs_duckdb_spark.sources import layout as L
+
+    monkeypatch.setenv("HDS_S21_FORCE_ARM", "post")
+    build = QUERIES["s21_filtered_ann_switch"].builder
+    try:
+        baseline = _sorted_rows(build(spark, SF))
+        build_ivf_index(spark, SF, str(tmp_path / "ivf"))
+        assert _sorted_rows(build(spark, SF)) == baseline
+    finally:
+        L.clear_alt_copies(spark)
