@@ -2543,11 +2543,14 @@ def _id_bucketed_copies(spark, sf_dir: str):
     when the whole exchange-free join is available."""
     from highs_duckdb_spark.sources.layout import alt_clustered_copies
 
+    # keyset EQUALITY, not containment: a copy bucketed on (id, extra) is
+    # not co-partitioned on the id alone — picking it would report the
+    # exchange-free shape while the join silently re-shuffles both sides
     emb = next(
         (
             df
             for ks, df in alt_clustered_copies(spark, sf_dir, "embeddings").items()
-            if "vec_id" in ks
+            if frozenset(ks) == frozenset({"vec_id"})
         ),
         None,
     )
@@ -2555,7 +2558,7 @@ def _id_bucketed_copies(spark, sf_dir: str):
         (
             df
             for ks, df in alt_clustered_copies(spark, sf_dir, "documents").items()
-            if "doc_id" in ks
+            if frozenset(ks) == frozenset({"doc_id"})
         ),
         None,
     )
@@ -3029,16 +3032,21 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # escalate exactly those queries to the exact pre arm. Replicated
         # in the oracle (post_counts/esc CTEs), so parity covers the
         # guard decision itself.
-        surv = {
-            r["query_id"]: r["n"]
-            for r in scored.groupBy("query_id")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        # ONE action executes the heavy shortlist lineage (assignment +
+        # probe + join + scoring): the survivor set is bounded
+        # (≤ queries × k' rows), so collect it once, count locally, and
+        # rank a LOCAL frame — re-filtering `scored` would re-execute the
+        # whole uncached lineage a second time (review r11)
+        srows = scored.select("query_id", "neighbor_id", "cosine").collect()
+        surv: dict[int, int] = {}
+        for r in srows:
+            surv[r["query_id"]] = surv.get(r["query_id"], 0) + 1
         q_universe = [r["query_id"] for r in q.select("query_id").collect()]
         under = sorted(u for u in q_universe if surv.get(u, 0) < TOP_K)
-        post_scored = (
-            scored.filter(~F.col("query_id").isin(under)) if under else scored
+        under_set = set(under)
+        post_scored = spark.createDataFrame(
+            [tuple(r) for r in srows if r["query_id"] not in under_set],
+            "query_id long, neighbor_id long, cosine double",
         )
         out = _ranked(post_scored, "post")
         if under:
@@ -3093,8 +3101,6 @@ def build_ivf_index(
     the index directory. Reference bar: the reference engine inherits
     DuckDB's ART indexes as persistent storage artifacts; this is the
     vector-search equivalent expressed as declared storage."""
-    import json as _json
-
     from highs_duckdb_spark.session import ensure_shipped
     from highs_duckdb_spark.sources import layout as L
 
@@ -3103,6 +3109,13 @@ def build_ivf_index(
         dest_dir = os.path.join(
             L.default_layout_dir(sf_dir), "ivf_index"
         )
+    # invalidate FIRST on a rebuild: the data overwrite below is not
+    # atomic, and a crashed rebuild must not leave the PREVIOUS build's
+    # still-fingerprint-valid marker pointing at torn data (review r11)
+    try:
+        os.remove(os.path.join(dest_dir, "_source_fingerprint.json"))
+    except OSError:
+        pass
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
@@ -3120,12 +3133,12 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(dest_dir, "centroids.parquet")
     )
-    # marker last: a build killed mid-write leaves no marker, so
-    # register_vector_index refuses the torn directory
+    # marker last: a build killed mid-write leaves no (or no longer any)
+    # marker, so register_vector_index refuses the torn directory
     L._write_fingerprint(
         dest_dir,
         L._source_fingerprint(sf_dir, "embeddings"),
-        params=_json.loads(_json.dumps(IVF_INDEX_PARAMS)),
+        params=dict(IVF_INDEX_PARAMS),
     )
     L.register_vector_index(spark, sf_dir, dest_dir)
     return dest_dir
@@ -3142,10 +3155,9 @@ def _ivf_corpus(spark: SparkSession, sf_dir: str):
     path = L.attached_vector_index(spark, sf_dir)
     reason = "no_index"
     if path is not None:
-        import json as _json
-
-        params = _json.loads(_json.dumps(IVF_INDEX_PARAMS))
-        stale = L.vector_index_stale(sf_dir, path, params)
+        # scalars only, so the marker's JSON round-trip preserves them
+        # exactly and a plain copy compares equal in vector_index_stale
+        stale = L.vector_index_stale(sf_dir, path, dict(IVF_INDEX_PARAMS))
         if stale is None:
             crows = sorted(
                 spark.read.parquet(os.path.join(path, "centroids.parquet"))

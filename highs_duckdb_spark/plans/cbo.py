@@ -1878,10 +1878,12 @@ class JoinGraph:
                 continue
             # VERIFY (not trust) the copy serves this join's dim side: the
             # demotion is only exchange-free when alt_df's catalog bucket
-            # keys cover on[1], the dim-side column (ADVICE r10 — a
+            # keyset EQUALS {on[1]}, the dim-side column (ADVICE r10 — a
             # mis-declared key= would record a 'cocluster' in PlanExplain
-            # while the physical plan silently re-adds exchanges)
-            if d.alt_keys is None or d.on[1] not in d.alt_keys:
+            # while the physical plan silently re-adds exchanges; and a
+            # copy bucketed on (on[1], extra) is NOT co-partitioned on
+            # on[1] alone — containment is not alignment)
+            if d.alt_keys is None or frozenset(d.alt_keys) != frozenset({d.on[1]}):
                 declines.append((d.name, "alt_copy_not_on_dim_key"))
                 continue
             # the fact-side key is on[0] by the dim() convention — matching

@@ -54,7 +54,17 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    full = _best(lambda: _mat(QUERIES["opt05_solve_many_bulk"].builder(spark, sf_dir)))
+    # force the per-model form for this arm: solve_packed defaults to
+    # BATCHED since round 11, which would make both arms the same plan
+    # and void the decomposition (review r11)
+    def _full() -> None:
+        os.environ["HDS_OPT_BULK_PER_MODEL"] = "1"
+        try:
+            _mat(QUERIES["opt05_solve_many_bulk"].builder(spark, sf_dir))
+        finally:
+            os.environ.pop("HDS_OPT_BULK_PER_MODEL", None)
+
+    full = _best(_full)
     print(f"opt05 full (per-model tasks) {full:7.3f}s", flush=True)
 
     asm = _best(lambda: _mat(_opt05_packed(spark, sf_dir)))
