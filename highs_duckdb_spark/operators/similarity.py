@@ -2636,7 +2636,9 @@ def _collect_query_matrix(emb: DataFrame):
     return q_ids, q_mat, q_norm
 
 
-def _blas_filtered_topk(cand: DataFrame, q_ids, q_mat, q_norm, carry=None):
+def _blas_filtered_topk(
+    cand: DataFrame, q_ids, q_mat, q_norm, carry=None, q_cells=None, k=TOP_K
+):
     """s05's partition-local BLAS top-k over a (pre-filtered) candidate
     frame carrying (vec_id, embedding[, carry]): one (batch × dim) ·
     (dim × queries) matmul per Arrow batch, local top-k per query with the
@@ -2650,8 +2652,23 @@ def _blas_filtered_topk(cand: DataFrame, q_ids, q_mat, q_norm, carry=None):
     differs from a sequential dot product — the 1e-9 nudge keeps results
     off .5 boundaries ON THE GRADED CORPORA (331/331 parity), i.e. parity
     of the rounding mode is corpus-validated, not structural; the same
-    accepted discipline as s05's kernel."""
+    accepted discipline as s05's kernel.
+
+    ``q_cells`` (round 11, the s22/s21 IVF scorers): {query_id: iterable
+    of cell ids} — when given, ``cand`` must carry a ``cell`` column and
+    each query only scores candidates in ITS probed cells (the per-query
+    IVF shortlist restriction), still one matmul per batch with a
+    per-query boolean mask on top. ``k`` overrides the local-top depth
+    (s21's post arm needs the k' overfetched prefix, not TOP_K; the local
+    top-k' is a superset of every partition's contribution to the global
+    top-k', so the caller's global window completes it exactly)."""
     import pandas as pd
+
+    q_cell_arrs = (
+        {int(k): np.asarray(sorted(v), dtype=np.int64) for k, v in q_cells.items()}
+        if q_cells is not None
+        else None
+    )
 
     def local_topk(batches):
         for pdf in batches:
@@ -2664,15 +2681,22 @@ def _blas_filtered_topk(cand: DataFrame, q_ids, q_mat, q_norm, carry=None):
             sims = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
             sims = np.round(1e-9 + sims, 6)
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = (
+                pdf["cell"].to_numpy(dtype=np.int64)
+                if q_cell_arrs is not None
+                else None
+            )
             extra = pdf[carry].to_numpy() if carry else None
             out = []
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]
                 mask = vec_ids != qid  # self-match excluded
+                if cells is not None:
+                    mask &= np.isin(cells, q_cell_arrs[int(qid)])
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
-                order = np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:TOP_K]
+                order = np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:k]
                 take = cand_idx[order]
                 row = {
                     "query_id": qid,
@@ -2934,14 +2958,6 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id long, rk bigint, neighbor_id long, cosine double, arm string"
         )
     meta = docs.filter(F.col("n_chars") >= S21_MIN_CHARS).select("doc_id")
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("nq"),
-    )
     forced = os.environ.get("HDS_S21_FORCE_ARM")
     arm = (
         forced
@@ -2989,31 +3005,33 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # training replication still covers the result; without an index
         # this trains in-query exactly as before.
         cents, assigned, _how = _ivf_corpus(spark, sf_dir)
-        corpus = assigned.select(
-            "vec_id", "v", _norm(F.col("v")).alias("nv"), "cell"
-        )
-        probe = _probe_udf_factory(cents, IVF_NPROBE)
-        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            _norm(F.col("v")).alias("nq"),
-            F.explode(probe(F.col("v"))).alias("cell"),
-        )
-        shortlist = (
-            corpus.join(F.broadcast(queries), ["cell"])
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                F.round(
-                    F.lit(1e-9)
-                    + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
-                    6,
-                ).alias("cosine"),
-            )
-        )
         # integer-exact overfetch depth: ceil(k / sel) + k
         k_over = (TOP_K * n_all + n_pass - 1) // n_pass + TOP_K
+        # shortlist via the shared BLAS kernel (round 11, same move as
+        # s20's round-10 re-score: the exploded JVM dot product was the
+        # bottleneck): probe driver-side over the bounded query set with
+        # the SAME kernel math as _probe_udf_factory, then one matmul per
+        # Arrow batch with the per-query cell mask, local top-k' per
+        # partition (superset of the global prefix), global rk0 window
+        emb_raw = load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", "embedding"
+        )
+        q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
+        cell_ids = np.arange(cents.shape[0], dtype=np.int64)
+        qd = _seq_dists(q_mat, cents)
+        q_cells = {
+            int(qid): [
+                int(c) for c in np.lexsort((cell_ids, qd[qi]))[:IVF_NPROBE]
+            ]
+            for qi, qid in enumerate(q_ids)
+        }
+        probed = sorted({c for cs in q_cells.values() for c in cs})
+        cand = assigned.filter(F.col("cell").isin(probed)).select(
+            "vec_id", F.col("v").alias("embedding"), "cell"
+        )
+        shortlist = _blas_filtered_topk(
+            cand, q_ids, q_mat, q_norm, q_cells=q_cells, k=k_over
+        )
         overfetched = (
             shortlist.withColumn("rk0", F.row_number().over(w))
             .filter(F.col("rk0") <= k_over)
@@ -3041,8 +3059,9 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv: dict[int, int] = {}
         for r in srows:
             surv[r["query_id"]] = surv.get(r["query_id"], 0) + 1
-        q_universe = [r["query_id"] for r in q.select("query_id").collect()]
-        under = sorted(u for u in q_universe if surv.get(u, 0) < TOP_K)
+        # the query universe is exactly the collected bounded query set —
+        # no extra job
+        under = sorted(int(u) for u in q_ids if surv.get(int(u), 0) < TOP_K)
         under_set = set(under)
         post_scored = spark.createDataFrame(
             [tuple(r) for r in srows if r["query_id"] not in under_set],
@@ -3262,39 +3281,26 @@ def s22_filtered_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded query set: collect once, probe driver-side with the SAME
     # kernel math as _probe_udf_factory (_seq_dists + (dist, cell) lexsort)
     emb_raw = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    q_ids, q_mat, _q_norm = _collect_query_matrix(emb_raw)
+    q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
     cell_ids = np.arange(cents.shape[0], dtype=np.int64)
     dists = _seq_dists(q_mat, cents)
-    probe_rows = []
-    for qi, qid in enumerate(q_ids):
-        order = np.lexsort((cell_ids, dists[qi]))[:IVF_NPROBE]
-        for cell in order:
-            probe_rows.append(
-                (int(qid), [float(x) for x in q_mat[qi]], int(cell))
-            )
-    queries = spark.createDataFrame(
-        probe_rows, "query_id long, qv array<double>, cell long"
-    ).withColumn("nq", _norm(F.col("qv")))
-    # static probed-cell set -> the indexed path's scan prunes partitions
-    probed = sorted({c for *_ , c in probe_rows})
-    cands = (
+    q_cells = {
+        int(qid): [int(c) for c in np.lexsort((cell_ids, dists[qi]))[:IVF_NPROBE]]
+        for qi, qid in enumerate(q_ids)
+    }
+    # static probed-cell set -> the indexed path's scan prunes partitions;
+    # scoring via the shared BLAS kernel with the per-query cell mask
+    # (round-10 lesson: the exploded JVM dot product was s20's bottleneck)
+    probed = sorted({c for cs in q_cells.values() for c in cs})
+    cand = (
         corpus.filter(F.col("cell").isin(probed))
-        .join(F.broadcast(queries), ["cell"])
-        .filter(F.col("vec_id") != F.col("query_id"))
         .join(meta, F.col("vec_id") == F.col("doc_id"))
+        .select("vec_id", F.col("v").alias("embedding"), "cell")
     )
-    scored = cands.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            F.lit(1e-9)
-            + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * _norm(F.col("v"))),
-            6,
-        ).alias("cosine"),
-    )
+    local = _blas_filtered_topk(cand, q_ids, q_mat, q_norm, q_cells=q_cells)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        local.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "rk", "neighbor_id", "cosine")
         .orderBy("query_id", "rk")
