@@ -3292,9 +3292,25 @@ def s22_filtered_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring via the shared BLAS kernel with the per-query cell mask
     # (round-10 lesson: the exploded JVM dot product was s20's bottleneck)
     probed = sorted({c for cs in q_cells.values() for c in cs})
+    # metadata join with _s20_meta_join's size-gate discipline: broadcast
+    # the pruned id-only metadata below the cap, shuffle-hash (meta as the
+    # per-partition build) above it — never the default sort-merge, whose
+    # two sorts dominated the first cut at 2M rows (the emb side here is
+    # the cell-partitioned INDEX copy, so the id-bucketed-copies arm
+    # cannot apply)
+    from highs_duckdb_spark.plans.cbo import BROADCAST_CAP_BYTES, table_bytes
+
+    frac = float(
+        os.environ.get("HDS_S20_META_COLS_FRACTION", S20_META_COLS_FRACTION)
+    )
+    meta_join = (
+        meta.hint("shuffle_hash")
+        if table_bytes(sf_dir, "documents") * frac > BROADCAST_CAP_BYTES
+        else F.broadcast(meta)
+    )
     cand = (
         corpus.filter(F.col("cell").isin(probed))
-        .join(meta, F.col("vec_id") == F.col("doc_id"))
+        .join(meta_join, F.col("vec_id") == F.col("doc_id"))
         .select("vec_id", F.col("v").alias("embedding"), "cell")
     )
     local = _blas_filtered_topk(cand, q_ids, q_mat, q_norm, q_cells=q_cells)
