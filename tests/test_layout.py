@@ -1259,3 +1259,60 @@ def test_cocluster_gate_validates_copy_keys(spark, layout_dir, monkeypatch):
     g.plan()
     assert g.explain.cocluster == ()
     assert ("part", "no_fact_copy") in g.explain.cocluster_declines
+
+
+# --- round 11: FD-widened bucket-aligned aggregation -----------------------
+
+
+def test_q64_fd_widening_elides_agg_exchange(spark, layout_dir):
+    """With the custkey-clustered lineitem_orders projection serving q64,
+    the declared FD (l_orderkey -> o_custkey) widens the physical
+    grouping so the final aggregate's exchange is ELIDED — zero
+    hashpartitioning exchanges in the whole plan — and the result is
+    row-identical to the unwidened form."""
+    from highs_duckdb_spark.plans import cbo
+
+    plain = {
+        tuple(r)
+        for r in QUERIES["q64_tpch_q3_shipping_priority"].builder(spark, SF).collect()
+    }
+    L.attach_bucketed(spark, SF, layout_dir, buckets=4)
+    df = QUERIES["q64_tpch_q3_shipping_priority"].builder(spark, SF)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert {tuple(r) for r in df.collect()} == plain
+    # output schema unchanged (the widening is projected away)
+    assert df.columns == ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
+
+
+def test_aggregate_fd_validation_and_decline(spark):
+    """fd determinants must be group keys; an FD whose column is absent
+    from the carrier declines with a machine-readable reason instead of
+    failing the plan."""
+    import pyspark.sql.functions as F
+
+    from highs_duckdb_spark.plans.cbo import JoinGraph
+
+    orders = load_table(spark, "orders", SF)
+    cust = load_table(spark, "customer", SF)
+    g = JoinGraph(spark, SF)
+    with pytest.raises(ValueError, match="not a group key"):
+        g.aggregate(("o_orderpriority",), {"n": ("count", "*")}, fd={"o_custkey": "x"})
+    g2 = JoinGraph(spark, SF)
+    g2.fact("orders", orders)
+    g2.fact("customer", cust)
+    g2.edge("orders", "o_custkey", "customer", "c_custkey")
+    # o_orderkey is NOT carried to the aggregate (not a grouped/agg col),
+    # so the declared FD's column is absent from the carrier -> decline
+    g2.aggregate(
+        ("o_orderpriority",),
+        {"n": ("count", "*")},
+        fd={"o_orderpriority": "no_such_column"},
+    )
+    out = g2.plan()
+    assert out.columns == ["o_orderpriority", "n"]
+    assert g2.explain.fd_widened == ()
+    assert g2.explain.fd_declines == (
+        ("o_orderpriority->no_such_column", "column_not_on_carrier"),
+    )
+    out.collect()  # plans and runs
