@@ -537,6 +537,22 @@ def _train_ivf_centroids(emb: DataFrame) -> "np.ndarray":
     return cents
 
 
+def _driver_probe_cells(cents: "np.ndarray", q_ids, q_mat):
+    """Per-query nearest-NPROBE cells resolved DRIVER-side over the
+    bounded query set — the same kernel math and (dist, cell) tie-break
+    as :func:`_probe_udf_factory`, kept in ONE place because the
+    discipline is parity-critical (s21's post arm and s22 both probe
+    this way; review r11). Returns ``({query_id: [cells]}, sorted union
+    of probed cells)``."""
+    cell_ids = np.arange(cents.shape[0], dtype=np.int64)
+    dists = _seq_dists(q_mat, cents)
+    q_cells = {
+        int(qid): [int(c) for c in np.lexsort((cell_ids, dists[qi]))[:IVF_NPROBE]]
+        for qi, qid in enumerate(q_ids)
+    }
+    return q_cells, sorted({c for cs in q_cells.values() for c in cs})
+
+
 def _probe_udf_factory(centroids: "np.ndarray", nprobe: int):
     """Per-query nearest-NPROBE cell ids (ties to the lowest cell, matching
     the oracle's ORDER BY dist, cell), sequential-reduction distances."""
@@ -2567,6 +2583,23 @@ def _id_bucketed_copies(spark, sf_dir: str):
     return emb, doc
 
 
+def _meta_size_gate(sf_dir: str) -> tuple[str, str]:
+    """The size decision of the filtered-ANN metadata join, in ONE place
+    (review r11 — s22 shares it): broadcast when the pruned metadata
+    side's estimated bytes fit under cbo.BROADCAST_CAP_BYTES, else the
+    co-partitioned shuffled-hash shape with metadata as the per-partition
+    build. Returns (mode, machine-readable reason)."""
+    from highs_duckdb_spark.plans.cbo import BROADCAST_CAP_BYTES, table_bytes
+
+    frac = float(
+        os.environ.get("HDS_S20_META_COLS_FRACTION", S20_META_COLS_FRACTION)
+    )
+    meta_bytes = table_bytes(sf_dir, "documents") * frac
+    if meta_bytes > BROADCAST_CAP_BYTES:
+        return "copartition", f"meta_over_cap:{int(meta_bytes)}"
+    return "broadcast", f"meta_under_cap:{int(meta_bytes)}"
+
+
 def _s20_meta_join(spark, sf_dir: str, emb_prep, meta_prep):
     """embeddings ⋈ document-metadata on the shared id — the filtered-ANN
     candidate join. ``emb_prep``/``meta_prep`` build each side from its
@@ -2592,7 +2625,6 @@ def _s20_meta_join(spark, sf_dir: str, emb_prep, meta_prep):
     ``HDS_S20_JOIN=broadcast|copartition`` overrides for experiments;
     the decision is recorded in ``S20_LAST_JOIN_DECISION``."""
     global S20_LAST_JOIN_DECISION
-    from highs_duckdb_spark.plans.cbo import BROADCAST_CAP_BYTES, table_bytes
     from highs_duckdb_spark.session import load_table as _lt
 
     emb_alt, doc_alt = _id_bucketed_copies(spark, sf_dir)
@@ -2602,14 +2634,7 @@ def _s20_meta_join(spark, sf_dir: str, emb_prep, meta_prep):
     elif emb_alt is not None:
         mode, reason = "copartition", "id_bucketed_copies_registered"
     else:
-        frac = float(
-            os.environ.get("HDS_S20_META_COLS_FRACTION", S20_META_COLS_FRACTION)
-        )
-        meta_bytes = table_bytes(sf_dir, "documents") * frac
-        if meta_bytes > BROADCAST_CAP_BYTES:
-            mode, reason = "copartition", f"meta_over_cap:{int(meta_bytes)}"
-        else:
-            mode, reason = "broadcast", f"meta_under_cap:{int(meta_bytes)}"
+        mode, reason = _meta_size_gate(sf_dir)
     S20_LAST_JOIN_DECISION = (mode, reason)
     use_copies = mode == "copartition" and emb_alt is not None
     emb = emb_prep(emb_alt if use_copies else _lt(spark, "embeddings", sf_dir))
@@ -2665,7 +2690,10 @@ def _blas_filtered_topk(
     import pandas as pd
 
     q_cell_arrs = (
-        {int(k): np.asarray(sorted(v), dtype=np.int64) for k, v in q_cells.items()}
+        {
+            int(qid): np.asarray(sorted(cs), dtype=np.int64)
+            for qid, cs in q_cells.items()
+        }
         if q_cells is not None
         else None
     )
@@ -3017,15 +3045,7 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding"
         )
         q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
-        cell_ids = np.arange(cents.shape[0], dtype=np.int64)
-        qd = _seq_dists(q_mat, cents)
-        q_cells = {
-            int(qid): [
-                int(c) for c in np.lexsort((cell_ids, qd[qi]))[:IVF_NPROBE]
-            ]
-            for qi, qid in enumerate(q_ids)
-        }
-        probed = sorted({c for cs in q_cells.values() for c in cs})
+        q_cells, probed = _driver_probe_cells(cents, q_ids, q_mat)
         cand = assigned.filter(F.col("cell").isin(probed)).select(
             "vec_id", F.col("v").alias("embedding"), "cell"
         )
@@ -3278,35 +3298,28 @@ def s22_filtered_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, corpus, _how = _ivf_corpus(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir)
     meta = docs.filter(F.col("n_chars") >= S21_MIN_CHARS).select("doc_id")
-    # bounded query set: collect once, probe driver-side with the SAME
-    # kernel math as _probe_udf_factory (_seq_dists + (dist, cell) lexsort)
+    # bounded query set: collect once, probe driver-side (shared
+    # parity-critical helper — same math as _probe_udf_factory)
     emb_raw = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
-    cell_ids = np.arange(cents.shape[0], dtype=np.int64)
-    dists = _seq_dists(q_mat, cents)
-    q_cells = {
-        int(qid): [int(c) for c in np.lexsort((cell_ids, dists[qi]))[:IVF_NPROBE]]
-        for qi, qid in enumerate(q_ids)
-    }
+    q_cells, probed = _driver_probe_cells(cents, q_ids, q_mat)
     # static probed-cell set -> the indexed path's scan prunes partitions;
     # scoring via the shared BLAS kernel with the per-query cell mask
-    # (round-10 lesson: the exploded JVM dot product was s20's bottleneck)
-    probed = sorted({c for cs in q_cells.values() for c in cs})
-    # metadata join with _s20_meta_join's size-gate discipline: broadcast
-    # the pruned id-only metadata below the cap, shuffle-hash (meta as the
-    # per-partition build) above it — never the default sort-merge, whose
-    # two sorts dominated the first cut at 2M rows (the emb side here is
-    # the cell-partitioned INDEX copy, so the id-bucketed-copies arm
-    # cannot apply)
-    from highs_duckdb_spark.plans.cbo import BROADCAST_CAP_BYTES, table_bytes
-
-    frac = float(
-        os.environ.get("HDS_S20_META_COLS_FRACTION", S20_META_COLS_FRACTION)
-    )
+    # (round-10 lesson: the exploded JVM dot product was s20's bottleneck).
+    # Metadata join through the SHARED size gate (never the default
+    # sort-merge, whose two sorts dominated the first cut at 2M rows);
+    # the id-bucketed-copies arm cannot apply here — the embedding side
+    # is the cell-partitioned INDEX copy — so only the env override and
+    # the size decision remain, recorded like s20's gate.
+    global S20_LAST_JOIN_DECISION
+    mode = os.environ.get("HDS_S20_JOIN")
+    if mode in ("broadcast", "copartition"):
+        reason = "env_override"
+    else:
+        mode, reason = _meta_size_gate(sf_dir)
+    S20_LAST_JOIN_DECISION = (mode, reason)
     meta_join = (
-        meta.hint("shuffle_hash")
-        if table_bytes(sf_dir, "documents") * frac > BROADCAST_CAP_BYTES
-        else F.broadcast(meta)
+        meta.hint("shuffle_hash") if mode == "copartition" else F.broadcast(meta)
     )
     cand = (
         corpus.filter(F.col("cell").isin(probed))

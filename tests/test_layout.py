@@ -1269,13 +1269,27 @@ def test_q64_fd_widening_elides_agg_exchange(spark, layout_dir):
     the declared FD (l_orderkey -> o_custkey) widens the physical
     grouping so the final aggregate's exchange is ELIDED — zero
     hashpartitioning exchanges in the whole plan — and the result is
-    row-identical to the unwidened form."""
+    row-identical to the TRULY unwidened form (baseline collected with
+    the widening forced off, so a false FD that split groups could not
+    corrupt both arms identically — review r11)."""
     from highs_duckdb_spark.plans import cbo
 
-    plain = {
-        tuple(r)
-        for r in QUERIES["q64_tpch_q3_shipping_priority"].builder(spark, SF).collect()
-    }
+    orig_widen = cbo.JoinGraph._fd_widen
+
+    def _no_widen(self, tree):
+        self._fd_widened = ()
+        return []
+
+    cbo.JoinGraph._fd_widen = _no_widen
+    try:
+        plain = {
+            tuple(r)
+            for r in QUERIES["q64_tpch_q3_shipping_priority"]
+            .builder(spark, SF)
+            .collect()
+        }
+    finally:
+        cbo.JoinGraph._fd_widen = orig_widen
     L.attach_bucketed(spark, SF, layout_dir, buckets=4)
     df = QUERIES["q64_tpch_q3_shipping_priority"].builder(spark, SF)
     plan = _plan(df)

@@ -112,9 +112,14 @@ def main() -> None:
         ) else con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # decode ALL six q64 columns, matching the Spark floor (review r11:
+    # a single-column hash lets projection pushdown skip 4 of the 6)
+    d_cols = " + ".join(
+        f"CAST(hash({c.strip()}) % 1000003 AS BIGINT)" for c in COLS.split(",")
+    )
     d_scan = _best(
         lambda: con.execute(
-            f"""SELECT sum(CAST(hash(l_orderkey) % 1000003 AS BIGINT)), count(*)
+            f"""SELECT sum({d_cols}), count(*)
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                 WHERE {O_FILTER} AND {L_FILTER}"""
         ).fetchall()
