@@ -844,24 +844,31 @@ def p13_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p14_contamination_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(t) >= 4,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(t, i),
-                        F.element_at(t, i + 1),
-                        F.element_at(t, i + 2),
-                        F.element_at(t, i + 3),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    ).localCheckpoint(eager=True)  # bench grams + contamination probe both
+    # Round 11: the 4-grams were built by transform(sequence(1, n-3),
+    # i -> concat_ws(element_at(t, i)...element_at(t, i+3))) with ``t`` a
+    # CAPTURED (non-column) subtree — Catalyst re-evaluates the whole
+    # split(lower(trim(text))) per element_at per element (4 re-splits per
+    # gram, over the FULL 5k-doc corpus; this one projection was ~10 s of
+    # p14's 10.9 s at sf0.1). Same fix as dedup._shingled: materialize the
+    # token array in its own projection, build positional 4-grams as
+    # zip_with over 4 shifted slices (sliced once per row; lambda is a pure
+    # 2-arg concat). Gram list is element-for-element identical — order and
+    # duplicates preserved (downstream uses DISTINCT on both derivations,
+    # and the oracle is unchanged).
+    tk = F.col("__hds_toks")
+    n = F.size(tk)
+    m = n - 3
+    acc = F.slice(tk, 1, m)
+    for j in (2, 3, 4):
+        acc = F.zip_with(
+            acc, F.slice(tk, j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    grams4 = F.when(n >= 4, acc).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.select("doc_id", t.alias("__hds_toks"))
+        .select("doc_id", F.explode(grams4).alias("g"))
+        .localCheckpoint(eager=True)
+    )  # bench grams + contamination probe both
     # derive from this one corpus pass; without the pin Spark re-runs the
     # explode subtree per reference (scan-audit enforced)
     bench_grams = grams.filter(F.col("doc_id") % 100 == 0).select("g").distinct()

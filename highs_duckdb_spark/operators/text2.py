@@ -368,6 +368,57 @@ def t20_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_hash_base(docs: DataFrame) -> DataFrame:
+    """``doc_id`` + positional word-3-gram hash array ``h`` — the shared
+    winnowing front end of t21/dq15, reformulated for evaluation cost
+    (round 11, same lesson as dedup._shingled): the original
+    ``transform(sequence(1, n-2), i -> concat_ws(element_at(toks, i), ...))``
+    re-evaluates the captured ``split(lower(trim(text)))`` subtree on every
+    ``element_at`` of every lambda element (Catalyst binds lambda variables,
+    not captured subtrees — 3 full re-splits per gram). Tokens are now
+    materialized in their own projection and the positional grams built by
+    zip_with over 3 shifted slices (sliced ONCE per row); element order and
+    duplicates are preserved exactly, so the md5 hash array is
+    element-for-element identical (oracle parity re-checked for t21/dq15)."""
+    tk = F.col("__hds_toks")
+    n = F.size(tk)
+    m = n - 2  # positional 3-gram count when n >= 3
+    acc = F.slice(tk, 1, m)
+    for j in (2, 3):
+        acc = F.zip_with(
+            acc, F.slice(tk, j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    grams = F.when(n >= 3, acc).otherwise(F.array(F.array_join(tk, " ")))
+    h = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return docs.select("doc_id", toks.alias("__hds_toks")).select(
+        "doc_id", h.alias("h")
+    )
+
+
+def _winnow_fps() -> "F.Column":
+    """Winnowed fingerprints over the materialized hash column ``h``:
+    min of every 4-hash sliding window, distinct. zip_with least-tree over
+    4 shifted slices instead of a per-element ``array_min(slice(h, i, 4))``
+    (per-element slice allocates a sub-array per window; least() over
+    non-null hashes == array_min element-for-element)."""
+    h = F.col("h")
+    nh = F.size(h)
+    m4 = nh - 3  # window count when nh >= 4
+    lo = F.zip_with(
+        F.slice(h, 1, m4), F.slice(h, 2, m4), lambda x, y: F.least(x, y)
+    )
+    hi = F.zip_with(
+        F.slice(h, 3, m4), F.slice(h, 4, m4), lambda x, y: F.least(x, y)
+    )
+    win = F.zip_with(lo, hi, lambda x, y: F.least(x, y))
+    return F.when(nh >= 4, F.array_distinct(win)).otherwise(
+        F.array(F.array_min(h))
+    )
+
+
 @register(
     "t21_winnowing_match",
     oracle="""
@@ -412,32 +463,8 @@ def t20_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t21_winnowing_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = F.size(toks)
-    gram_at = lambda i: F.concat_ws(
-        " ",
-        F.element_at(toks, i),
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
-    )
-    grams = F.when(
-        n >= 3, F.transform(F.sequence(F.lit(1), n - 2), gram_at)
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    h = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
-    )
-    base = docs.select("doc_id", h.alias("h"))
-    nh = F.size(F.col("h"))
-    fps = F.when(
-        nh >= 4,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), nh - 3),
-                lambda i: F.array_min(F.slice(F.col("h"), i, 4)),
-            )
-        ),
-    ).otherwise(F.array(F.array_min(F.col("h"))))
-    fp = base.select("doc_id", F.explode(fps).alias("fp"))
+    base = _winnow_hash_base(docs)
+    fp = base.select("doc_id", F.explode(_winnow_fps()).alias("fp"))
     a = fp.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_a"))
     b = fp.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_b"))
     return (
@@ -644,32 +671,8 @@ def t23_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq15_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = F.size(toks)
-    gram_at = lambda i: F.concat_ws(
-        " ",
-        F.element_at(toks, i),
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
-    )
-    grams = F.when(
-        n >= 3, F.transform(F.sequence(F.lit(1), n - 2), gram_at)
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    h = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
-    )
-    base = docs.select("doc_id", h.alias("h")).localCheckpoint(eager=True)
-    nh = F.size(F.col("h"))
-    fps = F.when(
-        nh >= 4,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), nh - 3),
-                lambda i: F.array_min(F.slice(F.col("h"), i, 4)),
-            )
-        ),
-    ).otherwise(F.array(F.array_min(F.col("h"))))
-    fp = base.select("doc_id", F.explode(fps).alias("fp"))
+    base = _winnow_hash_base(docs).localCheckpoint(eager=True)
+    fp = base.select("doc_id", F.explode(_winnow_fps()).alias("fp"))
     a = fp.select("fp", F.col("doc_id").alias("doc_a"))
     b = fp.select("fp", F.col("doc_id").alias("doc_b"))
     pairs = (
