@@ -32,7 +32,7 @@ from highs_duckdb_spark.functions.presentation import (
     present_sorted_after_barrier,
 )
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.session import ensure_shipped, load_table
+from highs_duckdb_spark.session import ensure_shipped, load_table, local_rows_df
 
 _NORM = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))  # noqa: E731
 
@@ -1064,8 +1064,8 @@ def d12_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("stage1_exact", n0, n0 - n1, n1),
         ("stage2_near", n1, n2, n1 - n2),
     ]
-    return spark.createDataFrame(
-        rows, "stage string, docs_in bigint, removed bigint, docs_out bigint"
+    return local_rows_df(
+        spark, rows, "stage string, docs_in bigint, removed bigint, docs_out bigint"
     ).orderBy("stage")
 
 

@@ -26,7 +26,7 @@ from highs_duckdb_spark.optim.scenarios import (
     solve_datacenter,
     solve_network_flow,
 )
-from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.session import load_table, local_rows_df
 
 
 @register(
@@ -280,7 +280,7 @@ def _opt05_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def opt06_example_usage_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     from highs_duckdb_spark.optim.bulk import solve_from_tables
 
-    variables = spark.createDataFrame(
+    variables = local_rows_df(spark, 
         [
             ("model1", "x", 0.0, 1e30, 1.0, "continuous", 0),
             ("model1", "y", 1.0, 1e30, 1.0, "continuous", 1),
@@ -288,12 +288,12 @@ def opt06_example_usage_relational(spark: SparkSession, sf_dir: str) -> DataFram
         "model_name string, variable_name string, lower_bound double, "
         "upper_bound double, obj_coefficient double, var_type string, ord long",
     )
-    constraints = spark.createDataFrame(
+    constraints = local_rows_df(spark, 
         [("model1", "c1", -1e30, 7.0, 0), ("model1", "c2", -1e30, 9.0, 1)],
         "model_name string, constraint_name string, lower_bound double, "
         "upper_bound double, ord long",
     )
-    coefficients = spark.createDataFrame(
+    coefficients = local_rows_df(spark, 
         [
             ("model1", "c1", "x", 1.0),
             ("model1", "c1", "y", 2.0),
@@ -502,7 +502,7 @@ def opt10_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
         model.obj_coefficients = [1.0, 0.0]  # min x over the optimal facet
         rows2 = solve_model_info(model)
     out = [(r[0], r[1], float(r[2]), "stage2_min_x") for r in rows2]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out, "variable_name string, variable_index string, solution_value double, stage string"
     ).transform(present_sorted, "variable_index")
 
@@ -629,7 +629,7 @@ def opt12_elastic_feasibility_repair(spark: SparkSession, sf_dir: str) -> DataFr
         ("repair", "c2", status, float(sol["s2"])),
         ("repair", "total", status, float(sol["s1"] + sol["s2"])),
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out, "step string, item string, status string, violation double"
     ).orderBy("step", "item")
 
@@ -695,7 +695,7 @@ def opt13_rhs_ranging(spark: SparkSession, sf_dir: str) -> DataFrame:
                     float(round(1e-9 + hi, 6)) if hi < 1e30 else 1e30,
                 )
             )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out,
         "model string, constraint_name string, rhs double, rhs_lo double, rhs_hi double",
     ).orderBy("model", "constraint_name")
@@ -766,6 +766,6 @@ def opt14_unique_optimum_certificate(spark: SparkSession, sf_dir: str) -> DataFr
                 if binding and abs(res.row_duals[i]) <= tol:
                     unique = False
         out.append((mname, res.status, bool(unique)))
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out, "model string, status string, certified_unique boolean"
     ).orderBy("model")

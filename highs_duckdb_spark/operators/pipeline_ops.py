@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.session import load_table, local_rows_df
 
 PACK_CAPACITY = 512  # tokens per training sequence (window)
 
@@ -1001,7 +1001,8 @@ def p15_mixture_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(n)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         out,
         "source string, supply_tokens bigint, quality double, alloc_tokens double",
     ).orderBy("source")

@@ -40,7 +40,7 @@ from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.cbo import JoinGraph
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
-from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.session import load_table, local_rows_df
 
 # ---------------------------------------------------------------------------
 # Reference-exercised surface (SURVEY.md §2.2)
@@ -196,7 +196,7 @@ def q04_split_concat_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q05_values_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
-    rates = spark.createDataFrame(
+    rates = local_rows_df(spark, 
         [
             ("AUTOMOBILE", 0.10),
             ("MACHINERY", 0.20),

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.plans.strategy import fact_join_strategy
-from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.session import load_table, local_rows_df
 
 
 @register(
@@ -110,7 +110,7 @@ def q80_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q81_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    windows = spark.createDataFrame(
+    windows = local_rows_df(spark, 
         [
             (1, "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
             (2, "2024-01-12 06:00:00", "2024-01-13 18:00:00"),

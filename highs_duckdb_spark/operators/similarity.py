@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.session import load_table, local_rows_df
 
 TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10
@@ -3083,7 +3083,8 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no extra job
         under = sorted(int(u) for u in q_ids if surv.get(int(u), 0) < TOP_K)
         under_set = set(under)
-        post_scored = spark.createDataFrame(
+        post_scored = local_rows_df(
+            spark,
             [tuple(r) for r in srows if r["query_id"] not in under_set],
             "query_id long, neighbor_id long, cosine double",
         )

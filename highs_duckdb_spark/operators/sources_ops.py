@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.session import load_table, local_rows_df
 from highs_duckdb_spark.sources.io import (
     read_csv,
     read_json,
@@ -387,8 +387,8 @@ def q161_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (mode, int(agg["n_rows"]), int(agg["n_null_value"]), int(agg["id_sum"]))
         )
-    return spark.createDataFrame(
-        rows, "mode string, n_rows bigint, n_null_value bigint, id_sum bigint"
+    return local_rows_df(
+        spark, rows, "mode string, n_rows bigint, n_null_value bigint, id_sum bigint"
     ).orderBy("mode")
 
 

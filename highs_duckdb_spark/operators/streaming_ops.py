@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.operators.registry import register
+from highs_duckdb_spark.session import local_rows_df
 from highs_duckdb_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_table,
@@ -139,7 +140,7 @@ def qs03_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def qs04_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rates = spark.createDataFrame(
+    rates = local_rows_df(spark, 
         [("view", 1.0), ("click", 2.0), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
         "event_type string, weight double",
     )
@@ -992,8 +993,8 @@ def qs16_stream_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce(F.sum("event_id"), F.lit(0)).alias("s"),
         ).collect()[0]
         out.append((sink, int(agg["n"]), int(agg["s"])))
-    return spark.createDataFrame(
-        out, "sink string, n_rows bigint, id_sum bigint"
+    return local_rows_df(
+        spark, out, "sink string, n_rows bigint, id_sum bigint"
     ).orderBy("sink")
 
 
@@ -1219,4 +1220,4 @@ def _qs19_body(
     # detach the result from the about-to-be-deleted work dir: the MV's
     # grain (nation × nation × order-year × ship-year) is bounded by
     # construction, so a driver-side materialization is a few 10k rows max
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return local_rows_df(spark, out.collect(), out.schema)

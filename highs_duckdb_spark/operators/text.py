@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.functions.presentation import ordered_wide, present_sorted
 from highs_duckdb_spark.operators.registry import register
-from highs_duckdb_spark.session import load_table
+from highs_duckdb_spark.session import load_table, local_rows_df
 
 # Tiny per-language stopword marker lists for the heuristic language-ID.
 # Deliberately small + deterministic so the oracle SQL can repeat them.
@@ -832,8 +832,8 @@ def t15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("total"),
     )
-    pcts = ranked.sparkSession.createDataFrame(
-        [(0.50,), (0.90,), (0.95,), (0.99,)], "pct double"
+    pcts = local_rows_df(
+        ranked.sparkSession, [(0.50,), (0.90,), (0.95,), (0.99,)], "pct double"
     )
     return (
         ranked.crossJoin(F.broadcast(pcts))

@@ -36,6 +36,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from highs_duckdb_spark.optim.simplex import solve_lp, solve_milp
+from highs_duckdb_spark.session import local_rows_df
 
 #: Version string for the embedded solver. The reference reports the HiGHS
 #: library version (reference: src/highs_extension.cpp:117-126); ours is the
@@ -155,7 +156,7 @@ def create_variables(
             model.var_upper_bounds.append(float(upper_bound))
             model.variable_types.append(var_type)
             row = (variable_name, f"{variable_name}_{var_index}", "SUCCESS")
-    return spark.createDataFrame([row], VARIABLE_RESULT_SCHEMA)
+    return local_rows_df(spark, [row], VARIABLE_RESULT_SCHEMA)
 
 
 def create_constraints(
@@ -182,7 +183,7 @@ def create_constraints(
             model.constraint_upper_bounds.append(float(upper_bound))
             model.constraint_coefficients.setdefault(idx, [])
             row = (constraint_name, f"{constraint_name}_{idx}", "SUCCESS")
-    return spark.createDataFrame([row], CONSTRAINT_RESULT_SCHEMA)
+    return local_rows_df(spark, [row], CONSTRAINT_RESULT_SCHEMA)
 
 
 def set_coefficients(
@@ -200,7 +201,7 @@ def set_coefficients(
         if model is None:
             status = f"ERROR: Model '{model_name}' not found"
             row = (constraint_name, variable_name, float(coefficient), status)
-            return spark.createDataFrame([row], COEFFICIENT_RESULT_SCHEMA)
+            return local_rows_df(spark, [row], COEFFICIENT_RESULT_SCHEMA)
         if variable_name not in model.variable_indices:
             msg = f"Variable '{variable_name}' not found in model '{model_name}'"
             row = (constraint_name, variable_name, float(coefficient), f"ERROR: {msg}")
@@ -214,7 +215,7 @@ def set_coefficients(
                 (var_idx, float(coefficient))
             )
             row = (constraint_name, variable_name, float(coefficient), "SUCCESS")
-    return spark.createDataFrame([row], COEFFICIENT_RESULT_SCHEMA)
+    return local_rows_df(spark, [row], COEFFICIENT_RESULT_SCHEMA)
 
 
 def _assemble(model: HighsModelInfo):
@@ -280,12 +281,12 @@ def solve(spark: SparkSession, model_name: str) -> DataFrame:
         model = registry.get_model(model_name)
         if model is None:
             row = ("N/A", "ERROR", 0.0, 0.0, f"ERROR: Model '{model_name}' not found")
-            return spark.createDataFrame([row], SOLVE_RESULT_SCHEMA)
+            return local_rows_df(spark, [row], SOLVE_RESULT_SCHEMA)
         try:
             rows = solve_model_info(model)
         except Exception as e:  # error-as-data contract
             rows = [("N/A", "ERROR", 0.0, 0.0, f"ERROR: {e}")]
-    return spark.createDataFrame(rows, SOLVE_RESULT_SCHEMA)
+    return local_rows_df(spark, rows, SOLVE_RESULT_SCHEMA)
 
 
 DUALS_RESULT_SCHEMA = (
@@ -331,9 +332,9 @@ def solve_duals(spark: SparkSession, model_name: str) -> DataFrame:
         model = registry.get_model(model_name)
         if model is None:
             row = ("N/A", "ERROR", 0.0, 0.0, f"ERROR: Model '{model_name}' not found")
-            return spark.createDataFrame([row], DUALS_RESULT_SCHEMA)
+            return local_rows_df(spark, [row], DUALS_RESULT_SCHEMA)
         try:
             rows = solve_model_duals(model)
         except Exception as e:  # error-as-data contract
             rows = [("N/A", "ERROR", 0.0, 0.0, f"ERROR: {e}")]
-    return spark.createDataFrame(rows, DUALS_RESULT_SCHEMA)
+    return local_rows_df(spark, rows, DUALS_RESULT_SCHEMA)

@@ -144,6 +144,41 @@ def tune_for_data(spark: SparkSession, sf_dir: str) -> int:
     return parts
 
 
+def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny driver-local row list → DataFrame via the Arrow/pandas path.
+
+    ``spark.createDataFrame(list, schema)`` routes through
+    ``sc.parallelize`` — a pickled Python RDD whose every materialization
+    runs a defaultParallelism-task Python job (measured 4.8 s to collect a
+    2-row solver status frame on local[32]: 32 tasks × a Python-worker
+    round trip each). A pandas payload with Arrow enabled becomes a
+    driver-local plan instead — no job, no Python workers, identical rows.
+
+    Falls back to the classic path when any cell is None (pandas would
+    coerce a None in a float column to NaN, which Arrow ships as a
+    non-null NaN — a semantic change; the classic path keeps it NULL),
+    when ``rows`` is empty, or when pandas/Arrow is unavailable.
+    ``schema`` must be a DDL string ("name type, ...")."""
+    if rows and all(v is not None for r in rows for v in r):
+        try:
+            import pandas as pd
+
+            names = (
+                [f.strip().split()[0] for f in schema.split(",")]
+                if isinstance(schema, str)
+                else list(schema.names)  # StructType
+            )
+            # runtime-settable SQLConf; the driver's vanilla session may
+            # not have it on (same pattern as the nanosAsLong conf above)
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=names), schema=schema
+            )
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     """Ship this package to executor Python workers via ``addPyFile``.
 
