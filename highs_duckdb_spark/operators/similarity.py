@@ -852,13 +852,16 @@ def _semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-cosine argmax per vector. Exposed separately so the plan shape
     (BroadcastNestedLoopJoin, never a CartesianProduct of the corpus) is
     testable — s06 pins its result behind a checkpoint."""
+    # norms per VECTOR, once per side (round 11): bit-unchanged sims,
+    # 2/3 fewer folds per (vector, centroid) evaluation.
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
     )
-    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    sim = _dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         emb.join(F.broadcast(cent))
@@ -918,10 +921,26 @@ def s06_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references re-runs the scan + K-way scoring (6 corpus scans in
     # the physical plan). At 100 TB this materialization is the
     # assignment table every SemDeDup implementation persists anyway.
-    asg = _semdedup_assignment(spark, sf_dir).localCheckpoint(eager=True)
-    a = asg.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), "cell")
-    b = asg.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "cell")
-    pair_cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    # Norms are per-VECTOR, so compute them once in the pinned assignment
+    # (round 11): the intra-cell join previously re-ran two 64-dim
+    # interpreted `_norm` folds per PAIR — 2/3 of the pair work for values
+    # that only depend on one side. `na * nb` multiplies the identical
+    # doubles the old per-pair expression produced, so every pair cosine
+    # is bit-unchanged (oracle parity re-checked at 3 SFs).
+    asg = (
+        _semdedup_assignment(spark, sf_dir)
+        .withColumn("nv", _norm(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
+    a = asg.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), "cell",
+    )
+    b = asg.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), "cell",
+    )
+    pair_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(b, "cell")
         .filter(F.col("ia") < F.col("ib"))
@@ -979,16 +998,19 @@ DECON_TAU = 0.35
     ),
 )
 def s07_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms per VECTOR, computed once per side before the broadcast join
+    # (round 11, the s06 lesson): `nv * nb` multiplies the same doubles the
+    # old per-pair `_norm(v) * _norm(bv)` produced — cosines bit-unchanged.
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     bench = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"),
+        F.col("nv").alias("nb"),
     )
     train = emb.filter(F.col("vec_id") % 100 != 0)
     cosine = F.round(
-        F.lit(1e-9)
-        + _dot(F.col("v"), F.col("bv")) / (_norm(F.col("v")) * _norm(F.col("bv"))),
+        F.lit(1e-9) + _dot(F.col("v"), F.col("bv")) / (F.col("nv") * F.col("nb")),
         6,
     )
     scored = train.join(F.broadcast(bench)).select(
@@ -1439,24 +1461,29 @@ def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from highs_duckdb_spark.session import ensure_shipped
 
     ensure_shipped(spark)
+    # norms per VECTOR, once per side (round 11, the s06 lesson): the
+    # products multiply the identical doubles the old per-pair folds
+    # produced, so every cosine is bit-unchanged.
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
         )
     )
     # Exact relevance via the sequential JVM fold (same summation order as
     # DuckDB's list_dot_product → bit-identical before rounding). This is
     # the slow-but-exact path; the throughput variant is s01's kernel.
     rel = F.round(
-        F.lit(1e-9) + _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        F.lit(1e-9) + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
         6,
     )
     scored = (
         emb.join(q, F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "v", rel.alias("rel"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "v", "nv",
+                rel.alias("rel"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
     # Pin the shortlist (queries × MMR_SHORTLIST rows) before the pairwise
@@ -1468,11 +1495,12 @@ def s09_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a = short.select("query_id", F.col("neighbor_id").alias("a_id"),
-                     F.col("rel").alias("rel_a"), F.col("v").alias("va"))
+                     F.col("rel").alias("rel_a"), F.col("v").alias("va"),
+                     F.col("nv").alias("na"))
     b = short.select(F.col("query_id").alias("qb"), F.col("neighbor_id").alias("b_id"),
-                     F.col("v").alias("vb"))
+                     F.col("v").alias("vb"), F.col("nv").alias("nb"))
     sim = F.round(
-        F.lit(1e-9) + _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        F.lit(1e-9) + _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         6,
     )
     pairs = (
@@ -1885,17 +1913,19 @@ RRF_K = 60  # the standard RRF smoothing constant
     ),
 )
 def s12_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms per VECTOR, once per side (round 11, the s06 lesson):
+    # bit-unchanged cosines, 2/3 fewer per-pair folds.
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
         )
     )
     cosine = F.round(
-        F.lit(1e-9)
-        + _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+        F.lit(1e-9) + _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
         6,
     )
     dotp = F.round(F.lit(1e-9) + _dot(F.col("qv"), F.col("v")), 6)
