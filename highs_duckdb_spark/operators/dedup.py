@@ -46,13 +46,13 @@ NEAR_DUP_DOC_LIMIT = 300
 def similar_pair_frames(spark, sf_dir: str):
     """(pairs_df src<dst, shingled docs df) at the shared threshold/limit."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < NEAR_DUP_DOC_LIMIT)
-    sh = _shingled(docs, "doc_id")
-    a = sh.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    sh = _shingled(docs, "doc_id").localCheckpoint(eager=True)
+    inter = F.col("inter").cast("double")
+    uni = (F.col("na") + F.col("nb")).cast("double") - inter
     pairs = (
-        a.join(b, F.col("src") < F.col("dst"))
+        _pair_shared_counts(sh, "src", "dst")
+        .join(_pair_sizes(sh, "src", "na"), "src")
+        .join(_pair_sizes(sh, "dst", "nb"), "dst")
         .filter(inter / uni >= NEAR_DUP_THRESHOLD)
         .select("src", "dst")
     )
@@ -144,6 +144,47 @@ def _shingled(df: DataFrame, *keep: str, text: str = "text", n: int = 3,
     )
 
 
+def _pair_shared_counts(
+    sh: DataFrame, left: str, right: str, *, directed: bool = False
+) -> DataFrame:
+    """``(left, right, inter)`` for every doc pair sharing ≥ 1 shingle —
+    the exploded-shingle equi-join form of per-pair
+    ``size(array_intersect(sh_a, sh_b))`` (round 11).
+
+    The inequality self-join evaluated an interpreted hash-set
+    intersection per PAIR (90k candidate pairs × ~50-element arrays at
+    the d02 bound, several times per pair across filter+project). The
+    equi-join counts the same integer: shingle arrays are DISTINCT per
+    doc (``array_distinct`` in ``_shingled``), so ``count(*)`` grouped by
+    the pair equals the intersection size exactly. Pairs with inter = 0
+    never appear here, and never appear in any consumer's result either —
+    every caller thresholds on a predicate that implies inter ≥ 1
+    (jaccard ≥ 0.05, 2·∩ ≥ |A|). This is also the 100-TB shape: a
+    key-bucketed shuffle join instead of an all-pairs nested loop, the
+    same discipline as d03's band join (shuffle_hash: a corpus-derived
+    side must never sit under a BroadcastExchange)."""
+    ex = sh.select("doc_id", F.explode("shingles").alias("__s"))
+    a = ex.select(F.col("doc_id").alias(left), "__s")
+    b = ex.select(F.col("doc_id").alias(right), "__s")
+    cond = (
+        (F.col(left) != F.col(right)) if directed else (F.col(left) < F.col(right))
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), "__s")
+        .filter(cond)
+        .groupBy(left, right)
+        .agg(F.count("*").alias("inter"))
+    )
+
+
+def _pair_sizes(sh: DataFrame, col: str, out: str) -> DataFrame:
+    """``(col, out)`` = per-doc shingle-set size, for joining back onto
+    :func:`_pair_shared_counts` output (shuffle_hash: corpus-derived)."""
+    return sh.select(
+        F.col("doc_id").alias(col), F.size("shingles").alias(out)
+    ).hint("shuffle_hash")
+
+
 @register(
     "d02_ngram_jaccard_pairs",
     oracle="""
@@ -172,16 +213,17 @@ def _shingled(df: DataFrame, *keep: str, text: str = "text", n: int = 3,
 )
 def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
-    sh = _shingled(docs, "doc_id")
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    # pinned: the exploded pair join + two size joins all derive from one
+    # shingle pass (same reason d03 pins its signature table)
+    sh = _shingled(docs, "doc_id").localCheckpoint(eager=True)
+    pairs = _pair_shared_counts(sh, "doc_a", "doc_b")
+    inter = F.col("inter").cast("double")
+    uni = (F.col("na") + F.col("nb")).cast("double") - inter
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
-        .filter(F.col("inter") / F.col("uni") >= 0.05)
-        .select("doc_a", "doc_b", F.round(F.lit(1e-9) + F.col("inter") / F.col("uni"), 6).alias("jaccard"))
+        pairs.join(_pair_sizes(sh, "doc_a", "na"), "doc_a")
+        .join(_pair_sizes(sh, "doc_b", "nb"), "doc_b")
+        .filter(inter / uni >= 0.05)
+        .select("doc_a", "doc_b", F.round(F.lit(1e-9) + inter / uni, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -656,13 +698,13 @@ def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d06_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
-    sh = _shingled(docs, "doc_id")
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    uni = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    sh = _shingled(docs, "doc_id").localCheckpoint(eager=True)
+    pairs = _pair_shared_counts(sh, "doc_a", "doc_b")
+    inter = F.col("inter").cast("double")
+    uni = (F.col("na") + F.col("nb")).cast("double") - inter
     dominated = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        pairs.join(_pair_sizes(sh, "doc_a", "na"), "doc_a")
+        .join(_pair_sizes(sh, "doc_b", "nb"), "doc_b")
         .filter(inter / uni >= 0.05)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -962,17 +1004,18 @@ def d10_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
-    sh = _shingled(docs, "doc_id")
-    a = sh.select(F.col("doc_id").alias("doc_src"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_super"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
+    sh = _shingled(docs, "doc_id").localCheckpoint(eager=True)
+    # directed pair universe (src ≠ super); inter ≥ 1 is implied by the
+    # threshold (2·∩ ≥ |A| with |A| ≥ 1), so the equi-join universe is
+    # result-identical to the inequality join's
     return (
-        a.join(b, F.col("doc_src") != F.col("doc_super"))
+        _pair_shared_counts(sh, "doc_src", "doc_super", directed=True)
+        .join(_pair_sizes(sh, "doc_src", "__n"), "doc_src")
         .select(
             "doc_src",
             "doc_super",
-            inter.alias("inter"),
-            F.size("sh_a").cast("bigint").alias("n_src"),
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("__n").cast("bigint").alias("n_src"),
         )
         .filter(F.col("inter") * 2 >= F.col("n_src"))
         .select(
