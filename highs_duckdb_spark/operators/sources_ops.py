@@ -157,7 +157,7 @@ def q74_ctas_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("o_orderstatus")
     )
-    result = spark.createDataFrame(out.collect(), out.schema)  # materialize before drop
+    result = local_rows_df(spark, out.collect(), out.schema)  # materialize before drop
     spark.sql("DROP TABLE q74_big_orders")
     return result
 
@@ -213,7 +213,7 @@ def q76_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
-    result = spark.createDataFrame(out.collect(), out.schema)  # materialize before drop
+    result = local_rows_df(spark, out.collect(), out.schema)  # materialize before drop
     for tbl in ("b_orders", "b_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return result
