@@ -9,12 +9,20 @@ centroid matrix and scores corpus-side in a single pass.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from highs_duckdb_spark.functions.presentation import present_sorted
 from highs_duckdb_spark.operators.registry import register
 from highs_duckdb_spark.session import ensure_shipped, load_table
+
+#: defensive ceiling for kernels that hold an embeddings matrix on the
+#: driver (v10/v11): 250k × 64 float64 ≈ 128 MB — the 100× corpus fits,
+#: anything larger fails loudly instead of silently OOMing the driver
+#: (VERDICT r11 item 5; read_table_arrow raises, never truncates).
+_DRIVER_MATRIX_MAX_ROWS = int(os.environ.get("HDS_DRIVER_MATRIX_MAX_ROWS", "250000"))
 
 
 def _as_double(col):
@@ -694,21 +702,29 @@ def v10_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold, na*nb product, one division: same ops in the same order).
     # Rounding/bucketing/aggregation stay in the JVM, structurally
     # unchanged — the kernel only replaces pair enumeration + dot.
-    import pyarrow.parquet as pq
+    # Round 12 (VERDICT r11 item 5): the driver-side matrix read goes
+    # through session.read_table_arrow — the load_table path/override
+    # conventions, a defensive row bound instead of an unbounded pull —
+    # and ships to tasks as a Spark BROADCAST (one transfer per executor)
+    # instead of riding every task closure.
+    from highs_duckdb_spark.session import read_table_arrow
 
-    t = (
-        pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        .sort_by("vec_id")
-    )
+    t = read_table_arrow(
+        spark,
+        "embeddings",
+        sf_dir,
+        columns=["vec_id", "embedding"],
+        max_rows=_DRIVER_MATRIX_MAX_ROWS,
+    ).sort_by("vec_id")
     ids = t["vec_id"].to_pylist()
     vecs = [[float(x) for x in v] for v in t["embedding"].to_pylist()]
+    bc = spark.sparkContext.broadcast((ids, vecs))
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
+        ids, vecs = bc.value
         M = np.asarray(vecs, dtype=np.float64)  # n × dim
         n, dim = M.shape
         mn = np.zeros(n)
@@ -795,25 +811,29 @@ def v11_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension-sequential accumulation, bit-identical to the old
     # `2 − 2·dot/(na·nb)` expression (same add order, same product, same
     # division). Pair predicate (ia < ib) and ALL aggregation semantics
-    # stay in the JVM unchanged.
-    import pyarrow.parquet as pq
+    # stay in the JVM unchanged. Round 12: driver read through
+    # session.read_table_arrow (override-aware, bounded) + Spark broadcast
+    # instead of closure capture — same hardening as v10.
+    from highs_duckdb_spark.session import read_table_arrow
 
-    t = (
-        pq.read_table(
-            f"{sf_dir}/embeddings.parquet",
-            columns=["vec_id", "label", "embedding"],
-            filters=[("vec_id", "<", 500)],
-        )
-        .sort_by("vec_id")
-    )
+    t = read_table_arrow(
+        spark,
+        "embeddings",
+        sf_dir,
+        columns=["vec_id", "label", "embedding"],
+        filters=[("vec_id", "<", 500)],
+        max_rows=_DRIVER_MATRIX_MAX_ROWS,
+    ).sort_by("vec_id")
     ids = t["vec_id"].to_pylist()
     labels = t["label"].to_pylist()
     vecs = [[float(x) for x in v] for v in t["embedding"].to_pylist()]
+    bc = spark.sparkContext.broadcast((ids, labels, vecs))
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
+        ids, labels, vecs = bc.value
         M = np.asarray(vecs, dtype=np.float64)
         n, dim = M.shape
         mn = np.zeros(n)

@@ -156,27 +156,100 @@ def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
 
     Falls back to the classic path when any cell is None (pandas would
     coerce a None in a float column to NaN, which Arrow ships as a
-    non-null NaN — a semantic change; the classic path keeps it NULL),
-    when ``rows`` is empty, or when pandas/Arrow is unavailable.
-    ``schema`` must be a DDL string ("name type, ...")."""
-    if rows and all(v is not None for r in rows for v in r):
+    non-null NaN — a semantic change; the classic path keeps it NULL) or
+    NaN (the converse: pandas treats a float NaN as MISSING, so the Arrow
+    path would ship it as NULL while the classic path keeps it a non-null
+    NaN — ADVICE r11), when ``rows`` is empty, or when pandas/Arrow is
+    unavailable. ``schema`` must be a DDL string ("name type, ...") or a
+    StructType (nested/parameterized types parse via ``fromDDL``, not a
+    naive comma split)."""
+    import math
+
+    def _plain(v) -> bool:
+        return v is not None and not (isinstance(v, float) and math.isnan(v))
+
+    if rows and all(_plain(v) for r in rows for v in r):
         try:
             import pandas as pd
+            from pyspark.sql.types import StructType
 
             names = (
-                [f.strip().split()[0] for f in schema.split(",")]
+                StructType.fromDDL(schema).names
                 if isinstance(schema, str)
                 else list(schema.names)  # StructType
             )
             # runtime-settable SQLConf; the driver's vanilla session may
-            # not have it on (same pattern as the nanosAsLong conf above)
-            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-            return spark.createDataFrame(
-                pd.DataFrame(rows, columns=names), schema=schema
-            )
+            # not have it on (same pattern as the nanosAsLong conf above).
+            # Restored afterwards: flipping it permanently would change
+            # the semantics of the CALLER's own toPandas()/createDataFrame
+            # calls on an externally supplied session (ADVICE r11).
+            conf_key = "spark.sql.execution.arrow.pyspark.enabled"
+            prior = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, "true")
+            try:
+                return spark.createDataFrame(
+                    pd.DataFrame(rows, columns=names), schema=schema
+                )
+            finally:
+                if prior is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prior)
         except Exception:
             pass
     return spark.createDataFrame(rows, schema)
+
+
+def read_table_arrow(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    columns: list[str] | None = None,
+    filters=None,
+    *,
+    max_rows: int | None = None,
+):
+    """Driver-side pyarrow read of one table THROUGH the ``load_table``
+    conventions (VERDICT r11 item 5): honors an attached layout/table
+    override (collecting the override frame via Spark so both sides of a
+    kernel see the SAME data), and otherwise reads the same canonical
+    ``<sf_dir>/<name>.parquet`` path ``load_table`` scans. Returns a
+    pyarrow Table.
+
+    For BOUNDED dimension/metadata tables that a kernel closes over or
+    broadcasts — ``max_rows`` is a defensive guard (not a silent
+    truncation): exceeding it raises, because silently pulling an
+    unbounded table onto the driver is the failure mode this helper
+    exists to prevent.
+
+    ``filters`` uses pyarrow's DNF form, e.g. ``[("vec_id", "<", 500)]``;
+    on the override path the same tuples are applied as Spark predicates
+    so both paths return identical rows."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    override = _TABLE_OVERRIDES.get(key)
+    if override is not None:
+        df = override
+        for col, op, val in filters or []:
+            ops = {"<": "<", "<=": "<=", ">": ">", ">=": ">=", "=": "=", "==": "="}
+            df = df.filter(f"{col} {ops[op]} {val!r}")
+        if columns:
+            df = df.select(*columns)
+        t = df.toArrow()
+    else:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, f"{name}.parquet"), columns=columns, filters=filters
+        )
+    if max_rows is not None and t.num_rows > max_rows:
+        raise ValueError(
+            f"driver-side read of {name!r} returned {t.num_rows} rows "
+            f"(> max_rows={max_rows}); this table is expected to be bounded — "
+            "use a distributed plan instead of a driver-side matrix"
+        )
+    return t
 
 
 def ensure_shipped(spark: SparkSession) -> None:

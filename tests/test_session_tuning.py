@@ -85,3 +85,112 @@ def test_native_bloom_thresholds_stay_spark_defaults(spark):
         )
         == "10737418240b"
     )
+
+
+# --- local_rows_df semantics guards (ADVICE r11 / VERDICT r11 item 8) -------
+
+
+def test_local_rows_df_preserves_nan_as_non_null(spark):
+    """A float NaN cell must stay a NON-NULL NaN (the classic
+    createDataFrame semantics), not become NULL via pandas' NaN-as-missing
+    coercion on the Arrow fast path (ADVICE r11, medium)."""
+    import math
+
+    from highs_duckdb_spark.session import local_rows_df
+
+    rows = local_rows_df(
+        spark, [("x", float("nan")), ("y", 1.5)], "k string, v double"
+    ).collect()
+    by_k = {r["k"]: r["v"] for r in rows}
+    assert by_k["x"] is not None and math.isnan(by_k["x"])
+    assert by_k["y"] == 1.5
+
+
+def test_local_rows_df_restores_arrow_conf(spark):
+    """local_rows_df must not permanently flip the caller's
+    arrow.pyspark.enabled conf (ADVICE r11, low)."""
+    from highs_duckdb_spark.session import local_rows_df
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df = local_rows_df(spark, [(1, "a")], "i bigint, s string")
+        assert df.collect() == [(1, "a")]
+        assert spark.conf.get(key) == "false"
+    finally:
+        spark.conf.set(key, prior)
+
+
+def test_local_rows_df_nested_ddl(spark):
+    """Nested/parameterized DDL types must parse via the real DDL parser
+    (a naive comma split mangles them — VERDICT r11 item 8) and still take
+    the Arrow fast path: the plan must be a LocalTableScan, not a
+    parallelized-RDD scan."""
+    from decimal import Decimal
+
+    from highs_duckdb_spark.session import local_rows_df
+
+    df = local_rows_df(
+        spark,
+        [([(1, 2)], Decimal("3.50"))],
+        "pairs array<struct<a:int,b:int>>, amt decimal(10,2)",
+    )
+    [row] = df.collect()
+    assert row["pairs"] == [(1, 2)] or [tuple(x) for x in row["pairs"]] == [(1, 2)]
+    assert row["amt"] == Decimal("3.50")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan or "LocalTableScan" in plan, plan
+
+
+# --- read_table_arrow: the shared driver-side kernel loader (r12) -----------
+
+
+def test_read_table_arrow_matches_load_table_and_bounds(spark):
+    """The driver-side pyarrow read must return the same rows as the
+    distributed load_table scan (both sides of a kernel read one code
+    path), honor pyarrow-style filters, and enforce max_rows as a loud
+    guard, never a silent truncation (VERDICT r11 item 5)."""
+    import pytest
+
+    from highs_duckdb_spark.session import load_table, read_table_arrow
+
+    sf = "/root/testdata/sf0.001"
+    t = read_table_arrow(
+        spark, "embeddings", sf, columns=["vec_id"], filters=[("vec_id", "<", 20)]
+    )
+    spark_ids = sorted(
+        r["vec_id"]
+        for r in load_table(spark, "embeddings", sf)
+        .filter("vec_id < 20")
+        .select("vec_id")
+        .collect()
+    )
+    assert sorted(t["vec_id"].to_pylist()) == spark_ids
+    with pytest.raises(ValueError, match="max_rows"):
+        read_table_arrow(spark, "embeddings", sf, columns=["vec_id"], max_rows=3)
+
+
+def test_read_table_arrow_honors_table_override(spark):
+    """With a layout override attached, the driver-side read must serve the
+    OVERRIDE's rows — the kernel and the distributed scan may never see
+    different data (ADVICE r11)."""
+    from highs_duckdb_spark.session import (
+        clear_table_overrides,
+        load_table,
+        read_table_arrow,
+        set_table_override,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ov = load_table(spark, "embeddings", sf).filter("vec_id < 7")
+    set_table_override(spark, sf, "embeddings", ov)
+    try:
+        t = read_table_arrow(spark, "embeddings", sf, columns=["vec_id"])
+        assert sorted(t["vec_id"].to_pylist()) == list(range(7))
+        t2 = read_table_arrow(
+            spark, "embeddings", sf, columns=["vec_id"], filters=[("vec_id", "<", 3)]
+        )
+        assert sorted(t2["vec_id"].to_pylist()) == [0, 1, 2]
+    finally:
+        clear_table_overrides(spark)
