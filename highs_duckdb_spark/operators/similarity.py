@@ -785,17 +785,11 @@ def s05_cosine_topk_local_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_shipped(spark)
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label", "embedding")
-    # The query set is bounded (N_QUERIES rows) — collect once and close
+    # The query set is bounded (N_QUERIES rows) — read once driver-side
+    # (shared override-aware helper; identical float64 matrix) and close
     # over it; cloudpickle ships the ndarray inside the kernel (the
     # driver-side equivalent of a broadcast variable at this size).
-    qrows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_ids, q_mat, q_norm = _collect_query_matrix(spark, sf_dir)
 
     def local_topk(batches):
         for pdf in batches:
@@ -2677,16 +2671,31 @@ def _s20_meta_join(spark, sf_dir: str, emb_prep, meta_prep):
     return emb.join(F.broadcast(meta), cond).drop("doc_id")
 
 
-def _collect_query_matrix(emb: DataFrame):
+def _collect_query_matrix(spark, sf_dir: str):
     """(q_ids, q_mat, q_norm) for the bounded query set (N_QUERIES rows),
-    collected once and shipped inside kernel closures."""
-    qrows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
+    read once driver-side and shipped inside kernel closures.
+
+    Round 12: reads via ``session.read_table_arrow`` (the override-aware
+    driver-side loader) instead of a Spark filter+collect job — the collect
+    was a full scheduled action (~158 ms at the 100× corpus, the s05/s20
+    phase decomposition) for 10 rows; the pyarrow read is ~12 ms and
+    returns the identical floats (parquet float32 widened exactly to
+    float64 either way)."""
+    from highs_duckdb_spark.session import read_table_arrow
+
+    t = read_table_arrow(
+        spark,
+        "embeddings",
+        sf_dir,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+        max_rows=10_000,
+    ).sort_by("vec_id")
+    q_ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    q_mat = np.array(
+        [[float(x) for x in v] for v in t["embedding"].to_pylist()],
+        dtype=np.float64,
     )
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
     return q_ids, q_mat, q_norm
 
@@ -2832,7 +2841,7 @@ def s20_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     # queries come from the FULL corpus; only candidates are filtered
     # (the oracle's join shape)
-    q_ids, q_mat, q_norm = _collect_query_matrix(emb)
+    q_ids, q_mat, q_norm = _collect_query_matrix(spark, sf_dir)
     cand = _s20_meta_join(
         spark,
         sf_dir,
@@ -3037,10 +3046,7 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (local top-k is a superset of each partition's contribution to the
         global top-k, so the rank window completes it exactly). Optionally
         restricted to a subset of queries (the under-return escalation)."""
-        emb_raw = load_table(spark, "embeddings", sf_dir).select(
-            "vec_id", "embedding"
-        )
-        q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
+        q_ids, q_mat, q_norm = _collect_query_matrix(spark, sf_dir)
         if only_query_ids is not None:
             keep = np.isin(q_ids, list(only_query_ids))
             q_ids, q_mat, q_norm = q_ids[keep], q_mat[keep], q_norm[keep]
@@ -3071,10 +3077,7 @@ def s21_filtered_ann_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the SAME kernel math as _probe_udf_factory, then one matmul per
         # Arrow batch with the per-query cell mask, local top-k' per
         # partition (superset of the global prefix), global rk0 window
-        emb_raw = load_table(spark, "embeddings", sf_dir).select(
-            "vec_id", "embedding"
-        )
-        q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
+        q_ids, q_mat, q_norm = _collect_query_matrix(spark, sf_dir)
         q_cells, probed = _driver_probe_cells(cents, q_ids, q_mat)
         cand = assigned.filter(F.col("cell").isin(probed)).select(
             "vec_id", F.col("v").alias("embedding"), "cell"
@@ -3331,8 +3334,7 @@ def s22_filtered_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = docs.filter(F.col("n_chars") >= S21_MIN_CHARS).select("doc_id")
     # bounded query set: collect once, probe driver-side (shared
     # parity-critical helper — same math as _probe_udf_factory)
-    emb_raw = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    q_ids, q_mat, q_norm = _collect_query_matrix(emb_raw)
+    q_ids, q_mat, q_norm = _collect_query_matrix(spark, sf_dir)
     q_cells, probed = _driver_probe_cells(cents, q_ids, q_mat)
     # static probed-cell set -> the indexed path's scan prunes partitions;
     # scoring via the shared BLAS kernel with the per-query cell mask
