@@ -520,10 +520,19 @@ def p08_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p09_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("n_chars") >= 100)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    # round 12 (guide §2.3/§8): materialize the 32-char fingerprint and
+    # DROP text before the dedup window — partitionBy(md5(text)) kept the
+    # full document body in the exchange input (the window's partition
+    # expression references it), shuffling corpus bytes to move a
+    # fingerprint decision. Same rows out: md5 is computed once per row
+    # either way and text is never read downstream.
     admitted = docs.select(
-        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.md5("text").alias("__fp"),
     ).filter(F.col("n_tokens") >= 20)
-    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w_fp = Window.partitionBy("__fp").orderBy("doc_id")
     dedup = (
         admitted.withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") == 1)
