@@ -601,14 +601,46 @@ def qs11_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    bench = F.broadcast(
+    # Round 12: the benchmark gram set is bounded (the held-out split) —
+    # collect it ONCE (same JVM gram plan as before, so gram semantics are
+    # byte-identical to the oracle's) and close a vectorized membership
+    # kernel over a frozenset. The former per-row
+    # size(array_intersect(gs, bg)) re-walked the ~24k-gram broadcast
+    # array per DOCUMENT (interpreted hash-set build per row) — the
+    # dominant term of the operator (guide §1.2 per-task work). Counting
+    # distinct-array members against a set is the identical integer.
+    from highs_duckdb_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    [bench_row] = (
         load_table(spark, "documents", sf_dir)
         .filter(F.col("doc_id") % 100 == 0)
         .select(t.alias("t"))
         .filter(F.size("t") >= 4)
         .select(F.explode(grams).alias("g"))
         .agg(F.array_distinct(F.collect_list("g")).alias("bg"))
+        .collect()
     )
+    bench_set = frozenset(bench_row["bg"] or [])
+
+    def _overlap_kernel_factory(bs):
+        import pandas as pd  # noqa: PLC0415
+
+        def kernel(arrs):
+            return pd.Series(
+                [
+                    None if a is None else sum(1 for g in a if g in bs)
+                    for a in arrs
+                ],
+                dtype="object",
+            )
+
+        # plain-function form: decorator + pd.Series hints break under
+        # `from __future__ import annotations` (string-annotation parser)
+        kernel.__annotations__ = {"arrs": pd.Series, "return": pd.Series}
+        return F.pandas_udf(kernel, "long")
+
+    overlap = _overlap_kernel_factory(bench_set)
     batch_schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
     stream = (
         spark.readStream.schema(batch_schema)
@@ -620,12 +652,11 @@ def qs11_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.filter((F.col("doc_id") % 100 != 0))
         .select("doc_id", t.alias("t"))
         .filter(F.size("t") >= 4)
-        .select("doc_id", grams.alias("gs"))
-        .crossJoin(bench)
+        .select("doc_id", overlap(grams).alias("n_overlap"))
         .select(
             "doc_id",
-            F.size(F.array_intersect("gs", "bg")).cast("bigint").alias("n_overlap"),
-            (F.size(F.array_intersect("gs", "bg")) > 0).alias("is_contaminated"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            (F.col("n_overlap") > 0).alias("is_contaminated"),
         )
     )
     table = f"stream_decon_{uuid.uuid4().hex[:8]}"
@@ -1173,7 +1204,11 @@ def _qs19_body(
     lidir = os.path.join(live, "lineitem.parquet")
     li.limit(0).coalesce(1).write.parquet(lidir)  # empty base fact
     layout_dir = os.path.join(work, "layout")
-    L._build_agg_mvs(spark, live, layout_dir, idents={})  # empty-base MV
+    # empty-base MV: the fact just written is empty by construction, so
+    # the bootstrap writes the plan-derived schema instead of executing
+    # the parent joins (round 12; footer-validated inside the builder —
+    # measured 2.1 s → ~0.2 s of the operator's fixed cost)
+    L._build_agg_mvs(spark, live, layout_dir, idents={}, empty_base=True)
 
     incoming = os.path.join(work, "incoming")
     # deterministic 3-way split → 3 micro-batches of EQUAL thirds. The
@@ -1182,14 +1217,28 @@ def _qs19_body(
     # 0 / n/3 / 2n/3-row batches — the round-10 throughput bench read the
     # skew as "per-cycle refresh latency grows" until the decomposition
     # showed latency tracks DELTA SIZE (BENCH_SCALING r10); explicit
-    # filters make each batch exactly one residue class.
+    # filters make each batch exactly one residue class. Round 12: the
+    # three residue files are produced by ONE job (repartition on the
+    # residue → partitionBy write strips the helper column, then each
+    # residue's single part-file moves up into the flat incoming dir) —
+    # the former per-residue filter+write re-scanned lineitem 3×.
+    import glob as _glob
+
+    split_tmp = os.path.join(work, "incoming_split")
+    (
+        li.withColumn("__r", F.pmod(F.col("l_orderkey"), F.lit(3)))
+        .repartition(3, "__r")
+        .write.partitionBy("__r")
+        .parquet(split_tmp)
+    )
+    os.makedirs(incoming)
     for b in range(3):
-        (
-            li.filter(F.col("l_orderkey") % 3 == b)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(incoming)
-        )
+        parts = _glob.glob(os.path.join(split_tmp, f"__r={b}", "*.parquet"))
+        # repartition(3, __r) puts each residue entirely in one task, so
+        # each partition dir holds exactly one file — the 3-file / 3-cycle
+        # contract (maxFilesPerTrigger=1) depends on it
+        assert len(parts) == 1, parts
+        os.rename(parts[0], os.path.join(incoming, f"batch{b}.parquet"))
     schema = spark.read.parquet(incoming).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1202,6 +1251,9 @@ def _qs19_body(
         # CDC sink: the batch lands in the live fact table...
         batch_df.write.mode("append").parquet(lidir)
         # ...and the MV refreshes incrementally from the SAME delta
+        # (measured round 12: pinning the delta with localCheckpoint cost
+        # MORE than the one extra 24 MB incoming-file scan it saves —
+        # committed negative, left as the plain two-consumer read)
         L.refresh_agg_mv(
             batch_df.sparkSession, live, name, {"lineitem": batch_df}, layout_dir
         )

@@ -274,6 +274,21 @@ def _table_ident(layout_dir: str, table: str) -> str:
     return f"hds_b_{tag}_{table}"
 
 
+def _parquet_row_count(path: str) -> int:
+    """Total row count from parquet FOOTERS (no data scan) for a file or
+    a directory of part-files. Used to validate empty-base shortcuts."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _source_fingerprint(sf_dir: str, table: str) -> str:
     """Cheap content fingerprint of the SOURCE parquet for ``table``.
 
@@ -603,6 +618,8 @@ def _build_agg_mvs(
     sf_dir: str,
     layout_dir: str,
     idents: dict[str, str],
+    *,
+    empty_base: bool = False,
 ) -> dict[str, str]:
     """Build + register the AGG_MV_SPECS materializations. Returns
     {name: path}.
@@ -612,7 +629,16 @@ def _build_agg_mvs(
     scans otherwise) into a group-key-grain aggregate that is tiny by
     construction (the group keys are low-NDV dimension attributes), so
     the write is a single file. Idempotent on a combined
-    source+spec fingerprint, like the join projections."""
+    source+spec fingerprint, like the join projections.
+
+    ``empty_base`` (round 12, the qs19 bootstrap): the caller asserts the
+    DRIVING fact table is empty — a grouped aggregate over zero input
+    rows is zero rows for any spec with non-empty group keys, so the MV
+    is written as an empty frame with the plan-derived schema instead of
+    executing the join (which still scanned and broadcast every parent,
+    ~2 s per bootstrap at sf0.1). Verified against the parquet footers
+    (falls back to the full build if the fact is not actually empty), so
+    the written bytes are exactly what the executed plan would produce."""
     import hashlib as _hashlib
     import json as _json
 
@@ -685,9 +711,17 @@ def _build_agg_mvs(
                 ).alias(alias)
                 for alias, (fn, builder) in spec["aggs"].items()
             ]
+            agg_frame = joined.groupBy(*spec["group_keys"]).agg(*aggs)
+            if empty_base and spec["group_keys"] and _parquet_row_count(
+                os.path.join(sf_dir, f"{tables[0]}.parquet")
+            ) == 0:
+                # empty driving fact ⇒ the grouped aggregate is provably
+                # empty: limit(0) folds the whole join tree to an empty
+                # LocalRelation (OptimizeLimitZero) with the identical
+                # schema — no parent scans/broadcasts executed
+                agg_frame = agg_frame.limit(0)
             (
-                joined.groupBy(*spec["group_keys"])
-                .agg(*aggs)
+                agg_frame
                 .coalesce(1)  # group-key grain: tiny by construction
                 .write.mode("overwrite")
                 .parquet(path)

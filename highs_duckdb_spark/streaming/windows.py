@@ -123,10 +123,19 @@ def _sessionize_fn(
         )
         return
 
-    ts_list: list[int] = []
-    for pdf in pdfs:
-        ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
-    ts_list.sort()
+    # round 12: vectorized µs extraction — the per-element
+    # `int(t.value // 1000)` generator ran once per EVENT per group;
+    # ns→µs floor division on the int64 view is the identical integer
+    # for every representable timestamp (ts arrives as datetime64[ns]).
+    import numpy as np
+
+    parts = [
+        pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64) // 1000
+        for pdf in pdfs
+    ]
+    arr = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    arr.sort()
+    ts_list = arr.tolist()
     if state.exists:
         start_us, last_us, n = state.get
     else:
