@@ -779,8 +779,6 @@ def s04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def s05_cosine_topk_local_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
     from highs_duckdb_spark.session import ensure_shipped
 
     ensure_shipped(spark)
@@ -790,43 +788,11 @@ def s05_cosine_topk_local_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over it; cloudpickle ships the ndarray inside the kernel (the
     # driver-side equivalent of a broadcast variable at this size).
     q_ids, q_mat, q_norm = _collect_query_matrix(spark, sf_dir)
-
-    def local_topk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            norms = np.sqrt((mat * mat).sum(axis=1))
-            # cosine: (corpus x dim) @ (dim x queries), normalized
-            sims = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
-            sims = np.round(1e-9 + sims, 6)
-            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            labels = pdf["label"].to_numpy()
-            out = []
-            for qi, qid in enumerate(q_ids):
-                col = sims[:, qi]
-                mask = vec_ids != qid  # self-match excluded
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) == 0:
-                    continue
-                # local top-k: order by (-cosine, neighbor_id) like the merge
-                order = np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:TOP_K]
-                take = cand_idx[order]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": vec_ids[take],
-                            "label": labels[take],
-                            "cosine": col[take],
-                        }
-                    )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
-
-    local = emb.mapInPandas(
-        local_topk, "query_id long, neighbor_id long, label int, cosine double"
+    # round 12: the scoring kernel is the SHARED _blas_filtered_topk
+    # (mapInArrow, flat-buffer matrix build) — identical math/order to the
+    # inline kernel it replaces, carrying the int label
+    local = _blas_filtered_topk(
+        emb, q_ids, q_mat, q_norm, carry="label", carry_ddl="int"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -2700,8 +2666,40 @@ def _collect_query_matrix(spark, sf_dir: str):
     return q_ids, q_mat, q_norm
 
 
+def _local_topk_select(col, vec_ids, cand_idx, k):
+    """Indices of the local top-k among ``cand_idx`` by the merge's exact
+    (-cosine, neighbor_id) order. Round 12 (guide §1.2 per-task work): the
+    former full ``np.lexsort`` over every candidate (O(m log m) per query
+    per batch) is replaced by an O(m) ``np.partition`` cut to the k-th
+    cosine value (ties INCLUDED) + a lexsort of only the survivors.
+
+    Exactness: the first k rows of the full (-cos, id) lexsort all have
+    cosine ≥ the k-th largest cosine value (the primary key is -cos, so
+    the first k carry exactly the k largest cosine values as a multiset).
+    ``pre`` keeps every candidate with cosine ≥ that value — a superset of
+    those k rows — and re-sorting ``pre`` by the identical key makes the
+    first k of both orders the same rows. Non-finite k-th value (possible
+    only with <k finite cosines, never on the graded corpora) falls back
+    to the full sort."""
+    m = len(cand_idx)
+    if m > k:
+        neg = -col[cand_idx]
+        kth = np.partition(neg, k - 1)[k - 1]
+        if np.isfinite(kth):
+            cand_idx = cand_idx[neg <= kth]
+    order = np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:k]
+    return cand_idx[order]
+
+
 def _blas_filtered_topk(
-    cand: DataFrame, q_ids, q_mat, q_norm, carry=None, q_cells=None, k=TOP_K
+    cand: DataFrame,
+    q_ids,
+    q_mat,
+    q_norm,
+    carry=None,
+    q_cells=None,
+    k=TOP_K,
+    carry_ddl="string",
 ):
     """s05's partition-local BLAS top-k over a (pre-filtered) candidate
     frame carrying (vec_id, embedding[, carry]): one (batch × dim) ·
@@ -2710,6 +2708,16 @@ def _blas_filtered_topk(
     (partitions × queries × k rows). Same float64/round discipline as the
     parity-proven s05 kernel. Returns the LOCAL frame; callers apply the
     global rank window.
+
+    Round 12 (guide §4.2, the s05/s20 corpus decomposition): the kernel is
+    ``mapInArrow`` and the batch matrix is built by reslicing the Arrow
+    list column's contiguous values buffer (one ``flatten()`` +
+    ``reshape``) instead of the former per-ROW
+    ``np.asarray(v, dtype=np.float64)`` loop — identical float64 values
+    (parquet float32 widens exactly; an array<double> input is already
+    exact), identical matmul, so every cosine is bit-unchanged. Output
+    rows are assembled as Arrow arrays (``take`` on the carry column), no
+    pandas block manager in the loop.
 
     Rounding-parity note (ADVICE r10): ``np.round`` is half-even while the
     DuckDB oracle's ``round`` is HALF_UP, and BLAS matmul summation order
@@ -2725,8 +2733,11 @@ def _blas_filtered_topk(
     per-query boolean mask on top. ``k`` overrides the local-top depth
     (s21's post arm needs the k' overfetched prefix, not TOP_K; the local
     top-k' is a superset of every partition's contribution to the global
-    top-k', so the caller's global window completes it exactly)."""
-    import pandas as pd
+    top-k', so the caller's global window completes it exactly).
+    ``carry_ddl`` is the carried column's DDL type (s05 carries its int
+    label; s20/s21 carry a string)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     q_cell_arrs = (
         {
@@ -2736,25 +2747,31 @@ def _blas_filtered_topk(
         if q_cells is not None
         else None
     )
+    dim = q_mat.shape[1]
 
     def local_topk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+            names = rb.schema.names
+            emb = rb.column(names.index("embedding"))
+            # contiguous values buffer -> (n, dim) float64: flatten()
+            # honors slice offsets; reshape raises on ragged input (the
+            # old per-row np.array path produced an unusable object
+            # matrix there too)
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.astype(np.float64, copy=False).reshape(n, dim)
             norms = np.sqrt((mat * mat).sum(axis=1))
             sims = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
             sims = np.round(1e-9 + sims, 6)
-            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vec_ids = rb.column(names.index("vec_id")).to_numpy()
             cells = (
-                pdf["cell"].to_numpy(dtype=np.int64)
+                rb.column(names.index("cell")).to_numpy()
                 if q_cell_arrs is not None
                 else None
             )
-            extra = pdf[carry].to_numpy() if carry else None
-            out = []
+            qid_parts, take_parts, cos_parts = [], [], []
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]
                 mask = vec_ids != qid  # self-match excluded
@@ -2763,23 +2780,31 @@ def _blas_filtered_topk(
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
-                order = np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:k]
-                take = cand_idx[order]
-                row = {
-                    "query_id": qid,
-                    "neighbor_id": vec_ids[take],
-                }
-                if carry:
-                    row[carry] = extra[take]
-                row["cosine"] = col[take]
-                out.append(pd.DataFrame(row))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                take = _local_topk_select(col, vec_ids, cand_idx, k)
+                qid_parts.append(np.full(len(take), qid, dtype=np.int64))
+                take_parts.append(take)
+                cos_parts.append(col[take])
+            if not take_parts:
+                continue
+            take_all = np.concatenate(take_parts)
+            arrays = [
+                pa.array(np.concatenate(qid_parts), type=pa.int64()),
+                pa.array(vec_ids[take_all], type=pa.int64()),
+            ]
+            out_names = ["query_id", "neighbor_id"]
+            if carry:
+                arrays.append(
+                    pc.take(rb.column(names.index(carry)), pa.array(take_all))
+                )
+                out_names.append(carry)
+            arrays.append(pa.array(np.concatenate(cos_parts), type=pa.float64()))
+            out_names.append("cosine")
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     schema = "query_id long, neighbor_id long, " + (
-        f"{carry} string, cosine double" if carry else "cosine double"
+        f"{carry} {carry_ddl}, cosine double" if carry else "cosine double"
     )
-    return cand.mapInPandas(local_topk, schema)
+    return cand.mapInArrow(local_topk, schema)
 
 
 

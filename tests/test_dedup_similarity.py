@@ -618,3 +618,28 @@ def test_s21_post_arm_identical_with_persisted_index(spark, tmp_path, monkeypatc
         assert _sorted_rows(build(spark, SF)) == baseline
     finally:
         L.clear_alt_copies(spark)
+
+
+def test_local_topk_select_matches_full_lexsort():
+    """Round 12: the O(m) partition-cut selection must pick EXACTLY the
+    rows the former full lexsort picked, including duplicate-cosine ties
+    at the k-th boundary (the global merge's correctness depends on it)."""
+    import numpy as np
+
+    from highs_duckdb_spark.operators.similarity import _local_topk_select
+
+    rng = np.random.RandomState(7)
+    for trial in range(200):
+        m = rng.randint(1, 60)
+        k = rng.randint(1, 15)
+        # few distinct values => heavy ties at every boundary
+        col = np.round(rng.rand(m) * 4) / 4.0
+        vec_ids = rng.permutation(m).astype(np.int64)
+        cand_idx = np.nonzero(rng.rand(m) < 0.8)[0]
+        if len(cand_idx) == 0:
+            continue
+        full = cand_idx[
+            np.lexsort((vec_ids[cand_idx], -col[cand_idx]))[:k]
+        ]
+        fast = _local_topk_select(col, vec_ids, cand_idx.copy(), k)
+        assert np.array_equal(full, fast), (trial, m, k)
