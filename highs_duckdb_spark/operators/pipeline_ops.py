@@ -570,7 +570,10 @@ def p09_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pack_id") + 1).cast("bigint").alias("n_packs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
-        .orderBy("split", "lang")
+        # ≤ split×lang rows: present_sorted drops orderBy's range exchange
+        # AND its partitioner SAMPLE job, which re-executed the plan above
+        # the last shuffle (round 12; same total order)
+        .transform(present_sorted, "split", "lang")
     )
 
 
