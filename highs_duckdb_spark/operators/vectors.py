@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -704,9 +705,16 @@ def v10_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged — the kernel only replaces pair enumeration + dot.
     # Round 12 (VERDICT r11 item 5): the driver-side matrix read goes
     # through session.read_table_arrow — the load_table path/override
-    # conventions, a defensive row bound instead of an unbounded pull —
-    # and ships to tasks as a Spark BROADCAST (one transfer per executor)
-    # instead of riding every task closure.
+    # conventions, a defensive row bound instead of an unbounded pull.
+    # The matrix ships as a CLOSURE-captured ndarray (compact binary
+    # pickle, one buffer): the first cut of this hardening used
+    # sparkContext.broadcast of the id/vector LISTS, and the per-task
+    # `bc.value` fetch + unpickle of ~128k Python floats measured 1.97 s
+    # best / 4–9 s typical vs 1.19 s best for the closure ndarray in an
+    # interleaved same-session A/B — a regression vs round 11, reverted.
+    # Per-side norms precompute once driver-side with the SAME
+    # dimension-sequential loop the kernel ran per task (identical adds,
+    # identical doubles).
     from highs_duckdb_spark.session import read_table_arrow
 
     t = read_table_arrow(
@@ -716,22 +724,21 @@ def v10_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["vec_id", "embedding"],
         max_rows=_DRIVER_MATRIX_MAX_ROWS,
     ).sort_by("vec_id")
-    ids = t["vec_id"].to_pylist()
-    vecs = [[float(x) for x in v] for v in t["embedding"].to_pylist()]
-    bc = spark.sparkContext.broadcast((ids, vecs))
+    id_arr = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(
+        [[float(x) for x in v] for v in t["embedding"].to_pylist()],
+        dtype=np.float64,
+    )  # n × dim
+    mn = np.zeros(M.shape[0])
+    for _j in range(M.shape[1]):
+        mn += M[:, _j] * M[:, _j]
+    mn = np.sqrt(mn)
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
-        ids, vecs = bc.value
-        M = np.asarray(vecs, dtype=np.float64)  # n × dim
         n, dim = M.shape
-        mn = np.zeros(n)
-        for j in range(dim):
-            mn += M[:, j] * M[:, j]
-        mn = np.sqrt(mn)
-        id_arr = np.asarray(ids, dtype=np.int64)
         for pdf in batches:
             m = len(pdf)
             if m == 0:
@@ -752,6 +759,17 @@ def v10_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
+    # The kernel's cost is O(rows × matrix) pair enumeration, not scan
+    # bytes: a single-file demo corpus runs it on ONE task (measured
+    # 6–16 s single-core at sf0.1 vs <1 s parallel). Spread to the
+    # session's parallelism when (and only when) the scan is narrower —
+    # the d13 discipline; a no-op on multi-file corpora. Result-identical:
+    # every pair's cosine is computed from the same row/matrix values
+    # whatever the partitioning, and the downstream bucket aggregation is
+    # integer counts.
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
     raw = emb.mapInPandas(kernel, "cos_raw double")
     cos = F.round(F.lit(1e-9) + F.col("cos_raw"), 6)
     bucket = F.least(
@@ -812,8 +830,10 @@ def v11_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `2 − 2·dot/(na·nb)` expression (same add order, same product, same
     # division). Pair predicate (ia < ib) and ALL aggregation semantics
     # stay in the JVM unchanged. Round 12: driver read through
-    # session.read_table_arrow (override-aware, bounded) + Spark broadcast
-    # instead of closure capture — same hardening as v10.
+    # session.read_table_arrow (override-aware, bounded); the matrix
+    # ships as a closure-captured ndarray, NOT a sparkContext.broadcast —
+    # the per-task bc.value unpickle of Python-float lists measured
+    # 1.6–7× slower in the interleaved A/B (see v10).
     from highs_duckdb_spark.session import read_table_arrow
 
     t = read_table_arrow(
@@ -824,24 +844,22 @@ def v11_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         filters=[("vec_id", "<", 500)],
         max_rows=_DRIVER_MATRIX_MAX_ROWS,
     ).sort_by("vec_id")
-    ids = t["vec_id"].to_pylist()
-    labels = t["label"].to_pylist()
-    vecs = [[float(x) for x in v] for v in t["embedding"].to_pylist()]
-    bc = spark.sparkContext.broadcast((ids, labels, vecs))
+    id_arr = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    lab_arr = np.asarray(t["label"].to_pylist())
+    M = np.asarray(
+        [[float(x) for x in v] for v in t["embedding"].to_pylist()],
+        dtype=np.float64,
+    )
+    mn = np.zeros(M.shape[0])
+    for _j in range(M.shape[1]):
+        mn += M[:, _j] * M[:, _j]
+    mn = np.sqrt(mn)
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
-        ids, labels, vecs = bc.value
-        M = np.asarray(vecs, dtype=np.float64)
         n, dim = M.shape
-        mn = np.zeros(n)
-        for j in range(dim):
-            mn += M[:, j] * M[:, j]
-        mn = np.sqrt(mn)
-        id_arr = np.asarray(ids, dtype=np.int64)
-        lab_arr = np.asarray(labels)
         for pdf in batches:
             m = len(pdf)
             if m == 0:
