@@ -25,6 +25,7 @@ import os
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -133,9 +134,11 @@ def _bmp_dims(doc_id: int) -> tuple[int, int]:
 
 
 def _bmp_pixels_from_text(text_bytes: bytes, w: int, h: int) -> bytes:
-    """Deterministic RGB pixel array (row-major, top-down) from text bytes."""
-    n = len(text_bytes)
-    return bytes(text_bytes[i % n] for i in range(w * h * 3))
+    """Deterministic RGB pixel array (row-major, top-down) from text bytes.
+
+    np.resize repeats the source cyclically, which IS byte i % n — one
+    vectorized copy instead of a per-pixel-byte Python generator."""
+    return np.resize(np.frombuffer(text_bytes, dtype=np.uint8), w * h * 3).tobytes()
 
 
 def encode_bmp(w: int, h: int, pix: bytes) -> bytes:
@@ -150,15 +153,10 @@ def encode_bmp(w: int, h: int, pix: bytes) -> bytes:
         + struct.pack("<IHHI", off + img_size, 0, 0, off)
         + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
     )
-    out = bytearray(hdr)
-    for y in range(h - 1, -1, -1):  # bottom-up
-        row = bytearray()
-        for x in range(w):
-            r, g, b = pix[(y * w + x) * 3 : (y * w + x) * 3 + 3]
-            row += bytes((b, g, r))  # BGR on disk
-        row += b"\x00" * (row_size - 3 * w)
-        out += row
-    return bytes(out)
+    rgb = np.frombuffer(pix, dtype=np.uint8)[: w * h * 3].reshape(h, w, 3)
+    rows = np.zeros((h, row_size), dtype=np.uint8)  # zero tail = row padding
+    rows[:, : 3 * w] = rgb[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    return hdr + rows.tobytes()
 
 
 def decode_bmp(blob: bytes) -> tuple[int, int, bytes]:
@@ -178,52 +176,63 @@ def decode_bmp(blob: bytes) -> tuple[int, int, bytes]:
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     row_size = (3 * w + 3) // 4 * 4
-    pix = bytearray(w * h * 3)
-    for yy in range(h):
-        y = yy if top_down else h - 1 - yy  # destination (top-down) row
-        base = off + yy * row_size
-        for x in range(w):
-            b, g, r = blob[base + 3 * x : base + 3 * x + 3]
-            pix[(y * w + x) * 3 : (y * w + x) * 3 + 3] = bytes((r, g, b))
-    return w, h, bytes(pix)
+    rows = np.frombuffer(blob, dtype=np.uint8, count=row_size * h, offset=off)
+    bgr = rows.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]  # file rows are bottom-up; emit top-down
+    return w, h, bgr[:, :, ::-1].tobytes()  # BGR on disk → RGB out
 
 
 def _bmp_encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        rows = []
+        blobs = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             w, h = _bmp_dims(int(doc_id))
             pix = _bmp_pixels_from_text(text.encode("utf-8"), w, h)
-            rows.append({"doc_id": doc_id, "blob": encode_bmp(w, h, pix)})
-        yield pd.DataFrame(rows)
+            blobs.append(encode_bmp(w, h, pix))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "blob": blobs})
 
 
 def _bmp_resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Real decode + nearest-neighbor thumbnail, all-integer geometry
-    (src = (dst · src_dim) // dst_dim) so the oracle can replicate it."""
+    (src = (dst · src_dim) // dst_dim) so the oracle can replicate it.
+
+    The source grid rows/cols are gathered with one fancy-index per image
+    and summed in int64 — the same integers the per-pixel loop added."""
     for pdf in it:
-        rows = []
+        ids, ows, ohs, cks = [], [], [], []
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
             w, h, pix = decode_bmp(bytes(blob))
             mx = max(w, h)
             out_w = max(1, (w * BMP_THUMB) // mx)
             out_h = max(1, (h * BMP_THUMB) // mx)
-            checksum = 0
-            for y in range(out_h):
-                sy = (y * h) // out_h
-                for x in range(out_w):
-                    sx = (x * w) // out_w
-                    p = (sy * w + sx) * 3
-                    checksum += pix[p] + pix[p + 1] + pix[p + 2]
-            rows.append(
-                {
-                    "doc_id": doc_id,
-                    "out_width": out_w,
-                    "out_height": out_h,
-                    "content_checksum": checksum % 1_000_000,
-                }
-            )
-        yield pd.DataFrame(rows)
+            rgb = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+            sy = np.arange(out_h, dtype=np.int64) * h // out_h
+            sx = np.arange(out_w, dtype=np.int64) * w // out_w
+            checksum = int(rgb[np.ix_(sy, sx)].sum(dtype=np.int64))
+            ids.append(doc_id)
+            ows.append(out_w)
+            ohs.append(out_h)
+            cks.append(checksum % 1_000_000)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "out_width": ows,
+                "out_height": ohs,
+                "content_checksum": cks,
+            }
+        )
+
+
+def _bmp_pipeline_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """encode → decode → thumbnail in ONE Python stage. The two kernels
+    are composed unchanged (each is unit-tested on its own); fusing them
+    stops the encoded BMP bytes from round-tripping Python → JVM → Python
+    between two adjacent MapInPandas nodes (guide §4: the boundary costs,
+    and no JVM work happened between the stages)."""
+    for pdf in it:
+        for enc in _bmp_encode_batch(iter([pdf])):
+            yield from _bmp_resize_batch(iter([enc]))
 
 
 @register(
@@ -276,11 +285,12 @@ def m02_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length("text") > 0)
         & (F.octet_length("text") == F.length("text"))
     )
-    blobs = docs.select("doc_id", "text").mapInPandas(
-        _bmp_encode_batch, "doc_id long, blob binary"
-    )
     schema = "doc_id long, out_width long, out_height long, content_checksum long"
-    return blobs.mapInPandas(_bmp_resize_batch, schema).orderBy("doc_id")
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(_bmp_pipeline_batch, schema)
+        .orderBy("doc_id")
+    )
 
 
 def _frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -341,7 +351,8 @@ AUDIO_SAMPLE_RATE = 8000
 
 
 def _wav_samples_from_text(text_bytes: bytes) -> list[int]:
-    return [(b - 64) * 512 for b in text_bytes]
+    arr = (np.frombuffer(text_bytes, dtype=np.uint8).astype(np.int64) - 64) * 512
+    return arr.tolist()  # same ints as [(b - 64) * 512 for b in text_bytes]
 
 
 def encode_wav(samples: list[int], rate: int = AUDIO_SAMPLE_RATE) -> bytes:
@@ -412,6 +423,15 @@ def _audio_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
+def _wav_pipeline_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """encode → decode → features in ONE Python stage (same fusion as
+    m02's `_bmp_pipeline_batch`: the unit-tested kernels compose unchanged,
+    and the WAV bytes stop round-tripping Python → JVM → Python)."""
+    for pdf in it:
+        for enc in _wav_encode_batch(iter([pdf])):
+            yield from _audio_features_batch(iter([enc]))
+
+
 @register(
     "m04_audio_features",
     oracle=f"""
@@ -457,14 +477,15 @@ def m04_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length("text") > 0)
         & (F.octet_length("text") == F.length("text"))
     )
-    blobs = docs.select("doc_id", "text").mapInPandas(
-        _wav_encode_batch, "doc_id long, blob binary"
-    )
     schema = (
         "doc_id long, n_samples long, duration_sec double, rms double, "
         "peak long, zero_cross_rate double"
     )
-    return blobs.mapInPandas(_audio_features_batch, schema).orderBy("doc_id")
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(_wav_pipeline_batch, schema)
+        .orderBy("doc_id")
+    )
 
 
 @register(

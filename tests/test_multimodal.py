@@ -137,6 +137,38 @@ def test_bmp_decoder_rejects_compressed():
         decode_bmp(bytes(blob))
 
 
+def test_vectorized_pixels_and_checksum_match_per_byte_loop():
+    """The NumPy kernels (round-12 vectorization) must reproduce the
+    original per-byte loops exactly — including cyclic pixel repetition
+    with an awkward text length and thumbnail UPSAMPLING (w or h < 16 →
+    repeated gather indices in the fancy-index path)."""
+    import pandas as pd
+
+    from highs_duckdb_spark.operators.multimodal import _bmp_resize_batch
+
+    text = bytes(range(7, 7 + 41))  # n=41: not a divisor of any w*h*3
+    for w, h in [(9, 12), (31, 8), (8, 23), (16, 16)]:
+        pix = _bmp_pixels_from_text(text, w, h)
+        assert pix == bytes(text[i % len(text)] for i in range(w * h * 3))
+        # reference checksum: the original per-pixel loop
+        mx = max(w, h)
+        out_w, out_h = max(1, w * BMP_THUMB // mx), max(1, h * BMP_THUMB // mx)
+        want = 0
+        for y in range(out_h):
+            sy = (y * h) // out_h
+            for x in range(out_w):
+                sx = (x * w) // out_w
+                p = (sy * w + sx) * 3
+                want += pix[p] + pix[p + 1] + pix[p + 2]
+        blob = encode_bmp(w, h, pix)
+        (out,) = _bmp_resize_batch(
+            iter([pd.DataFrame({"doc_id": [1], "blob": [blob]})])
+        )
+        assert out.iloc[0]["out_width"] == out_w
+        assert out.iloc[0]["out_height"] == out_h
+        assert out.iloc[0]["content_checksum"] == want % 1_000_000, (w, h)
+
+
 # --- Spark pipelines vs pure-Python references -------------------------------
 
 
