@@ -596,8 +596,22 @@ def _simhash_pandas(texts: pd.Series) -> pd.Series:
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
     docs = load_table(spark, "documents", sf_dir)
+    # The signature kernel is the cost, not scan bytes: a single-file
+    # corpus runs it on ONE task (the d13/v10 discipline; no-op on
+    # multi-file corpora). Result-identical: the UDF is per-row
+    # deterministic, so partitioning cannot change any signature.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     simhash = F.pandas_udf(_simhash_pandas, "long")
-    df = docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    # Pin the signatures: the final ordered presentation plans a range
+    # exchange whose partitioner SAMPLES the child, which would re-run
+    # the whole scan+UDF subtree a second time (d03's eager-checkpoint
+    # discipline; 0.71 → 0.64 s at sf0.1 where the kernel is small —
+    # the win grows with the kernel).
+    df = docs.select(
+        "doc_id", simhash(F.col("text")).alias("simhash")
+    ).localCheckpoint(eager=True)
     # Expose the 4 × 15-bit chunks used for banded near-pair search.
     chunks = [
         (
@@ -608,7 +622,7 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"chunk{i}")
         for i in range(SIMHASH_CHUNKS)
     ]
-    return df.select("doc_id", "simhash", *chunks).orderBy("doc_id")
+    return df.select("doc_id", "simhash", *chunks).transform(ordered_wide, "doc_id")
 
 
 @register(
@@ -643,8 +657,19 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d05_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
     docs = load_table(spark, "documents", sf_dir)
+    # Same two fixes as d04: parallelize the kernel over a single-file
+    # corpus, and PIN the signatures — `chunked` feeds BOTH sides of the
+    # self-join, so without the pin the scan+UDF subtree executes twice
+    # (plus once more for the final sort's range sampler). Measured
+    # 1.66 → 0.98 s at sf0.1; signatures are per-row deterministic, so
+    # neither change can alter any pair.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     simhash = F.pandas_udf(_simhash_pandas, "long")
-    sigs = docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    sigs = docs.select(
+        "doc_id", simhash(F.col("text")).alias("simhash")
+    ).localCheckpoint(eager=True)
     chunked = sigs.select(
         "doc_id",
         "simhash",
