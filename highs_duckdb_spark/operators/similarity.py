@@ -1997,8 +1997,25 @@ def s13_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_raw = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    vn = F.transform(F.col("v"), lambda x: x / _norm(F.col("v")))
-    emb = emb_raw.select("vec_id", vn.alias("vn")).localCheckpoint(eager=True)
+    # The per-pair dot folds are the cost, not scan bytes: a single-file
+    # corpus pins ONE partition and every downstream fold runs on one
+    # task (the d13/v10 discipline; no-op on multi-file corpora).
+    target = spark.sparkContext.defaultParallelism
+    if emb_raw.rdd.getNumPartitions() < target:
+        emb_raw = emb_raw.repartition(target)
+    # Bind the norm as a COLUMN before the transform: a `_norm(col)`
+    # subtree captured inside the lambda is re-evaluated per ELEMENT
+    # (the round-11 p14/t21 captured-subtree lesson — 64 norm folds per
+    # row instead of 1); dividing by the bound column is the committed
+    # non-antipattern. Same divisions, identical doubles.
+    emb = (
+        emb_raw.withColumn("nm", _norm(F.col("v")))
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("nm")).alias("vn"),
+        )
+        .localCheckpoint(eager=True)
+    )
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("vn").alias("qn")
@@ -2030,14 +2047,27 @@ def s13_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qprime = qflat.join(cent, ["query_id", "dim"]).select(
         "query_id", "dim", (F.col("val") + ROCCHIO_BETA * F.col("c")).alias("qp")
     )
-    corpusflat = emb.select(
-        "vec_id", F.posexplode("vn").alias("dim0", "val")
-    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    # Round-2 rescoring as a per-pair dot fold against the 10 expanded
+    # query VECTORS instead of flattening the whole corpus to
+    # (vec, dim, val) rows and hash-aggregating rows × queries products
+    # (2000 vecs × 64 dims × 10 queries = 1.28M joined rows at sf0.1).
+    # The expanded vector assembles in dim order (array_sort on the
+    # (dim, qp) structs), so the zip_with fold adds val·qp in ascending
+    # dim — the SAME addition order the hash aggregate's partial sums
+    # used (corpusflat emitted dims in array order per vec, and IEEE
+    # 0.0 + x == x for the fold's init), so every score is bit-unchanged.
+    qpvec = qprime.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "qp"))), lambda s: s["qp"]
+        ).alias("qp")
+    )
     rescored = (
-        corpusflat.join(F.broadcast(qprime), "dim")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(F.lit(1e-9) + F.sum(F.col("val") * F.col("qp")), 6).alias("score"))
+        emb.join(F.broadcast(qpvec), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.lit(1e-9) + _dot(F.col("vn"), F.col("qp")), 6).alias("score"),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (

@@ -191,13 +191,28 @@ def t25_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in range(_CM_D)
         ]
     )
-    # sketch: one groupBy whose key space is bounded at d*w cells
-    cells = (
-        toks.select(F.explode(rb).alias("rb"))
-        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count("*").alias("cell_count"))
+    # Tokenize + count ONCE, pinned: `exact` feeds both the sketch build
+    # and the probe side, so without the pin the corpus tokenization
+    # subtree executes twice. The pin is vocab-sized (bounded by distinct
+    # tokens, not corpus rows).
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .localCheckpoint(eager=True)
     )
-    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    # sketch: one groupBy whose key space is bounded at d*w cells. Built
+    # from the per-token counts, NOT the token instances: a token with
+    # count n contributes n to each of its d cells, so
+    # sum(exact_count) over tokens hashing to a cell == count(*) over
+    # instances hashing to it — identical integers, while the 4 md5
+    # bucket hashes run once per DISTINCT token (~vocab) instead of once
+    # per token instance (~600k at sf0.1; build+materialize
+    # 1.28 → 0.70 s).
+    cells = (
+        exact.select("exact_count", F.explode(rb).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("exact_count").alias("cell_count"))
+    )
     # estimation: candidate tokens probe the (tiny) sketch per hash row
     probes = exact.select(
         "tok",
