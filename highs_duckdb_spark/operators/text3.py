@@ -349,6 +349,13 @@ _DSIR_TARGET = ("src0", "src1")  # the "target domain" sample
 def t27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _DSIR_BUCKETS
     docs = load_table(spark, "documents", sf_dir)
+    # The pinned corpus pass (tokenize + explode + per-bigram md5) is the
+    # cost, not scan bytes: a single-file corpus runs it on ONE task (the
+    # d13/v10 discipline; no-op on multi-file corpora, result-identical —
+    # per-row bucketing doesn't depend on partitioning).
+    target_p = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target_p:
+        docs = docs.repartition(target_p)
     t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     toks = docs.select("doc_id", "source", t.alias("t")).filter(F.size("t") >= 2)
     bg = F.transform(
@@ -375,8 +382,15 @@ def t27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("ct"))
     )
     all_ = big.groupBy("b").agg(F.count("*").alias("ca"))
-    nt = tgt.agg(F.sum("ct")).first()[0]
-    na = all_.agg(F.sum("ca")).first()[0]
+    # Both model totals in ONE driver action instead of two scheduled
+    # jobs: nt = target bigram instances, na = all instances — the same
+    # integers sum(ct)/sum(ca) returned, read off the pin directly.
+    nt, na = big.agg(
+        F.sum(
+            F.when(F.col("source").isin(*_DSIR_TARGET), F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.count("*"),
+    ).first()
     lr = (
         all_.join(tgt, "b", "left")
         .select(
