@@ -283,6 +283,12 @@ def v04_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
+    # NOT repartitioned before the pin (round-12 measured NEGATIVE): the
+    # d13/v10 single-file spread was A/B'd here and REGRESSED —
+    # 2.1 → 3.3 s at sf0.1 — because the per-ROUND mapInPandas jobs
+    # multiply the per-task Python round-trip by KMEANS_ROUNDS × 32 for
+    # ~62-row slices; one fat task per round is cheaper at this vector
+    # count, and a multi-file corpus at scale arrives pre-split anyway.
     emb = emb.localCheckpoint(eager=True)  # scanned once per round: pin it
     import numpy as np
 
