@@ -117,8 +117,14 @@ def t18_jaro_winkler_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # plain-function + explicit return type (the str-annotation decorator
     # form trips pyspark's typehint parser under `from __future__ import
-    # annotations`)
-    jw_udf = F.pandas_udf(_jw_kernel, "double")
+    # annotations`). asNondeterministic: the filter on the UDF column
+    # otherwise DUPLICATES the evaluation (guide §4.4 — one
+    # ArrowEvalPython below the pushed filter, a second in the output
+    # projection; plans/r12/t18_…before shows both), so every surviving
+    # pair paid the O(len²) kernel twice. The kernel is in fact
+    # deterministic — the marker only stops the optimizer from copying
+    # it; values unchanged.
+    jw_udf = F.pandas_udf(_jw_kernel, "double").asNondeterministic()
 
     names = load_table(spark, "part", sf_dir).select("p_name").distinct()
     a = names.select(F.col("p_name").alias("name_a"))
